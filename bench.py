@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Headline benchmark — runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set spans the engine surface: silver pipeline + gold view
+(claims), TPC-H-shape agg, snowflake join, window top-k, and the
+LLM-pipeline extensions (minhash near-dup, brute-force knn, tumbling
+windows, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = (
+    "q_tpch_q1",
+    "q_silver_pipeline",
+    "q_claims_summary",
+    "q_provider_performance",
+    "q_join_snowflake",
+    "q_join_range",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_events_tumbling",
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lakeflow import registry
+    from lakeflow.session import get_session
+
+    spark = get_session("lakeflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = registry.queries()
+    # JVM + first-scan warmup (not counted): tiny action on each table
+    t_warm = time.perf_counter()
+    registry.flagship(spark, sf_dir).count()
+    warm_s = time.perf_counter() - t_warm
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = qmap[name](spark, sf_dir).count()  # count() = full execution, no collect
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "lakeflow headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "warmup_sec": round(warm_s, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Deterministic derived `claims` layer over the driver star schema.
+
+The reference's domain table (health-insurance claims,
+/root/reference/jobs/silver/claims_to_iceberg.py:93-108) is not shipped
+in the driver test data, so we derive a claims_raw table from
+``lineitem`` by pure arithmetic — every dirty-data case the reference's
+cleaning rules handle (FIXTURES.md §1) is injected deterministically by
+modular selectors on a unique bigint key. The identical derivation is
+expressed twice:
+
+- :func:`claims_raw` — Spark DataFrame builder (engine input)
+- :data:`ORACLE_CTE` — DuckDB SQL CTE prefix (oracle input)
+
+so every silver/gold query is hash-checkable end-to-end, cleaning
+included.
+
+Determinism rules (both dialects MUST stay in lock-step):
+- cents = round(l_extendedprice*100)::bigint (prices are 2dp → exact)
+- key   = (((l_orderkey*8 + l_linenumber)*100000 + l_partkey)*1000
+          + l_suppkey)*10000 + cents%10000
+  (the synthetic lineitem does NOT keep (orderkey, linenumber) unique,
+  so the key mixes in partkey/suppkey/cents — verified unique at every
+  shipped SF, and ≤ 1.3e18 so it fits int64)
+- claim_amount values are INTEGER-valued doubles → SUM/AVG are exact in
+  IEEE double regardless of aggregation order → hash-stable across
+  engines.
+- service dates = l_shipdate + 28 years (1995-2001 → 2023-2029; leap
+  years align: 1996+28=2024) so the gold views' `>= DATE '2023-01-01'`
+  predicate (/root/reference/sql/gold/create_views.sql:24,45) keeps
+  most rows and the DQ range 2020-2030 holds.
+- "now" is pinned to 2026-01-01T00:00:00 (NOW_TS) and
+  processing_timestamp spreads over the 45 days before it, so the
+  30/7/1-day recency buckets (create_views.sql:131,145,158) are
+  non-empty and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import io, transform
+
+NOW_SQL = "TIMESTAMP '2026-01-01 00:00:00'"
+NOW_SPARK = "timestamp_ntz'2026-01-01 00:00:00'"
+
+
+def claims_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty bronze-shaped claims derived from lineitem (Spark side)."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    cents0 = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    key0 = (
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 100000 + F.col("l_partkey"))
+        * 1000
+        + F.col("l_suppkey")
+    ) * 10000 + cents0 % 10000
+    df = li.select(
+        key0.alias("key"),
+        cents0.alias("cents"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.expr("l_shipdate + INTERVAL 28 YEARS").alias("sd"),
+    )
+
+    key = F.col("key")
+    cents = F.col("cents")
+    base_provider = F.concat(F.lit("Clinic "), F.col("l_suppkey").cast("string"))
+    member = F.concat(F.lit("MBR"), (F.col("l_partkey") % 1000).cast("string"))
+    clm = F.concat(F.lit("CLM"), F.lpad(key.cast("string"), 20, "0"))
+    proc_ts = F.expr(
+        f"{NOW_SPARK} - make_interval(0, 0, 0, cast(key % 45 as int), 0, 0, 0)"
+    )
+
+    return df.select(
+        F.when(key % 101 == 0, F.lit(None).cast("string"))
+        .when(key % 97 == 0, F.concat(F.lit("  "), clm, F.lit(" ")))
+        .otherwise(clm)
+        .alias("claim_id"),
+        F.when(key % 37 == 0, F.lit(None).cast("string"))
+        .when(key % 41 == 0, F.concat(F.lit(" "), member, F.lit(" ")))
+        .otherwise(member)
+        .alias("member_id"),
+        F.when(key % 43 == 0, F.lit(None).cast("string"))
+        .when(key % 47 == 0, F.lit("   "))
+        .when(key % 3 == 0, F.lower(base_provider))
+        .when(key % 3 == 1, F.upper(base_provider))
+        .otherwise(base_provider)
+        .alias("provider_name"),
+        F.when(key % 29 == 0, F.lit(None).cast("double"))
+        .when(key % 31 == 0, -((cents % 5000 + 1).cast("double")))
+        .when(key % 5 == 0, F.lit(0.0))
+        .when(key % 5 == 1, (cents % 100 + 1).cast("double"))
+        .when(key % 5 == 2, (cents % 900 + 101).cast("double"))
+        .when(key % 5 == 3, (cents % 9000 + 1001).cast("double"))
+        .otherwise((cents % 90000 + 10001).cast("double"))
+        .alias("claim_amount"),
+        F.when(key % 53 == 0, F.lit("INVALID-DATE"))
+        .when(key % 3 == 0, F.date_format("sd", "yyyy-MM-dd"))
+        .when(key % 3 == 1, F.date_format("sd", "MM/dd/yyyy"))
+        .otherwise(F.date_format("sd", "dd/MM/yyyy"))
+        .alias("service_date"),
+        proc_ts.alias("processing_timestamp"),
+        F.expr(
+            f"{NOW_SPARK} - make_interval(0, 0, 0, cast(key % 45 as int), 1, 0, 0)"
+        ).alias("ingestion_timestamp"),
+        F.lit("csv").alias("source_file"),
+        F.date_format(proc_ts, "yyyyMMdd_HHmmss").alias("batch_id"),
+    )
+
+
+def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned/enriched silver claims — the engine's silver transform
+    (lakeflow.transform.clean_claims) applied to the derived raw table.
+
+    Column order matches the reference DDL
+    (/root/reference/jobs/silver/claims_to_iceberg.py:93-108).
+    """
+    df = transform.clean_claims(claims_raw(spark, sf_dir))
+    return df.select(
+        "claim_id",
+        "member_id",
+        "provider_name",
+        "claim_amount",
+        "service_date",
+        "service_year",
+        "service_month",
+        "service_day",
+        "claim_amount_category",
+        "processing_timestamp",
+        "data_quality_score",
+        "ingestion_timestamp",
+        "source_file",
+        "batch_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror — MUST stay in lock-step with the builders above.
+# ---------------------------------------------------------------------------
+
+ORACLE_CTE = """
+WITH _cr AS (
+    SELECT
+        (((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 1000 + l_suppkey) * 10000
+            + CAST(round(l_extendedprice * 100) AS BIGINT) % 10000 AS key,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        l_partkey,
+        l_suppkey,
+        l_shipdate + INTERVAL 28 YEAR AS sd
+    FROM lineitem
+), claims_raw AS (
+    SELECT
+        CASE WHEN key % 101 = 0 THEN NULL
+             WHEN key % 97 = 0 THEN '  CLM' || lpad(CAST(key AS VARCHAR), 20, '0') || ' '
+             ELSE 'CLM' || lpad(CAST(key AS VARCHAR), 20, '0') END AS claim_id,
+        CASE WHEN key % 37 = 0 THEN NULL
+             WHEN key % 41 = 0 THEN ' MBR' || CAST(l_partkey % 1000 AS VARCHAR) || ' '
+             ELSE 'MBR' || CAST(l_partkey % 1000 AS VARCHAR) END AS member_id,
+        CASE WHEN key % 43 = 0 THEN NULL
+             WHEN key % 47 = 0 THEN '   '
+             WHEN key % 3 = 0 THEN lower('Clinic ' || CAST(l_suppkey AS VARCHAR))
+             WHEN key % 3 = 1 THEN upper('Clinic ' || CAST(l_suppkey AS VARCHAR))
+             ELSE 'Clinic ' || CAST(l_suppkey AS VARCHAR) END AS provider_name,
+        CASE WHEN key % 29 = 0 THEN NULL
+             WHEN key % 31 = 0 THEN -CAST(cents % 5000 + 1 AS DOUBLE)
+             WHEN key % 5 = 0 THEN 0.0
+             WHEN key % 5 = 1 THEN CAST(cents % 100 + 1 AS DOUBLE)
+             WHEN key % 5 = 2 THEN CAST(cents % 900 + 101 AS DOUBLE)
+             WHEN key % 5 = 3 THEN CAST(cents % 9000 + 1001 AS DOUBLE)
+             ELSE CAST(cents % 90000 + 10001 AS DOUBLE) END AS claim_amount,
+        CASE WHEN key % 53 = 0 THEN 'INVALID-DATE'
+             WHEN key % 3 = 0 THEN strftime(sd, '%Y-%m-%d')
+             WHEN key % 3 = 1 THEN strftime(sd, '%m/%d/%Y')
+             ELSE strftime(sd, '%d/%m/%Y') END AS service_date,
+        {now} - INTERVAL (key % 45) DAY AS processing_timestamp,
+        {now} - INTERVAL (key % 45) DAY - INTERVAL 1 HOUR AS ingestion_timestamp,
+        'csv' AS source_file,
+        strftime({now} - INTERVAL (key % 45) DAY, '%Y%m%d_%H%M%S') AS batch_id
+    FROM _cr
+), _clean AS (
+    SELECT
+        trim(claim_id) AS claim_id,
+        trim(member_id) AS member_id,
+        CASE WHEN provider_name IS NULL OR trim(provider_name) = '' THEN 'UNKNOWN'
+             ELSE upper(trim(provider_name)) END AS provider_name,
+        CASE WHEN claim_amount IS NULL OR claim_amount < 0 THEN 0.0
+             ELSE claim_amount END AS claim_amount,
+        CAST(coalesce(try_strptime(service_date, '%Y-%m-%d'),
+                      try_strptime(service_date, '%m/%d/%Y'),
+                      try_strptime(service_date, '%d/%m/%Y')) AS DATE) AS service_date,
+        processing_timestamp, ingestion_timestamp, source_file, batch_id
+    FROM claims_raw
+    WHERE claim_id IS NOT NULL
+), _enrich AS (
+    SELECT
+        claim_id, member_id, provider_name, claim_amount, service_date,
+        CAST(year(service_date) AS INTEGER) AS service_year,
+        CAST(month(service_date) AS INTEGER) AS service_month,
+        CAST(dayofmonth(service_date) AS INTEGER) AS service_day,
+        CASE WHEN claim_amount = 0 THEN 'ZERO'
+             WHEN claim_amount <= 100 THEN 'LOW'
+             WHEN claim_amount <= 1000 THEN 'MEDIUM'
+             WHEN claim_amount <= 10000 THEN 'HIGH'
+             ELSE 'VERY_HIGH' END AS claim_amount_category,
+        processing_timestamp,
+        CASE WHEN claim_id IS NULL THEN 0.0
+             WHEN member_id IS NULL THEN 0.3
+             WHEN service_date IS NULL THEN 0.5
+             WHEN claim_amount IS NULL OR claim_amount <= 0 THEN 0.7
+             ELSE 1.0 END AS data_quality_score,
+        ingestion_timestamp, source_file, batch_id
+    FROM _clean
+), claims AS (
+    SELECT * FROM _enrich WHERE data_quality_score >= 0.5
+)
+""".replace("{now}", NOW_SQL)
+
+
+def oracle(body: str) -> str:
+    """Compose an oracle query over the derived claims CTE chain."""
+    return ORACLE_CTE + body

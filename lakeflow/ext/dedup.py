@@ -1,0 +1,193 @@
+"""Deduplication operators over `documents` (X1/X2 + training-data
+pipeline surface): exact, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard.
+
+Scale design:
+- Exact dedup is a hash groupBy on a fingerprint — one shuffle on an
+  evenly-distributed md5 key; keeps min(doc_id) deterministically
+  (dropDuplicates would keep an arbitrary row).
+- MinHash/LSH: shingle → K minhashes → B bands → self-join on
+  (band_id, band_hash) buckets → verify candidate pairs with exact
+  Jaccard. The cross-product only happens WITHIN buckets, which is the
+  100 TB-safe shape (no global O(n²)). All built-in expressions
+  (array/higher-order functions + murmur hash) — no Python in the path.
+- SimHash: 64-bit sign-aggregated token hashes via bitwise built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+NORM = "[^a-z0-9 ]"
+
+
+def _norm_text(col: str = "text") -> F.Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(col)), NORM, ""), r"\s+", " ")
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup groups on normalized-text fingerprint; emits one
+    row per distinct content with the deterministic survivor (min id)."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_norm_text()).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
+        .orderBy("fingerprint")
+    )
+
+
+EXACT_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS copies
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
+    """n-gram shingles of a token array via sequence + transform
+    (built-in higher-order functions, no UDF)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """doc_id + shingle set + K minhash values (murmur3 with K salts)."""
+    tokens = F.split(_norm_text(), r"\s+")
+    sig = docs.select(
+        "doc_id", _shingles(tokens, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    def salted_min(i: int) -> F.Column:
+        # NB: the transform lambda MUST be single-arg — a second lambda
+        # parameter would receive the ARRAY INDEX, not the salt.
+        return F.array_min(F.transform("shingles", lambda s: F.hash(s, F.lit(i))))
+
+    minhashes = F.array(*[salted_min(i) for i in range(num_hashes)])
+    return sig.select("doc_id", "shingles", minhashes.alias("minhash"))
+
+
+def near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 — MinHash+LSH near-duplicate pairs with exact-Jaccard verify.
+
+    Pipeline: shingle → minhash(K) → band(B) → explode bands →
+    self-join on (band, band_signature) → dedupe candidate pairs →
+    verify with exact Jaccard on shingle sets → threshold.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", "shingles", "bs.band", "bs.band_sig")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jacc = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, block_on: str = "lang"
+) -> DataFrame:
+    """n-gram Jaccard similarity join, blocked by a coarse key to bound
+    the pair space (block-then-verify; at 100 TB the block key would be
+    an LSH bucket — see near_dup_pairs)."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    tokens = F.split(_norm_text(), r"\s+")
+    t = docs.select("doc_id", F.col(block_on).alias("blk"), _shingles(tokens, 2).alias("sh"))
+    a, b = t.alias("a"), t.alias("b")
+    jacc = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+    """SimHash document signatures: sign-aggregate token hashes per bit.
+
+    Pure expression pipeline: explode tokens → murmur hash → per-bit ±1
+    vote via bitwise ops → aggregate votes → reassemble bit vector.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    tokens = F.split(_norm_text(), r"\s+")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens)).alias("tok"))
+    tok = tok.withColumn("h", F.hash("tok").cast("bigint"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")

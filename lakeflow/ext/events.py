@@ -1,0 +1,131 @@
+"""Event-stream analytics over the `events` table (batch-first).
+
+The reference fakes recency with wall-clock predicates + hourly Airflow
+runs (SURVEY.md §2.10); here we provide real event-time operators —
+tumbling windows, sessionization, JSON prop extraction — as batch
+DataFrame programs whose streaming twins (readStream + withWatermark)
+live in lakeflow.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts/sums per event_type.
+
+    Batch `F.window` — identical grouping to the streaming variant, so
+    it doubles as the oracle-checkable twin. Epoch-aligned buckets match
+    DuckDB's time_bucket. The `value` sum goes through decimal(18,6) for
+    order-independent exactness.
+    """
+    ev = io.read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "events",
+            "unique_users",
+            "total_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — JSON prop extraction (`props` is a JSON string column)."""
+    ev = io.read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+PROPS_SQL = """
+SELECT event_id, event_type,
+       CAST(props->>'$.k' AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: lag(ts) + cumulative new-session flags.
+
+    Two windows over the same (user_id, ts) partitioning — one shuffle
+    total; at scale this is the standard batch sessionizer (the
+    streaming twin is session_window in lakeflow.streaming).
+    """
+    ev = io.read_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(by_user).isNull()
+            | (F.col("ts") - F.lag("ts").over(by_user) > gap),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("events_in_session"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS events_in_session,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sid
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

@@ -1,0 +1,153 @@
+"""Similarity search over the `embeddings` table (X3): brute-force
+cosine top-k baseline + LSH-bucketed approximate variant.
+
+Scale design:
+- Brute force broadcasts the (small) query set against the corpus —
+  a map-side crossJoin with per-partition top-k pushed into a window;
+  the corpus never shuffles except for the final tiny top-k exchange.
+- The ANN path buckets vectors by sign-LSH (hyperplane-free: sign bits
+  of leading dimensions — deterministic, no RNG) and only searches
+  matching buckets (+optionally neighbors): the 100 TB shape where the
+  candidate set per query is O(corpus/2^bits).
+- Dot products run through built-in higher-order functions
+  (zip_with + aggregate), JVM-side; similarities are left-fold double
+  sums — deterministic per (query, candidate) pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from lakeflow import io
+
+
+def _dvec(col: str) -> F.Column:
+    """array<float> → array<double> (accumulate in double both engines)."""
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column | str, b: F.Column | str) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column | str) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector L2 norms + dimension — embedding-column sanity profile."""
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    v = _dvec("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(_norm(v), 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+EMBED_NORMS_SQL = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def knn_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100
+) -> DataFrame:
+    """Exact cosine top-k: query set = vec_id % query_mod == 0.
+
+    Broadcast the small query side; cosine via zip_with/aggregate;
+    row_number window per query for top-k. Rounded to 6dp with vec_id
+    tiebreak → deterministic result set.
+    """
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = pairs.select(
+        "q_id", "vec_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id % 100 = 0
+), scored AS (
+    SELECT q.q_id, v.vec_id,
+           round(
+             list_aggregate(list_transform(list_zip(q.qv, v.v), p -> p[1] * p[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.qv, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(v.v, x -> x*x), 'sum'))),
+             6) AS cosine
+    FROM q JOIN v ON v.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+def _sign_bucket(v: F.Column, bits: int) -> F.Column:
+    """Deterministic LSH bucket: sign bits of the first `bits` dims."""
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("int"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(v, i + 1) >= 0, 1).otherwise(0),
+    )
+
+
+def knn_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100, bits: int = 4
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    sign-LSH bucket. Recall is checked against knn_bruteforce in tests;
+    declared rows-only (approximation, not SQL-oracle-expressible)."""
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    emb = emb.withColumn("bucket", _sign_bucket(F.col("v"), bits))
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    pairs = emb.join(broadcast(queries), ["bucket"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )

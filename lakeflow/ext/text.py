@@ -1,0 +1,189 @@
+"""Text-analysis operators over the `documents` table (X4 + training-
+data pipeline surface): token counting, quality scoring, language-ID,
+document fingerprinting, per-corpus stats.
+
+All pure Catalyst expressions (regex + array built-ins) — JVM-side,
+whole-stage-codegen friendly; no Python in the hot path. Each operator
+has a DuckDB-SQL twin for the oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+# Deliberately simple regexes that parse identically in Java (Spark) and
+# RE2-ish (DuckDB) dialects: no lookarounds, no shorthand-class corner
+# cases beyond \s.
+TOKEN_SPLIT = r"\s+"
+WORDY = "[A-Za-z]+"
+PUNCT = "[^A-Za-z0-9 ]"
+
+# Tiny deterministic stopword lists for heuristic language ID.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.trim(F.col("text")), TOKEN_SPLIT)
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish word-piece count per document."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(WORDY)).cast("bigint").alias("word_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{WORDY}')) AS BIGINT) AS word_tokens,
+       CAST(length(text) AS INTEGER) AS chars
+FROM documents
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc counts, char/token totals.
+
+    Integer sums → exact; averages as single divisions (hash-stable).
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = F.size(_tokens()).cast("bigint")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(toks).alias("total_tokens"),
+            (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+            (F.sum(toks) / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT lang, source,
+       COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split_regex(trim(text), '{TOKEN_SPLIT}'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split_regex(trim(text), '{TOKEN_SPLIT}'))) AS BIGINT) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    hits — the length/punct/stopword-ratio trio of LLM data filtering.
+    Ratios are single divisions of exact integers → hash-stable."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = F.size(_tokens()).cast("bigint")
+    punct = F.regexp_count(F.col("text"), F.lit(PUNCT)).cast("bigint")
+    stop_en = F.size(
+        F.array_intersect(
+            _tokens(), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        toks.alias("tokens"),
+        punct.alias("punct_chars"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        stop_en.alias("en_stopword_kinds"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS chars,
+       CAST(len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS BIGINT) AS tokens,
+       CAST(len(regexp_extract_all(text, '{PUNCT}')) AS BIGINT) AS punct_chars,
+       round(CAST(len(regexp_extract_all(text, '{PUNCT}')) AS BIGINT) / length(text), 6) AS punct_ratio,
+       CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '{TOKEN_SPLIT}')),
+                               ['the','a','and','of','to'])) AS INTEGER) AS en_stopword_kinds,
+       length(text) >= 100 AS len_ok
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-family hits (n-gram-lite).
+
+    argmax over per-language distinct-stopword hits, deterministic
+    tiebreak by language code; 'und' when nothing matches.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, "und")
+    for lang in sorted(STOPWORDS):  # sorted → deterministic tiebreak
+        pred = pred.when(hits[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),"
+        f" [{words}]))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang AS lang_actual,
+           {_lang_hits_sql('en')} AS h_en,
+           {_lang_hits_sql('es')} AS h_es,
+           {_lang_hits_sql('de')} AS h_de
+    FROM documents
+)
+SELECT doc_id, lang_actual,
+       CASE WHEN greatest(h_en, h_es, h_de) <= 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_es, h_de) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_de) THEN 'en'
+            ELSE 'es' END AS lang_pred
+FROM scored
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed)."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,105 @@
+"""Table readers over the driver test data + generic sources/sinks.
+
+Source/sink surface mirrors the reference's connectors
+(S1-S6 in SURVEY.md §2.1):
+- CSV source w/ header+inferSchema+multiline+escape
+  (/root/reference/jobs/bronze/ingest_csv_to_delta.py:44-49)
+- Delta/Iceberg sinks are gated behind import-try (the jars are not in
+  this container); parquet is the always-available format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; we flip the nanosAsLong legacy flag at
+    runtime (session-conf, safe to set on a live session) and rebuild
+    the timestamp as TIMESTAMP_NTZ (micro precision — same truncation
+    DuckDB applies).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def read_csv_source(spark: SparkSession, path: str) -> DataFrame:
+    """Bronze CSV source — same options as the reference
+    (/root/reference/jobs/bronze/ingest_csv_to_delta.py:44-49)."""
+    return (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+    mode: str = "append",
+    merge_schema: bool = True,
+) -> None:
+    """Partitioned sink (S3/S4). ``fmt`` may be parquet/delta/iceberg;
+    delta/iceberg require their runtime jars — parquet always works.
+
+    Reference parity: delta append w/ mergeSchema
+    (/root/reference/jobs/bronze/ingest_csv_to_delta.py:68-72), silver
+    partitioned mirror (/root/reference/jobs/silver/claims_to_iceberg.py:139-144).
+    """
+    w = df.write.format(fmt).mode(mode)
+    if merge_schema and fmt == "delta":
+        w = w.option("mergeSchema", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def write_dual_sink(
+    df: DataFrame,
+    primary_path: str,
+    mirror_path: str,
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """The reference writes the same silver frame to Iceberg AND Delta,
+    recomputing the whole plan twice
+    (/root/reference/jobs/silver/claims_to_iceberg.py:125-146). Here we
+    persist once and reuse — the fix SURVEY.md §4 calls out.
+    """
+    df = df.persist()
+    try:
+        write_partitioned(df, primary_path, partition_by, fmt=fmt)
+        write_partitioned(df, mirror_path, partition_by, fmt=fmt)
+    finally:
+        df.unpersist()

@@ -1,0 +1,370 @@
+"""Query registry — the driver contract surface.
+
+Maps every implemented operator from SURVEY.md §2 to:
+- a Spark callable (spark, sf_dir) -> DataFrame
+- an equivalent DuckDB oracle SQL string (or None → rows-only check,
+  used only for genuinely non-SQL-expressible / approximate operators)
+
+Column names AND types are aligned pairwise — the driver sorts columns
+by name and value-hashes, so both sides alias identically and integer
+widths are matched (DuckDB HUGEINT sums are cast to BIGINT, its BIGINT
+rank/year outputs to INTEGER where Spark yields int).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import claims, relational, transform, views
+from lakeflow import io as lio
+from lakeflow.claims import NOW_SPARK, oracle
+from lakeflow.ext import dedup, events, multimodal, similarity, text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SILVER_COLS = (
+    "claim_id, member_id, provider_name, claim_amount, service_date, "
+    "service_year, service_month, service_day, claim_amount_category, "
+    "processing_timestamp, data_quality_score, ingestion_timestamp, "
+    "source_file, batch_id"
+)
+
+
+def _silver(fn: Callable[[DataFrame], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(claims.silver_claims(spark, sf_dir))
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Claims family — silver pipeline + the 6 gold views + checks corpus
+# --------------------------------------------------------------------------
+
+CLAIMS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q_silver_pipeline": (
+        lambda spark, sf: claims.silver_claims(spark, sf),
+        oracle(f"SELECT {SILVER_COLS} FROM claims"),
+    ),
+    "q_claims_summary": (
+        _silver(views.claims_summary),
+        oracle("""
+SELECT service_year, service_month, provider_name, claim_amount_category,
+       COUNT(*) AS total_claims,
+       COUNT(DISTINCT member_id) AS unique_members,
+       SUM(claim_amount) AS total_amount,
+       SUM(claim_amount) / COUNT(claim_amount) AS avg_claim_amount,
+       MIN(claim_amount) AS min_claim_amount,
+       MAX(claim_amount) AS max_claim_amount,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality_score,
+       COUNT(CASE WHEN data_quality_score >= 0.8 THEN 1 END) AS high_quality_claims,
+       MAX(processing_timestamp) AS last_processed
+FROM claims
+WHERE service_date >= DATE '2023-01-01'
+GROUP BY service_year, service_month, provider_name, claim_amount_category
+"""),
+    ),
+    "q_monthly_trend": (
+        _silver(views.monthly_trend),
+        oracle("""
+SELECT service_year, service_month,
+       make_date(service_year, service_month, 1) AS month_date,
+       COUNT(*) AS claims_count,
+       COUNT(DISTINCT member_id) AS unique_members,
+       SUM(claim_amount) AS total_amount,
+       SUM(claim_amount) / COUNT(claim_amount) AS avg_amount,
+       COUNT(CASE WHEN claim_amount_category = 'HIGH' THEN 1 END) AS high_value_claims,
+       COUNT(CASE WHEN claim_amount_category = 'VERY_HIGH' THEN 1 END) AS very_high_value_claims,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality_score
+FROM claims
+WHERE service_date >= DATE '2023-01-01'
+GROUP BY service_year, service_month
+ORDER BY service_year DESC, service_month DESC
+"""),
+    ),
+    "q_provider_performance": (
+        _silver(views.provider_performance),
+        oracle("""
+SELECT provider_name,
+       COUNT(*) AS total_claims,
+       COUNT(DISTINCT member_id) AS unique_members,
+       SUM(claim_amount) AS total_billed,
+       SUM(claim_amount) / COUNT(claim_amount) AS avg_claim_amount,
+       quantile_disc(claim_amount, 0.5) AS median_claim_amount,
+       COUNT(CASE WHEN claim_amount_category IN ('HIGH','VERY_HIGH') THEN 1 END) AS high_value_claims,
+       round(COUNT(CASE WHEN claim_amount_category IN ('HIGH','VERY_HIGH') THEN 1 END) * 100.0 / COUNT(*), 2) AS high_value_percentage,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality_score,
+       MIN(service_date) AS first_service_date,
+       MAX(service_date) AS last_service_date,
+       COUNT(DISTINCT make_date(service_year, service_month, 1)) AS active_months
+FROM claims
+WHERE provider_name != 'UNKNOWN'
+GROUP BY provider_name
+HAVING COUNT(*) >= 10
+ORDER BY total_billed DESC
+"""),
+    ),
+    "q_quality_dashboard": (
+        _silver(views.quality_dashboard),
+        oracle("""
+SELECT service_year, service_month,
+       COUNT(*) AS total_records,
+       COUNT(CASE WHEN data_quality_score >= 0.9 THEN 1 END) AS excellent_quality,
+       COUNT(CASE WHEN data_quality_score >= 0.7 AND data_quality_score < 0.9 THEN 1 END) AS good_quality,
+       COUNT(CASE WHEN data_quality_score >= 0.5 AND data_quality_score < 0.7 THEN 1 END) AS fair_quality,
+       COUNT(CASE WHEN data_quality_score < 0.5 THEN 1 END) AS poor_quality,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality_score,
+       round(COUNT(CASE WHEN data_quality_score >= 0.8 THEN 1 END) * 100.0 / COUNT(*), 2) AS high_quality_percentage,
+       COUNT(CASE WHEN claim_id IS NULL THEN 1 END) AS missing_claim_id,
+       COUNT(CASE WHEN member_id IS NULL THEN 1 END) AS missing_member_id,
+       COUNT(CASE WHEN service_date IS NULL THEN 1 END) AS missing_service_date,
+       COUNT(CASE WHEN claim_amount IS NULL OR claim_amount <= 0 THEN 1 END) AS invalid_amount,
+       MAX(processing_timestamp) AS last_processed
+FROM claims
+GROUP BY service_year, service_month
+ORDER BY service_year DESC, service_month DESC
+"""),
+    ),
+    "q_member_activity": (
+        _silver(views.member_activity),
+        oracle("""
+SELECT member_id,
+       COUNT(*) AS total_claims,
+       SUM(claim_amount) AS total_amount,
+       SUM(claim_amount) / COUNT(claim_amount) AS avg_claim_amount,
+       COUNT(DISTINCT provider_name) AS providers_used,
+       COUNT(CASE WHEN claim_amount_category IN ('HIGH','VERY_HIGH') THEN 1 END) AS high_value_claims,
+       MIN(service_date) AS first_service_date,
+       MAX(service_date) AS last_service_date,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality_score,
+       CAST(date_diff('day', MIN(service_date), MAX(service_date)) AS INTEGER) AS activity_span_days,
+       COUNT(DISTINCT make_date(service_year, service_month, 1)) AS active_months
+FROM claims
+WHERE member_id IS NOT NULL
+GROUP BY member_id
+HAVING COUNT(*) >= 2
+ORDER BY total_amount DESC
+"""),
+    ),
+    "q_recent_activity": (
+        _silver(lambda s: views.recent_activity(s, NOW_SPARK)),
+        oracle(f"""
+SELECT 'Last 30 Days' AS period, COUNT(*) AS claims_processed,
+       COUNT(DISTINCT member_id) AS unique_members,
+       COUNT(DISTINCT provider_name) AS unique_providers,
+       SUM(claim_amount) AS total_amount,
+       SUM(claim_amount) / COUNT(claim_amount) AS avg_amount,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS avg_quality,
+       MAX(processing_timestamp) AS last_update
+FROM claims WHERE processing_timestamp >= {claims.NOW_SQL} - INTERVAL 30 DAY
+UNION ALL
+SELECT 'Last 7 Days', COUNT(*),
+       COUNT(DISTINCT member_id), COUNT(DISTINCT provider_name),
+       SUM(claim_amount), SUM(claim_amount) / COUNT(claim_amount),
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3),
+       MAX(processing_timestamp)
+FROM claims WHERE processing_timestamp >= {claims.NOW_SQL} - INTERVAL 7 DAY
+UNION ALL
+SELECT 'Last 24 Hours', COUNT(*),
+       COUNT(DISTINCT member_id), COUNT(DISTINCT provider_name),
+       SUM(claim_amount), SUM(claim_amount) / COUNT(claim_amount),
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3),
+       MAX(processing_timestamp)
+FROM claims WHERE processing_timestamp >= {claims.NOW_SQL} - INTERVAL 1 DAY
+"""),
+    ),
+    "q_category_distribution": (
+        _silver(views.category_distribution),
+        oracle("""
+SELECT claim_amount_category,
+       COUNT(*) AS count,
+       round(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS percentage,
+       SUM(claim_amount) AS total_amount
+FROM claims
+GROUP BY claim_amount_category
+ORDER BY count DESC
+"""),
+    ),
+    "q_quality_distribution": (
+        _silver(views.quality_distribution),
+        oracle("""
+SELECT CASE WHEN data_quality_score >= 0.9 THEN 'Excellent (0.9-1.0)'
+            WHEN data_quality_score >= 0.7 THEN 'Good (0.7-0.89)'
+            WHEN data_quality_score >= 0.5 THEN 'Fair (0.5-0.69)'
+            ELSE 'Poor (<0.5)' END AS quality_range,
+       COUNT(*) AS count,
+       round(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS percentage
+FROM claims
+GROUP BY 1 ORDER BY count DESC
+"""),
+    ),
+    "q_data_issues": (
+        _silver(views.data_issues),
+        oracle("""
+SELECT CAST(SUM(CASE WHEN claim_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_claim_ids,
+       CAST(SUM(CASE WHEN member_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_member_ids,
+       CAST(SUM(CASE WHEN service_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_service_dates,
+       CAST(SUM(CASE WHEN claim_amount IS NULL OR claim_amount < 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_amounts,
+       CAST(SUM(CASE WHEN provider_name = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT) AS unknown_providers,
+       COUNT(*) AS total_records
+FROM claims
+"""),
+    ),
+    "q_table_stats": (
+        _silver(views.table_stats),
+        oracle("""
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT member_id) AS unique_members,
+       COUNT(DISTINCT provider_name) AS unique_providers,
+       MIN(service_date) AS earliest_service,
+       MAX(service_date) AS latest_service,
+       MIN(processing_timestamp) AS first_processed,
+       MAX(processing_timestamp) AS last_processed
+FROM claims
+"""),
+    ),
+    "q_topk": (
+        _silver(views.topk_newest),
+        oracle("""
+SELECT claim_id, member_id, provider_name, claim_amount, service_date,
+       claim_amount_category, data_quality_score, processing_timestamp
+FROM claims
+ORDER BY processing_timestamp DESC, claim_id
+LIMIT 5
+"""),
+    ),
+    # -- single-operator projection/filter queries (P-family) -------------
+    "q_filter_notnull": (
+        lambda spark, sf: transform.not_null_filter(
+            claims.claims_raw(spark, sf), "claim_id"
+        ).select("claim_id", "member_id"),
+        oracle("SELECT claim_id, member_id FROM claims_raw WHERE claim_id IS NOT NULL"),
+    ),
+    "q_clean_provider": (
+        lambda spark, sf: transform.null_or_blank_to_default(
+            claims.claims_raw(spark, sf), "provider_name", "UNKNOWN"
+        )
+        .select("provider_name")
+        .distinct(),
+        oracle("""
+SELECT DISTINCT CASE WHEN provider_name IS NULL OR trim(provider_name) = '' THEN 'UNKNOWN'
+            ELSE upper(trim(provider_name)) END AS provider_name
+FROM claims_raw
+"""),
+    ),
+    "q_clamp_amount": (
+        lambda spark, sf: transform.clamp_non_negative(
+            claims.claims_raw(spark, sf), "claim_amount"
+        ).select("claim_id", "claim_amount"),
+        oracle("""
+SELECT claim_id,
+       CASE WHEN claim_amount IS NULL OR claim_amount < 0 THEN 0.0 ELSE claim_amount END AS claim_amount
+FROM claims_raw
+"""),
+    ),
+    "q_amount_category": (
+        _silver(lambda s: s.select("claim_id", "claim_amount", "claim_amount_category")),
+        oracle("SELECT claim_id, claim_amount, claim_amount_category FROM claims"),
+    ),
+    "q_quality_score": (
+        _silver(lambda s: s.select("claim_id", "data_quality_score")),
+        oracle("SELECT claim_id, data_quality_score FROM claims"),
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# Star-schema relational family
+# --------------------------------------------------------------------------
+
+STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q_tpch_q1": (relational.tpch_q1, relational.TPCH_Q1_SQL),
+    "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
+    "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
+    "q_join_snowflake": (relational.join_snowflake, relational.JOIN_SNOWFLAKE_SQL),
+    "q_join_left": (relational.join_left, relational.JOIN_LEFT_SQL),
+    "q_join_semi": (relational.join_semi, relational.JOIN_SEMI_SQL),
+    "q_join_anti": (relational.join_anti, relational.JOIN_ANTI_SQL),
+    "q_join_range": (relational.join_range, relational.JOIN_RANGE_SQL),
+    "q_topk_per_group": (relational.topk_per_group, relational.TOPK_PER_GROUP_SQL),
+    "q_window_running": (relational.window_running, relational.WINDOW_RUNNING_SQL),
+    "q_window_lag": (relational.window_lag, relational.WINDOW_LAG_SQL),
+    "q_window_rank": (relational.window_rank, relational.WINDOW_RANK_SQL),
+    "q_rollup": (relational.rollup_orders, relational.ROLLUP_ORDERS_SQL),
+    "q_union_distinct": (relational.union_distinct, relational.UNION_DISTINCT_SQL),
+    "q_intersect": (relational.intersect_customers, relational.INTERSECT_SQL),
+    "q_except": (relational.except_customers, relational.EXCEPT_SQL),
+}
+
+
+# --------------------------------------------------------------------------
+# Events / text / dedup / similarity / multimodal extension family
+# --------------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q_events_tumbling": (events.tumbling_counts, events.TUMBLING_SQL),
+    "q_events_props": (events.props_extract, events.PROPS_SQL),
+    "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+    "q_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
+    "q_text_stats": (text.text_stats, text.TEXT_STATS_SQL),
+    "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),
+    "q_lang_id": (text.lang_id, text.LANG_ID_SQL),
+    "q_doc_fingerprint": (text.fingerprint, text.FINGERPRINT_SQL),
+    "q_dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
+    "q_dedup_simhash": (dedup.simhash, None),  # rows-only
+    "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, None),  # rows-only
+    "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
+    "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
+    "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
+    "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
+}
+
+
+def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D11 — evaluate the reference DQ suite against derived silver
+    claims; report shape is engine-defined → rows-only check."""
+    import os
+
+    from lakeflow import quality
+
+    suite_path = os.path.join(os.path.dirname(__file__), "suites", "silver_claims.json")
+    silver = claims.silver_claims(spark, sf_dir)
+    return quality.report_df(spark, quality.evaluate_suite_file(silver, suite_path))
+
+
+def _bronze_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — lineage columns over a raw scan (wall-clock → rows-only)."""
+    from lakeflow.ingest import with_lineage
+
+    return with_lineage(lio.read_table(spark, sf_dir, "lineitem").limit(100))
+
+
+MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q_dq_report": (_dq_report, None),
+    "q_bronze_metadata": (_bronze_metadata, None),
+}
+
+
+ALL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    **CLAIMS_QUERIES,
+    **STAR_QUERIES,
+    **EXT_QUERIES,
+    **MISC_QUERIES,
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in ALL_QUERIES.items() if sql is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() target: TPC-H Q1-shaped pricing summary (SURVEY §7.1)."""
+    return relational.tpch_q1(spark, sf_dir)

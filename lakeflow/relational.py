@@ -1,0 +1,463 @@
+"""Relational operator layer over the star schema.
+
+The reference implements NO joins (SURVEY.md §2.3 — every gold view is
+single-table), so this module fills the capability gap idiomatically:
+broadcast/sort-merge/outer/semi/anti/range joins, ranking and analytic
+windows, rollup, and set operations — all built-in Catalyst operators.
+
+Hash-stability: money sums go through exact DECIMAL aggregation and are
+cast back to double (``_dsum``) so results are bit-identical regardless
+of partitioning/aggregation order — the scale-up property the oracle
+check leans on (testdata prices are 2-decimal; decimal sums are exact).
+
+Scale notes:
+- Dimension tables (region/nation/part/supplier/customer) are broadcast
+  explicitly — at 100 TB the fact side never shuffles for these joins.
+- AQE handles skew + partition sizing for the sort-merge paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from lakeflow import io
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _dsum(expr: F.Column, alias: str) -> F.Column:
+    """Exact decimal SUM surfaced as double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped aggregation (flagship; A1-battery on the star schema)
+# --------------------------------------------------------------------------
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): groupBy 2 keys + 8 aggregates.
+
+    One scan, partial aggregation map-side, tiny shuffle (6 groups) —
+    the plan survives any scale-up.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    SUM(l_quantity) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+    SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J6)
+# --------------------------------------------------------------------------
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact ⋈ small dim with an explicit broadcast hint: revenue
+    per part brand. The fact table never shuffles."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(revenue, "revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       SUM(l_quantity) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — big⋈big equi-join (orders ⋈ customer), shuffle on the key;
+    AQE may still downgrade to broadcast at small SF — both are correct
+    plans, keys are co-partitioned by the shuffle."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            _dsum(_dec("o_totalprice"), "total_value"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SORTMERGE_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT o_custkey) AS active_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — 5-way snowflake chain lineitem→orders→customer→nation→region,
+    dims broadcast; revenue per (region, nation)."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    nation = io.read_table(spark, sf_dir, "nation")
+    region = io.read_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("line_count"), _dsum(revenue, "revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_SNOWFLAKE_SQL = """
+SELECT r_name, n_name,
+       COUNT(*) AS line_count,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left outer: every customer, with order stats (NULL-preserving)."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            _dsum(_dec("o_totalprice"), "total_spent"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5a — left semi: customers having at least one order."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b — left anti: customers with no orders."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — equi + range condition (as-of-style): lineitems shipped
+    within 90 days of their order date. The equi key keeps the join
+    hash/sort-merge (NOT a broadcast-nested-loop) — the range predicate
+    is evaluated post-match, which is the scalable shape."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("shipped_in_90d"), F.sum("l_quantity").alias("qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS shipped_in_90d,
+       SUM(l_quantity) AS qty
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows (W-family; absent in reference beyond SUM() OVER ())
+# --------------------------------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k customers by order value per nation — row_number over a
+    partitioned window (the canonical scalable top-k: no global sort)."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    nation = io.read_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(_dsum(_dec("o_totalprice"), "total_value"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_value"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= k)
+        .select("n_name", "c_custkey", "total_value", "rank_in_nation")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+WITH per_cust AS (
+    SELECT n_name, c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_custkey
+)
+SELECT n_name, c_custkey, total_value,
+       CAST(row_number() OVER (PARTITION BY n_name ORDER BY total_value DESC, c_custkey) AS INTEGER) AS rank_in_nation
+FROM per_cust
+QUALIFY rank_in_nation <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend — cumulative SUM with an explicit
+    rowsBetween frame (decimal-exact prefix sums)."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume with lag() delta."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count("*").alias("orders_count"),
+        _dsum(_dec("o_totalprice"), "month_value"),
+    )
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        "orders_count",
+        "month_value",
+        F.lag("month_value").over(w).alias("prev_month_value"),
+        (F.col("month_value") - F.lag("month_value").over(w)).alias("mom_delta"),
+    )
+
+
+WINDOW_LAG_SQL = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS orders_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_value
+    FROM orders GROUP BY 1
+)
+SELECT order_month, orders_count, month_value,
+       lag(month_value) OVER (ORDER BY order_month) AS prev_month_value,
+       month_value - lag(month_value) OVER (ORDER BY order_month) AS mom_delta
+FROM monthly
+"""
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank of suppliers by account balance within nation."""
+    sup = io.read_table(spark, sf_dir, "supplier")
+    nation = io.read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal,
+       CAST(rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS bal_rank,
+       CAST(dense_rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS bal_dense_rank
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / set operations
+# --------------------------------------------------------------------------
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority) — subtotals + grand total in one pass."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            _dsum(_dec("o_totalprice"), "total_value"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): big-balance ∪ BUILDING-segment customers."""
+    cust = io.read_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+UNION_DISTINCT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.read_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.intersect(b)
+
+
+INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.read_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics
+
+
+EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""

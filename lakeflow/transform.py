@@ -1,0 +1,162 @@
+"""Silver-tier cleaning / enrichment operator builders.
+
+Generic, reusable plan builders (pure Catalyst expressions — no UDFs)
+whose composition reproduces the reference's silver transform exactly
+(/root/reference/jobs/silver/claims_to_iceberg.py:45-88):
+
+    filter notnull → trim → default-fill → clamp → multi-format date
+    parse → date parts → value banding → cascading quality score →
+    threshold filter
+
+All date parsing uses ``try_to_date`` so the operators are safe under
+ANSI mode (Spark 4 default) — the reference ran Spark 3.4 where plain
+``to_date`` already returned NULL on malformed input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null_filter(df: DataFrame, col: str) -> DataFrame:
+    """P2 — drop rows with a NULL key column
+    (claims_to_iceberg.py:51)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def trim_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """F1 — whitespace-trim string columns (claims_to_iceberg.py:52-53)."""
+    for c in cols:
+        df = df.withColumn(c, F.trim(F.col(c)))
+    return df
+
+
+def null_or_blank_to_default(
+    df: DataFrame, col: str, default: str, normalize_upper: bool = True
+) -> DataFrame:
+    """P3 — NULL/blank → default, else upper(trim)
+    (claims_to_iceberg.py:54-56)."""
+    cleaned = F.upper(F.trim(F.col(col))) if normalize_upper else F.trim(F.col(col))
+    return df.withColumn(
+        col,
+        F.when(F.col(col).isNull() | (F.trim(F.col(col)) == ""), F.lit(default)).otherwise(
+            cleaned
+        ),
+    )
+
+
+def clamp_non_negative(df: DataFrame, col: str, fill: float = 0.0) -> DataFrame:
+    """P4 — NULL or negative numeric → fill (claims_to_iceberg.py:57-59)."""
+    return df.withColumn(
+        col,
+        F.when(F.col(col).isNull() | (F.col(col) < 0), F.lit(fill)).otherwise(F.col(col)),
+    )
+
+
+def parse_date_multi(df: DataFrame, col: str, formats: Sequence[str]) -> DataFrame:
+    """F4 — first-match multi-format date parse
+    (claims_to_iceberg.py:60-63). ``try_to_date`` keeps NULL-on-malformed
+    semantics under ANSI mode."""
+    parsed = F.coalesce(*[F.try_to_date(F.col(col), fmt) for fmt in formats])
+    return df.withColumn(col, parsed)
+
+
+def add_date_parts(
+    df: DataFrame, src: str, year_col: str, month_col: str, day_col: str
+) -> DataFrame:
+    """F5 — derive (year, month, day) partition columns
+    (claims_to_iceberg.py:67-69). These become the physical partition
+    keys downstream (SURVEY.md §4 R3) so gold predicates prune."""
+    return (
+        df.withColumn(year_col, F.year(F.col(src)))
+        .withColumn(month_col, F.month(F.col(src)))
+        .withColumn(day_col, F.dayofmonth(F.col(src)))
+    )
+
+
+def band_column(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    bands: Sequence[tuple[float | None, str]],
+    zero_label: str | None = None,
+) -> DataFrame:
+    """P9 — CASE-ladder banding (claims_to_iceberg.py:70-75).
+
+    ``bands`` is an ordered list of (inclusive upper bound, label);
+    a ``None`` bound is the terminal otherwise-label.
+    """
+    expr: Column | None = None
+    if zero_label is not None:
+        expr = F.when(F.col(src) == 0, zero_label)
+    otherwise = None
+    for bound, label in bands:
+        if bound is None:
+            otherwise = label
+            continue
+        cond = F.col(src) <= F.lit(bound)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None and otherwise is not None
+    return df.withColumn(dst, expr.otherwise(otherwise))
+
+
+def cascade_score(
+    df: DataFrame, dst: str, rules: Sequence[tuple[Column, float]], default: float
+) -> DataFrame:
+    """P10 — cascading CASE quality score (claims_to_iceberg.py:77-82).
+    First matching rule wins."""
+    expr: Column | None = None
+    for cond, score in rules:
+        expr = F.when(cond, F.lit(score)) if expr is None else expr.when(cond, F.lit(score))
+    assert expr is not None
+    return df.withColumn(dst, expr.otherwise(F.lit(default)))
+
+
+def threshold_filter(df: DataFrame, col: str, minimum: float) -> DataFrame:
+    """P5 — post-score quality gate (claims_to_iceberg.py:85)."""
+    return df.filter(F.col(col) >= F.lit(minimum))
+
+
+CLAIM_DATE_FORMATS = ("yyyy-MM-dd", "MM/dd/yyyy", "dd/MM/yyyy")
+
+CLAIM_AMOUNT_BANDS: tuple[tuple[float | None, str], ...] = (
+    (100.0, "LOW"),
+    (1000.0, "MEDIUM"),
+    (10000.0, "HIGH"),
+    (None, "VERY_HIGH"),
+)
+
+
+def clean_claims(df: DataFrame) -> DataFrame:
+    """Full silver transform — exact semantics of
+    /root/reference/jobs/silver/claims_to_iceberg.py:45-88, composed
+    from the generic operators above.
+
+    Input columns: claim_id, member_id, provider_name, claim_amount,
+    service_date (string) (+ passthrough lineage columns).
+    """
+    df = not_null_filter(df, "claim_id")
+    df = trim_columns(df, "claim_id", "member_id")
+    df = null_or_blank_to_default(df, "provider_name", "UNKNOWN")
+    df = clamp_non_negative(df, "claim_amount", 0.0)
+    df = parse_date_multi(df, "service_date", CLAIM_DATE_FORMATS)
+    df = add_date_parts(df, "service_date", "service_year", "service_month", "service_day")
+    df = band_column(
+        df, "claim_amount", "claim_amount_category", CLAIM_AMOUNT_BANDS, zero_label="ZERO"
+    )
+    df = cascade_score(
+        df,
+        "data_quality_score",
+        [
+            (F.col("claim_id").isNull(), 0.0),
+            (F.col("member_id").isNull(), 0.3),
+            (F.col("service_date").isNull(), 0.5),
+            (F.col("claim_amount").isNull() | (F.col("claim_amount") <= 0), 0.7),
+        ],
+        default=1.0,
+    )
+    df = threshold_filter(df, "data_quality_score", 0.5)
+    return df

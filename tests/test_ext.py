@@ -1,0 +1,95 @@
+"""Behavioral tests for the extension operators (dedup / similarity /
+multimodal) beyond the oracle-parity sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeflow.ext import dedup, multimodal, similarity
+
+
+def test_exact_dedup_collapses_normalized_duplicates(spark, tmp_path):
+    # build a tiny documents table with normalization-equal texts
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "en", "s", 13),
+            (2, "hello   world", "en", "s", 13),
+            (3, "different text", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(out))
+    res = dedup.exact_dedup(spark, str(tmp_path)).collect()
+    by_keep = {r["keep_doc_id"]: r["copies"] for r in res}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def _write_docs_table(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_minhash_near_dup_finds_similar_pairs(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated content about spark query optimization at scale"
+    _write_docs_table(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", len(base)), (2, near, "en", "s", len(near)),
+         (3, far, "en", "s", len(far))],
+    )
+    pairs = dedup.near_dup_pairs(spark, str(tmp_path), threshold=0.4).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.4
+
+
+def test_simhash_similar_docs_have_close_hashes(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"
+    far = "one two three four five six seven eight nine ten"
+    _write_docs_table(
+        spark,
+        tmp_path,
+        [(1, base, "en", "s", 1), (2, near, "en", "s", 1), (3, far, "en", "s", 1)],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(spark, str(tmp_path)).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.knn_bruteforce(spark, sf_dir, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.knn_lsh(spark, sf_dir, k=5, bits=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall suspiciously low: {recall}"
+
+
+def test_multimodal_batch_plumbing(spark, sf_dir):
+    feats = multimodal.extract_features(
+        multimodal.synthesize_binary_docs(spark, sf_dir)
+    )
+    row = feats.orderBy("doc_id").first()
+    assert row["byte_len"] == 64
+    assert 0 <= row["first_byte"] <= 255
+    n_src = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert feats.count() == n_src
+
+
+def test_decode_stub_rejects_unknown_mime():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image/png")

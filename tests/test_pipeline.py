@@ -1,0 +1,128 @@
+"""Pipeline runner + bronze→silver→gold end-to-end test."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeflow.pipeline import Pipeline, Stage
+
+
+def test_toposort_and_results():
+    p = Pipeline()
+    order = []
+
+    @p.stage("a")
+    def a(up):
+        order.append("a")
+        return 1
+
+    @p.stage("b", depends_on=("a",))
+    def b(up):
+        order.append("b")
+        return up["a"] + 1
+
+    @p.stage("c", depends_on=("a", "b"))
+    def c(up):
+        order.append("c")
+        return up["a"] + up["b"]
+
+    runs = p.run()
+    assert order == ["a", "b", "c"]
+    assert runs["c"].result == 3
+    assert all(r.status == "ok" for r in runs.values())
+
+
+def test_retries_then_success():
+    p = Pipeline()
+    attempts = []
+
+    def flaky(up):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    p.add(Stage("flaky", flaky, retries=2, retry_delay_s=0.0))
+    runs = p.run(sleep=lambda s: None)
+    assert runs["flaky"].status == "ok"
+    assert runs["flaky"].attempts == 3
+
+
+def test_failure_skips_descendants():
+    p = Pipeline()
+    p.add(Stage("bad", lambda up: 1 / 0))
+    p.add(Stage("child", lambda up: "x", depends_on=("bad",)))
+    p.add(Stage("indep", lambda up: "y"))
+    runs = p.run()
+    assert runs["bad"].status == "failed"
+    assert runs["child"].status == "skipped"
+    assert runs["indep"].status == "ok"
+
+
+def test_cycle_detection():
+    p = Pipeline()
+    p.add(Stage("x", lambda up: 1, depends_on=("y",)))
+    p.add(Stage("y", lambda up: 1, depends_on=("x",)))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+
+
+def test_medallion_end_to_end(spark, tmp_path):
+    """CSV fixture → bronze ingest → silver transform → gold view —
+    the reference's three DAGs as one in-process pipeline."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakeflow import ingest, transform, views
+    from lakeflow.io import write_dual_sink
+
+    csv_dir = tmp_path / "incoming"
+    csv_dir.mkdir()
+    (csv_dir / "claims.csv").write_text(
+        "claim_id,member_id,provider_name,claim_amount,service_date\n"
+        "CLM1,MBR1,Clinic A,50.0,2024-03-01\n"
+        "CLM2,MBR1,clinic b,150.0,03/15/2024\n"
+        "CLM3,MBR2,,-5.0,2024-04-02\n"
+        ",MBR3,Clinic A,10.0,2024-04-03\n"
+        "CLM4,MBR2,Clinic A,20000.0,2024-05-05\n"
+    )
+    bronze_path = str(tmp_path / "bronze")
+    silver_path = str(tmp_path / "silver")
+    mirror_path = str(tmp_path / "silver_mirror")
+    now = dt.datetime(2026, 1, 1)
+
+    p = Pipeline()
+
+    @p.stage("bronze", retries=1)
+    def bronze(up):
+        return ingest.ingest_csv(spark, str(csv_dir), bronze_path, now=now)
+
+    @p.stage("silver", depends_on=("bronze",))
+    def silver(up):
+        df = spark.read.parquet(bronze_path)
+        cleaned = transform.clean_claims(
+            df.withColumn("claim_amount", F.col("claim_amount").cast("double"))
+        ).withColumn("processing_timestamp", F.lit(now).cast("timestamp_ntz"))
+        write_dual_sink(
+            cleaned, silver_path, mirror_path,
+            partition_by=("service_year", "service_month"),
+        )
+        return silver_path
+
+    @p.stage("gold", depends_on=("silver",))
+    def gold(up):
+        return views.claims_summary(spark.read.parquet(up["silver"])).collect()
+
+    runs = p.run()
+    assert all(r.status == "ok" for r in runs.values()), runs
+    assert runs["bronze"].result == 5
+    rows = runs["gold"].result
+    # CLM with null id dropped → 4 silver rows, all ≥ 2023 cutoff
+    assert sum(r["total_claims"] for r in rows) == 4
+    # mirror identical to primary
+    assert spark.read.parquet(mirror_path).count() == 4
+    # partition layout exists
+    import os
+
+    assert any("service_year=" in d for d in os.listdir(silver_path))

@@ -1,0 +1,81 @@
+"""DQ-suite evaluator tests — pass verdicts on clean data, fail
+verdicts on a violation fixture (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import os
+
+from lakeflow import quality
+
+SUITE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "lakeflow",
+    "suites",
+    "silver_claims.json",
+)
+
+
+def _results_by_key(results):
+    return {(r.expectation_type, r.column): r for r in results}
+
+
+def test_suite_passes_on_clean_silver(spark, sf_dir):
+    from lakeflow import claims
+
+    silver = claims.silver_claims(spark, sf_dir)
+    results = quality.evaluate_suite_file(silver, SUITE)
+    failures = [r for r in results if not r.success]
+    assert not failures, f"unexpected DQ failures: {failures}"
+    assert len(results) == 22
+
+
+def test_suite_fails_on_violations(spark):
+    rows = [
+        # duplicate claim ids → uniqueness + proportion fail
+        ("C1", "M1", "P", 5.0, "2024-01-01", 2024, 1, 1, "LOW", 0.2),
+        ("C1", "M2", "P", -3.0, "2024-01-01", 2024, 1, 1, "LOW", 0.3),
+        # out-of-range amount, bad category, score out of [0,1]
+        ("C2", "M3", "", 2000000.0, "2019-01-01", 2019, 1, 1, "HUGE", 1.5),
+        # null claim_id
+        (None, "M4", "P", 1.0, "2024-01-01", 2024, 1, 1, "LOW", 0.2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "claim_id string, member_id string, provider_name string, "
+        "claim_amount double, service_date string, service_year int, "
+        "service_month int, service_day int, claim_amount_category string, "
+        "data_quality_score double",
+    )
+    # missing processing_timestamp column + date as string
+    results = quality.evaluate_suite_file(df, SUITE)
+    by_key = _results_by_key(results)
+
+    assert not by_key[("expect_column_values_to_not_be_null", "claim_id")].success
+    assert not by_key[("expect_column_values_to_be_unique", "claim_id")].success
+    assert not by_key[("expect_column_values_to_be_between", "claim_amount")].success
+    assert not by_key[
+        ("expect_column_values_to_be_between", "data_quality_score")
+    ].success
+    assert not by_key[("expect_column_values_to_be_in_set", "claim_amount_category")].success
+    assert not by_key[("expect_column_to_exist", "processing_timestamp")].success
+    assert not by_key[
+        ("expect_column_proportion_of_unique_values_to_be_between", "claim_id")
+    ].success
+    assert not by_key[("expect_column_mean_to_be_between", "data_quality_score")].success
+    assert not by_key[
+        ("expect_column_value_lengths_to_be_between", "provider_name")
+    ].success
+    # row count within bounds still passes
+    assert by_key[("expect_table_row_count_to_be_between", None)].success
+    # 2019 date below min bound
+    assert not by_key[("expect_column_values_to_be_between", "service_date")].success
+
+
+def test_report_df_shape(spark, sf_dir):
+    from lakeflow import claims
+
+    silver = claims.silver_claims(spark, sf_dir)
+    results = quality.evaluate_suite_file(silver, SUITE)
+    rep = quality.report_df(spark, results)
+    assert rep.count() == len(results)
+    assert rep.columns == ["expectation_type", "column", "success", "observed"]
