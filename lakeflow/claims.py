@@ -116,7 +116,7 @@ def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/jobs/silver/claims_to_iceberg.py:93-108).
     """
     df = transform.clean_claims(claims_raw(spark, sf_dir))
-    return df.select(
+    df = df.select(
         "claim_id",
         "member_id",
         "provider_name",
@@ -132,6 +132,15 @@ def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_file",
         "batch_id",
     )
+    # Silver is a MATERIALIZED tier in the medallion model — the
+    # reference stores it in Iceberg and every gold view reads the
+    # stored table (/root/reference/jobs/silver/claims_to_iceberg.py:131,
+    # sql/gold/create_views.sql:23). persist() is the in-session
+    # equivalent: the clean/parse chain runs once, all gold queries
+    # share it (CacheManager dedupes identical plans across calls).
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # ---------------------------------------------------------------------------

@@ -53,27 +53,63 @@ GROUP BY 1 ORDER BY 1
 
 def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
     """n-gram shingles of a token array via sequence + transform
-    (built-in higher-order functions, no UDF)."""
+    (built-in higher-order functions, no UDF).
+
+    PERF TRAP: ``tokens`` must be a materialized COLUMN REFERENCE, not
+    an inline expression — higher-order lambdas re-evaluate captured
+    expressions per element, so passing ``split(regexp_replace(...))``
+    directly makes the regex run once per shingle index = O(len²) per
+    document. Use :func:`tokenized` to stage the token array first.
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
     )
 
 
+def tokenized(docs: DataFrame, *keep: str) -> DataFrame:
+    """doc_id (+ ``keep`` passthrough cols) + normalized token array,
+    staged as its own projection so downstream lambdas see a cheap
+    attribute reference (see _shingles perf note)."""
+    return docs.select(
+        "doc_id", *keep, F.split(_norm_text(), r"\s+").alias("tokens")
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """doc_id + shingle set + K minhash values (murmur3 with K salts)."""
-    tokens = F.split(_norm_text(), r"\s+")
-    sig = docs.select(
-        "doc_id", _shingles(tokens, shingle_n).alias("shingles")
+    """doc_id + shingle set + K minhash values.
+
+    Kirsch-Mitzenmacher construction: each shingle is string-hashed
+    exactly TWICE (murmur3 + xxhash64); the K hash families are derived
+    as ``h1 + i*h2`` with cheap integer arithmetic. K independent salted
+    string hashes would cost K full passes over every shingle's bytes —
+    this is the difference between 2 and K string hashes per shingle at
+    100 TB. ``h2`` is bounded to int range so ``i*h2`` stays ANSI-safe
+    (no bigint overflow for K ≤ ~2^32).
+    """
+    sh = tokenized(docs).select(
+        "doc_id", _shingles(F.col("tokens"), shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
-    def salted_min(i: int) -> F.Column:
-        # NB: the transform lambda MUST be single-arg — a second lambda
-        # parameter would receive the ARRAY INDEX, not the salt.
-        return F.array_min(F.transform("shingles", lambda s: F.hash(s, F.lit(i))))
+    hashed = F.transform(
+        "shingles",
+        lambda s: F.struct(
+            F.hash(s).cast("bigint").alias("h1"),
+            F.pmod(F.xxhash64(s), F.lit(2147483647)).alias("h2"),
+        ),
+    )
+    hp = sh.select("doc_id", "shingles", hashed.alias("hp"))
+    # One array_min per hash family, all referencing the SAME hp column
+    # (16 references → CollapseProject keeps hp materialized instead of
+    # inlining the string-hash transform into each family).
+    def family(i: int) -> F.Column:
+        # NB: the lambda MUST be single-arg — a second parameter would
+        # be bound to the ARRAY INDEX by pyspark, not the closure value.
+        salt = F.lit(i)
+        return F.array_min(F.transform("hp", lambda p: p["h1"] + salt * p["h2"]))
 
-    minhashes = F.array(*[salted_min(i) for i in range(num_hashes)])
-    return sig.select("doc_id", "shingles", minhashes.alias("minhash"))
+    minhashes = F.array(*[family(i) for i in range(num_hashes)])
+    return hp.select("doc_id", "shingles", minhashes.alias("minhash"))
 
 
 def near_dup_pairs(
@@ -91,10 +127,18 @@ def near_dup_pairs(
     """
     docs = io.read_table(spark, sf_dir, "documents")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes)
-    banded = sig.select(
+    # The signature stage (shingle + K hashes per shingle) is the
+    # expensive map work — materialize it once so the three consumers
+    # below (band keys, and both sides of the verify join) don't each
+    # recompute it. Same medallion rationale as the silver persist:
+    # at 100 TB this stage would be written out as its own table.
+    sig = minhash_signatures(docs, num_hashes).persist()
+
+    # Candidate generation joins COMPACT keys only — (doc_id, band,
+    # band_sig) — never shipping the shingle arrays through the 8×
+    # band explode or the bucket-join shuffle.
+    keys = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -112,30 +156,32 @@ def near_dup_pairs(
                 ),
             )
         ).alias("bs"),
-    ).select("doc_id", "shingles", "bs.band", "bs.band_sig")
+    ).select("doc_id", "bs.band", "bs.band_sig")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Verify: fetch shingle sets for the (few) surviving candidates.
+    sh = sig.select("doc_id", "shingles")
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.col("sa.shingles").alias("sh_a"), F.col("sb.shingles").alias("sh_b"))
     )
     jacc = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -148,8 +194,9 @@ def ngram_jaccard_pairs(
     the pair space (block-then-verify; at 100 TB the block key would be
     an LSH bucket — see near_dup_pairs)."""
     docs = io.read_table(spark, sf_dir, "documents")
-    tokens = F.split(_norm_text(), r"\s+")
-    t = docs.select("doc_id", F.col(block_on).alias("blk"), _shingles(tokens, 2).alias("sh"))
+    t = tokenized(docs, block_on).select(
+        "doc_id", F.col(block_on).alias("blk"), _shingles(F.col("tokens"), 2).alias("sh")
+    )
     a, b = t.alias("a"), t.alias("b")
     jacc = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")
@@ -176,8 +223,9 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     vote via bitwise ops → aggregate votes → reassemble bit vector.
     """
     docs = io.read_table(spark, sf_dir, "documents")
-    tokens = F.split(_norm_text(), r"\s+")
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens)).alias("tok"))
+    tok = tokenized(docs).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
+    )
     tok = tok.withColumn("h", F.hash("tok").cast("bigint"))
     votes = [
         F.sum(

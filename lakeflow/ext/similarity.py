@@ -72,14 +72,17 @@ def knn_bruteforce(
     row_number window per query for top-k. Rounded to 6dp with vec_id
     tiebreak → deterministic result set.
     """
+    # Norms are per-VECTOR quantities — compute them in the projection,
+    # not per pair (per-pair norms would triple the flops of the
+    # crossJoin at scale).
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
-    )
+    ).select("vec_id", "v", _norm("v").alias("nv"))
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
     scored = pairs.select(
         "q_id", "vec_id", F.round(cos, 6).alias("cosine")
     )
@@ -134,15 +137,16 @@ def knn_lsh(
     declared rows-only (approximation, not SQL-oracle-expressible)."""
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
-    )
+    ).select("vec_id", "v", _norm("v").alias("nv"))
     emb = emb.withColumn("bucket", _sign_bucket(F.col("v"), bits))
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"), F.col("bucket"),
     )
     pairs = emb.join(broadcast(queries), ["bucket"]).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))

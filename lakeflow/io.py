@@ -28,6 +28,41 @@ STAR_TABLES = (
     "embeddings",
 )
 
+# Fact-sized tables worth fanning out after the scan. The driver test
+# files are single-row-group parquet (unsplittable -> a 1-partition,
+# single-threaded scan no matter the cluster size), so heavy derivation
+# work downstream would serialize. A bare repartition() is NOT enough:
+# Catalyst pushes deterministic filters below a RoundRobin exchange
+# (PushDownPredicates handles Repartition), which lands the whole
+# derive+filter chain back in the 1-task scan stage. persist() makes the
+# fanned-out scan an optimizer barrier (InMemoryRelation is a leaf), and
+# Spark's CacheManager dedupes by canonicalized plan, so every query
+# touching the same table shares one materialization per session.
+#
+# Scale guard: this only fires when the file is BOTH too small to split
+# into >= cores/2 tasks AND under _FAN_OUT_MAX_BYTES — i.e. a small
+# unsplittable local file. On a real deployment (many multi-row-group
+# files, TB-scale) neither holds and read_table is a plain parquet scan
+# with full pushdown/pruning.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
+_FAN_OUT_MAX_BYTES = 2 << 30
+_SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def _maybe_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    est_splits = max(1, size // _SPLIT_BYTES)
+    if size > _FAN_OUT_MAX_BYTES or est_splits >= max(2, target // 2):
+        return df
+    from pyspark import StorageLevel
+
+    return df.repartition(target).persist(StorageLevel.MEMORY_AND_DISK)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table.
@@ -46,8 +81,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if name in FACT_TABLES:
+        df = _maybe_fan_out(spark, df, path)
+    return df
 
 
 def read_csv_source(spark: SparkSession, path: str) -> DataFrame:
