@@ -129,3 +129,48 @@ FROM sid
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions via Spark's built-in session_window (the same
+    state-store operator the streaming twin uses — see
+    lakeflow.streaming.session_counts_stream). Semantically identical to
+    the lag-based sessionize above, so the oracle reuses its CTE chain:
+    session_window.start == MIN(ts) of the lag-defined session."""
+    ev = io.read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("events_in_session"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "events_in_session",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS events_in_session
+FROM sid
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""

@@ -226,6 +226,35 @@ SELECT COUNT(*) AS total_rows,
 FROM claims
 """),
     ),
+    "q_median_by_group": (
+        _silver(views.median_by_group),
+        oracle("""
+SELECT provider_name,
+       quantile_disc(claim_amount, 0.5) AS median_claim_amount,
+       COUNT(*) AS total_claims
+FROM claims
+WHERE provider_name != 'UNKNOWN'
+GROUP BY provider_name
+ORDER BY provider_name
+"""),
+    ),
+    "q_dq_aggregates": (
+        _silver(views.dq_aggregates),
+        oracle("""
+SELECT COUNT(CASE WHEN claim_id IS NULL THEN 1 END) AS null_claim_ids,
+       COUNT(CASE WHEN member_id IS NULL THEN 1 END) AS null_member_ids,
+       COUNT(CASE WHEN provider_name IS NULL THEN 1 END) AS null_providers,
+       COUNT(CASE WHEN NOT (claim_amount BETWEEN 0.0 AND 1000000.0) THEN 1 END) AS amount_range_violations,
+       COUNT(CASE WHEN NOT (data_quality_score BETWEEN 0.0 AND 1.0) THEN 1 END) AS score_range_violations,
+       COUNT(CASE WHEN NOT (service_date BETWEEN DATE '2020-01-01' AND DATE '2030-12-31') THEN 1 END) AS date_range_violations,
+       COUNT(CASE WHEN NOT (length(provider_name) BETWEEN 1 AND 100) THEN 1 END) AS provider_len_violations,
+       COUNT(CASE WHEN claim_amount_category NOT IN ('ZERO','LOW','MEDIUM','HIGH','VERY_HIGH') THEN 1 END) AS category_violations,
+       round(COUNT(DISTINCT claim_id) / COUNT(*), 6) AS claim_id_unique_ratio,
+       round(SUM(data_quality_score * 10) / (COUNT(data_quality_score) * 10), 3) AS mean_quality_score,
+       COUNT(*) AS total_rows
+FROM claims
+"""),
+    ),
     "q_topk": (
         _silver(views.topk_newest),
         oracle("""
@@ -294,6 +323,8 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_window_lag": (relational.window_lag, relational.WINDOW_LAG_SQL),
     "q_window_rank": (relational.window_rank, relational.WINDOW_RANK_SQL),
     "q_rollup": (relational.rollup_orders, relational.ROLLUP_ORDERS_SQL),
+    "q_cube": (relational.cube_orders, relational.CUBE_ORDERS_SQL),
+    "q_approx_distinct": (relational.approx_distinct, None),  # HLL sketch — rows-only
     "q_union_distinct": (relational.union_distinct, relational.UNION_DISTINCT_SQL),
     "q_intersect": (relational.intersect_customers, relational.INTERSECT_SQL),
     "q_except": (relational.except_customers, relational.EXCEPT_SQL),
@@ -308,6 +339,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_events_tumbling": (events.tumbling_counts, events.TUMBLING_SQL),
     "q_events_props": (events.props_extract, events.PROPS_SQL),
     "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+    "q_session_window": (events.session_window_counts, events.SESSION_WINDOW_SQL),
     "q_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
     "q_text_stats": (text.text_stats, text.TEXT_STATS_SQL),
     "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),

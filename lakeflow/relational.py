@@ -461,3 +461,53 @@ SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 EXCEPT
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 """
+
+
+# --------------------------------------------------------------------------
+# Grouping-set aggregation + cardinality sketches (beyond-reference A*)
+# --------------------------------------------------------------------------
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with subtotal + grand-total rows —
+    the grouping-sets family SURVEY §2.4 marks absent in the reference.
+    NULL grouping slots are labeled 'ALL' (source columns are non-null)
+    so the oracle hash is unambiguous. One shuffle; partial aggregation
+    map-side as with any hash aggregate."""
+    o = io.read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside the exact count —
+    the constant-memory scale path for distinct cardinality (exact
+    countDistinct needs a full shuffle of the key set). Sketch values
+    are engine-specific → rows-only; the test asserts <5% error."""
+    o = io.read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )

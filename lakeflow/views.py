@@ -281,3 +281,59 @@ def topk_newest(silver: DataFrame, k: int = 5) -> DataFrame:
         .orderBy(F.desc("processing_timestamp"), F.asc("claim_id"))
         .limit(k)
     )
+
+
+def median_by_group(silver: DataFrame) -> DataFrame:
+    """A6 — exact discrete median per provider: PERCENTILE_DISC(0.5)
+    WITHIN GROUP, the reference's only percentile
+    (/root/reference/sql/gold/create_views.sql:61). PERCENTILE_DISC
+    returns an actual data value (no interpolation) — the SURVEY §7.3
+    semantic trap; the oracle mirrors it with DuckDB's quantile_disc."""
+    return (
+        silver.filter(F.col("provider_name") != "UNKNOWN")
+        .groupBy("provider_name")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY claim_amount)"
+            ).alias("median_claim_amount"),
+            F.count("*").alias("total_claims"),
+        )
+        .orderBy("provider_name")
+    )
+
+
+def dq_aggregates(silver: DataFrame) -> DataFrame:
+    """§2.9 scalar reductions of the DQ suite (D2-D4, D7, D8, D10, D11)
+    as one oracle-checkable aggregate row — the SQL-expressible core of
+    q_dq_report (/root/reference/dq/expectations/silver_claims.json)."""
+    amount = F.col("claim_amount")
+    score = F.col("data_quality_score")
+    sdate = F.col("service_date")
+    plen = F.length("provider_name")
+    cats = ("ZERO", "LOW", "MEDIUM", "HIGH", "VERY_HIGH")
+    return silver.agg(
+        F.count(F.when(F.col("claim_id").isNull(), 1)).alias("null_claim_ids"),
+        F.count(F.when(F.col("member_id").isNull(), 1)).alias("null_member_ids"),
+        F.count(F.when(F.col("provider_name").isNull(), 1)).alias("null_providers"),
+        F.count(F.when(~amount.between(0.0, 1_000_000.0), 1)).alias(
+            "amount_range_violations"
+        ),
+        F.count(F.when(~score.between(0.0, 1.0), 1)).alias("score_range_violations"),
+        F.count(
+            F.when(
+                ~sdate.between(
+                    F.lit("2020-01-01").cast("date"), F.lit("2030-12-31").cast("date")
+                ),
+                1,
+            )
+        ).alias("date_range_violations"),
+        F.count(F.when(~plen.between(1, 100), 1)).alias("provider_len_violations"),
+        F.count(F.when(~F.col("claim_amount_category").isin(*cats), 1)).alias(
+            "category_violations"
+        ),
+        F.round(F.countDistinct("claim_id") / F.count("*"), 6).alias(
+            "claim_id_unique_ratio"
+        ),
+        _avg_score("mean_quality_score"),
+        F.count("*").alias("total_rows"),
+    )

@@ -93,3 +93,11 @@ def test_decode_stub_rejects_unknown_mime():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image/png")
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate within 5% of the exact distinct count."""
+    from lakeflow import relational
+
+    row = relational.approx_distinct(spark, sf_dir).collect()[0]
+    assert abs(row.approx_custkeys - row.exact_custkeys) <= 0.05 * row.exact_custkeys
