@@ -141,3 +141,27 @@ def write_dual_sink(
         write_partitioned(df, mirror_path, partition_by, fmt=fmt)
     finally:
         df.unpersist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table sink — the co-located-join scale lever.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (each bucket pair streams through sort-merge
+    locally); at 100 TB that removes the dominant exchange of every
+    fact⋈fact join on the bucket key. tests/test_plans.py asserts the
+    exchange-free plan.
+    """
+    w = df.write.format(fmt).mode("overwrite").option("path", path)
+    w = w.bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

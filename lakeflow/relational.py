@@ -511,3 +511,30 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
         F.countDistinct("o_custkey").alias("exact_custkeys"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-beating equi-join: the hot left keys are spread over
+    ``salt`` sub-partitions; the (small-per-key) right side is
+    replicated ``salt`` times via an exploded salt array.
+
+    Equivalent rows to a plain inner join (tests assert equality) —
+    use when one key dominates the distribution and AQE's skew-join
+    splitting isn't available/enough. At 100 TB this turns a
+    straggler task into ``salt`` even tasks.
+    """
+    salted_l = left.withColumn("_salt", F.pmod(F.hash(F.col(left_key)), F.lit(salt)))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key]) & (salted_l._salt == salted_r._salt),
+    )
+    return out.drop("_salt")

@@ -1,0 +1,129 @@
+"""Physical-plan regression tests — the plans, not just the answers.
+
+Each assertion pins a scale property: dimension joins must broadcast
+(fact side never shuffles), scans must push filters and prune columns,
+aggregates must have a map-side partial phase, top-k must not global
+sort, and the LSH candidate join must never degrade to a nested-loop
+product. A refactor that silently loses one of these still passes the
+value checks but becomes a 100 TB regression — these tests catch it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeflow import claims, relational, views
+from lakeflow.ext import dedup
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan(relational.join_snowflake(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3  # cust, nation, region dims
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    p = plan(relational.join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    p = plan(q)
+    assert "PushedFilters: [" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = cust.select("c_custkey", "c_name")
+    p = plan(q)
+    assert "ReadSchema: struct<c_custkey" in p
+    assert "c_acctbal" not in p.split("ReadSchema")[1]
+
+
+def test_aggregate_has_partial_phase(spark, sf_dir):
+    p = plan(relational.tpch_q1(spark, sf_dir))
+    # partial (map-side) + final HashAggregate around the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    silver = claims.silver_claims(spark, sf_dir)
+    p = plan(views.topk_newest(silver))
+    assert "TakeOrderedAndProject" in p
+    # no global Sort node outside the top-k operator
+    assert "Sort [" not in p
+
+
+def test_lsh_candidate_join_is_hash_based(spark, sf_dir):
+    p = plan(dedup.near_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # AQE wraps the plan lazily and hides codegen spans until runtime;
+    # disable it for this one assertion so the spans are visible in the
+    # compiled plan (the property under test: the agg expressions stay
+    # codegen-compatible, no CodegenFallback in the hot path).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(relational.tpch_q1(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # '*(n)' prefixes are the WholeStageCodegen stage markers in
+    # executedPlan.toString(); both aggregate phases must be inside one
+    assert "*(1) HashAggregate" in p and "*(2) HashAggregate" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located bucketed tables sort-merge join with ZERO shuffles —
+    the fact⋈fact scale lever write_bucketed exists for."""
+    from lakeflow import io as lio
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lio.write_bucketed(
+        orders, "bkt_orders", str(tmp_path / "o"), ("o_custkey",), buckets=4,
+        sort_cols=("o_custkey",),
+    )
+    lio.write_bucketed(
+        cust, "bkt_customer", str(tmp_path / "c"), ("c_custkey",), buckets=4,
+        sort_cols=("c_custkey",),
+    )
+    try:
+        j = spark.table("bkt_orders").join(
+            spark.table("bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan(j)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert j.count() == orders.count()  # FK join: every order matches
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_custkey"
+    )
+    salted = relational.salted_join(orders, cust, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_custkey"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
