@@ -33,6 +33,11 @@ BENCH_QUERIES = (
     "q_dedup_exact",
     "q_dedup_near",
     "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_knn_pandas",
+    "q_session_window",
+    "q_cube",
+    "q_multimodal_meta",
 )
 
 

@@ -16,11 +16,25 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
 
 from lakeflow import io
+
+
+def _cos_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine: numpy einsum over the whole batch. Module
+    level so the pd.Series type hints resolve under deferred
+    annotations; wrapped with pandas_udf lazily (the decorator needs an
+    active session to parse the return type)."""
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(num / den)
 
 
 def _dvec(col: str) -> F.Column:
@@ -151,6 +165,38 @@ def knn_lsh(
     return (
         pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def knn_bruteforce_pandas(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100
+) -> DataFrame:
+    """Arrow-vectorized twin of knn_bruteforce: cosine via a scalar
+    pandas_udf (numpy batch einsum) instead of zip_with/aggregate.
+
+    The JVM higher-order-function path wins when vectors are short and
+    the pipeline stays in codegen; the Arrow path wins when per-row
+    work is heavy enough to amortize the Python transfer — this is the
+    pattern a real embedding pipeline (larger dims, numpy/BLAS) runs.
+    Declared rows-only: numpy sums in a different order than the JVM
+    left-fold, so the 6dp-rounded cosines can differ in the last digit.
+    """
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "vec_id", F.round(pandas_udf(_cos_batch_fn, "double")("qv", "v"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cosine", "rnk")
         .orderBy("q_id", "rnk")

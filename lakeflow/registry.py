@@ -352,6 +352,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
+    "q_knn_pandas": (similarity.knn_bruteforce_pandas, None),  # Arrow path — rows-only
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
 }
 
