@@ -201,3 +201,91 @@ def knn_bruteforce_pandas(
         .select("q_id", "vec_id", "cosine", "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+def _sq_dist(a: F.Column | str, b: F.Column | str) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _nearest_lists(vecs: DataFrame, cent: DataFrame, vec_col: str, n: int) -> DataFrame:
+    """Rank centroid lists per vector by squared distance; keep top-n.
+    Input vecs must have a unique ``vec_id``; cent has (list_id, cv)."""
+    d = vecs.crossJoin(broadcast(cent)).withColumn("_d", _sq_dist(vec_col, "cv"))
+    w = Window.partitionBy("vec_id").orderBy("_d", "list_id")
+    return (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_d", "_r", "cv")
+    )
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    n_lists: int = 8,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: k-means inverted lists, queries probe the nprobe
+    nearest lists — the centroid-partitioned scale path beside the
+    sign-LSH variant (knn_lsh).
+
+    Fully distributed and deterministic:
+    - seeds = first n_lists vectors by vec_id (no RNG),
+    - Lloyd refinement as DataFrame ops: assignment via broadcast
+      centroid cross-join + window argmin; update via posexplode →
+      per-(list, dim) mean → array_sort/transform reassembly. No
+      driver-side loops over data — only the tiny centroid relation
+      moves between stages, which is how this runs at 100 TB.
+    - probing: candidates = queries' nprobe nearest lists bucket-joined
+      against the inverted lists (corpus touched ∝ nprobe/n_lists).
+
+    Rows-only (approximate); recall floor asserted in tests.
+    """
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    w_seed = Window.orderBy("vec_id")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select("v", F.row_number().over(w_seed).alias("list_id"))
+        .select("list_id", F.col("v").alias("cv"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _nearest_lists(emb, cent, "v", 1)
+        cent = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+    lists = _nearest_lists(emb, cent, "v", 1)  # inverted index
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    probes = _nearest_lists(
+        queries.withColumnRenamed("q_id", "vec_id"), cent, "qv", nprobe
+    ).withColumnRenamed("vec_id", "q_id")
+    cand = probes.join(lists, "list_id").filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )

@@ -324,7 +324,9 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_window_rank": (relational.window_rank, relational.WINDOW_RANK_SQL),
     "q_rollup": (relational.rollup_orders, relational.ROLLUP_ORDERS_SQL),
     "q_cube": (relational.cube_orders, relational.CUBE_ORDERS_SQL),
+    "q_grouping_sets": (relational.grouping_sets_orders, relational.GROUPING_SETS_SQL),
     "q_approx_distinct": (relational.approx_distinct, None),  # HLL sketch — rows-only
+    "q_approx_percentiles": (relational.approx_percentiles, None),  # sketch — rows-only
     "q_union_distinct": (relational.union_distinct, relational.UNION_DISTINCT_SQL),
     "q_intersect": (relational.intersect_customers, relational.INTERSECT_SQL),
     "q_except": (relational.except_customers, relational.EXCEPT_SQL),
@@ -353,6 +355,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
     "q_knn_pandas": (similarity.knn_bruteforce_pandas, None),  # Arrow path — rows-only
+    "q_knn_ivf": (similarity.knn_ivf, None),  # approximate — rows-only
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
 }
 

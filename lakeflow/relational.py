@@ -538,3 +538,46 @@ def salted_join(
         (salted_l[left_key] == salted_r[right_key]) & (salted_l._salt == salted_r._salt),
     )
     return out.drop("_salt")
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status, priority) detail plus per-status
+    subtotals only (a cube would add per-priority + grand total). SQL
+    surface on a temp view; same single-shuffle hash-agg plan."""
+    o = io.read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+        ORDER BY orderstatus, orderpriority
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+ORDER BY orderstatus, orderpriority
+"""
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) beside the exact
+    percentile — the single-pass bounded-memory quantile path for
+    100 TB (exact percentile sorts each group). Sketch values are
+    engine-specific → rows-only; the test bounds the error."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("exact_median"),
+        F.count("*").alias("n"),
+    )

@@ -101,3 +101,39 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
     row = relational.approx_distinct(spark, sf_dir).collect()[0]
     assert abs(row.approx_custkeys - row.exact_custkeys) <= 0.05 * row.exact_custkeys
+
+
+def test_knn_pandas_agrees_with_jvm(spark, sf_dir):
+    """Arrow/numpy cosine path returns the same neighbor sets as the
+    JVM higher-order-function path (cosines may differ in the last
+    ulp before rounding — compare ids per query, not float equality)."""
+    from lakeflow.ext import similarity
+
+    jvm = similarity.knn_bruteforce(spark, sf_dir)
+    arrow = similarity.knn_bruteforce_pandas(spark, sf_dir)
+    j = {(r.q_id, r.vec_id) for r in jvm.collect()}
+    a = {(r.q_id, r.vec_id) for r in arrow.collect()}
+    # identical up to rounding-tie swaps at the k-th place
+    assert len(j ^ a) <= max(2, len(j) // 20)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    from lakeflow import relational
+
+    for r in relational.approx_percentiles(spark, sf_dir).collect():
+        assert abs(r.approx_median - r.exact_median) <= 0.02 * r.exact_median
+
+
+def test_knn_ivf_recall_floor(spark, sf_dir):
+    """IVF probing nprobe/n_lists of the corpus must beat a recall
+    floor vs brute force (embeddings are near-uniform, so expected
+    recall ≈ nprobe/n_lists = 0.5; assert a safe 0.25)."""
+    from lakeflow.ext import similarity
+
+    exact = similarity.knn_bruteforce(spark, sf_dir)
+    ivf = similarity.knn_ivf(spark, sf_dir, n_lists=8, nprobe=4)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in ivf.collect()}
+    assert a  # every query produced candidates
+    recall = len(e & a) / len(e)
+    assert recall >= 0.25, f"recall {recall:.2f}"
