@@ -174,3 +174,37 @@ FROM sid
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_start
 """
+
+
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b — full JSON → typed MapType → explode → aggregate: the
+    schema-on-read path for semi-structured props (get_json_object
+    above is the single-key fast path; this one handles arbitrary
+    key sets in one pass)."""
+    ev = io.read_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
+    )
+    return (
+        kv.groupBy("event_type", "key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").alias("total"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+        )
+        .orderBy("event_type", "key")
+    )
+
+
+PROPS_MAP_SQL = """
+SELECT event_type, k AS key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>k AS INTEGER)) AS BIGINT) AS total,
+       MIN(CAST(props->>k AS INTEGER)) AS vmin,
+       MAX(CAST(props->>k AS INTEGER)) AS vmax
+FROM events, UNNEST(json_keys(props)) AS t(k)
+GROUP BY event_type, k
+ORDER BY event_type, k
+"""

@@ -187,3 +187,66 @@ SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
+
+
+def winnow_frame(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family): hash every
+    character k-gram of the normalized text, then keep the minimum hash
+    of each sliding window of ``window`` consecutive k-grams — the
+    classic local-algorithm guarantee that any shared substring of
+    length >= k+window-1 yields at least one shared fingerprint.
+
+    Pure Catalyst: substring/hash inside array lambdas over STAGED
+    columns (see dedup._shingles perf note — lambdas re-evaluate
+    captured expressions per element, so norm/gh are materialized
+    projections, kept multi-referenced so CollapseProject can't inline
+    them back). Hash values are murmur3 (engine-specific) → rows-only;
+    the containment property is unit-tested.
+
+    CALLER TRAP: don't FILTER directly on the derived columns
+    (e.g. ``.filter("n_fingerprints <= 0")``). PushDownPredicates
+    substitutes alias chains into the pushed condition with no
+    cost check, and the doubly-referenced ``gh`` inlines the whole
+    k-gram hash chain into every window term — O(len²) per row inside
+    the filter. Aggregate or materialize first, then filter.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+    staged = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= k + window - 1
+    )
+    # k-gram rolling hashes (Column.substr takes Column positions;
+    # "norm" is a cheap attribute ref inside the lambda)
+    n_grams = F.length("norm") - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.hash(F.col("norm").substr(i, F.lit(k))),
+    )
+    hashed = staged.select("doc_id", "norm", grams.alias("gh"))
+    # windowed minima over the STAGED gh column (array_min over slices)
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("gh") - window + 1),
+            lambda j: F.array_min(F.slice("gh", j, window)),
+        )
+    )
+    return hashed.select(
+        "doc_id",
+        "gh",  # kept: 2 refs stop CollapseProject inlining the k-gram hashing
+        mins.alias("fingerprints"),
+    ).select(
+        "doc_id",
+        F.size("gh").alias("n_grams"),
+        "fingerprints",
+        F.size("fingerprints").alias("n_fingerprints"),
+    )
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Query-registry wrapper of :func:`winnow_frame` over documents."""
+    return winnow_frame(io.read_table(spark, sf_dir, "documents"), k, window)

@@ -340,6 +340,7 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_events_tumbling": (events.tumbling_counts, events.TUMBLING_SQL),
     "q_events_props": (events.props_extract, events.PROPS_SQL),
+    "q_events_props_map": (events.props_map_stats, events.PROPS_MAP_SQL),
     "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "q_session_window": (events.session_window_counts, events.SESSION_WINDOW_SQL),
     "q_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
@@ -347,6 +348,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),
     "q_lang_id": (text.lang_id, text.LANG_ID_SQL),
     "q_doc_fingerprint": (text.fingerprint, text.FINGERPRINT_SQL),
+    "q_winnow_fingerprints": (text.winnow_fingerprints, None),  # murmur3 values — rows-only
     "q_dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
     "q_dedup_simhash": (dedup.simhash, None),  # rows-only

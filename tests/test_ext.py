@@ -137,3 +137,37 @@ def test_knn_ivf_recall_floor(spark, sf_dir):
     assert a  # every query produced candidates
     recall = len(e & a) / len(e)
     assert recall >= 0.25, f"recall {recall:.2f}"
+
+
+def test_winnowing_containment_property(spark, sf_dir):
+    """Winnowing guarantee: an exact duplicate shares ALL fingerprints;
+    a doc sharing a long substring shares at least one; an unrelated
+    doc shares none of the common run's prints."""
+    from lakeflow.ext import text as t
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    shared = " common shared passage of considerable length here "
+    rows = [
+        (1, base),
+        (2, base),                                   # exact duplicate
+        (3, "completely different words" + shared),  # shares a passage
+        (4, "unrelated content about spark catalyst optimizer internals"),
+        (5, "x" * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: set(r.fingerprints) for r in t.winnow_frame(docs).collect()}
+    assert fp[1] == fp[2]                       # identical text, identical prints
+    assert fp[1] and fp[3] and fp[4]
+    assert not (fp[1] & fp[4])                  # disjoint content, disjoint prints
+    shared_doc = spark.createDataFrame([(6, base + shared)], "doc_id long, text string")
+    fp6 = set(t.winnow_frame(shared_doc).collect()[0].fingerprints)
+    assert fp6 & fp[3]                          # long shared substring -> shared print
+    # corpus run: non-empty sets for every long-enough document.
+    # NB: asserted via aggregate, NOT .filter("n_fingerprints <= 0") —
+    # predicate pushdown substitutes the alias chain into the filter
+    # condition, and the doubly-referenced gh column would be inlined
+    # twice = O(len²) re-hashing per row (see winnow_frame docstring).
+    from pyspark.sql import functions as F
+
+    corpus = t.winnow_fingerprints(spark, sf_dir)
+    assert corpus.agg(F.min("n_fingerprints")).collect()[0][0] >= 1
