@@ -165,3 +165,42 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-files compaction — lakehouse maintenance the reference's
+    roadmap defers (/root/reference/README.md:189-195). Rewrites the
+    table at ``path`` into ceil(bytes/target) files via a round-robin
+    repartition (no skew: every output file ~target size).
+
+    Returns (files_before, files_after). Streaming/hourly ingestion
+    produces one small file per trigger; at 100 TB unpacked small files
+    dominate scan/task-scheduling overhead, so this runs as a periodic
+    pipeline stage. The rewrite staging dir makes the swap atomic-ish
+    for local fs (a real lakehouse would use Delta OPTIMIZE / Iceberg
+    rewrite_data_files — same plan shape).
+    """
+    import glob
+    import shutil
+
+    def data_files(p: str) -> list[str]:
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    before = data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_out).write.format(fmt).mode("overwrite").save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(before), len(data_files(path))

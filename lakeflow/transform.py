@@ -15,6 +15,7 @@ ANSI mode (Spark 4 default) — the reference ran Spark 3.4 where plain
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -56,12 +57,60 @@ def clamp_non_negative(df: DataFrame, col: str, fill: float = 0.0) -> DataFrame:
     )
 
 
+def _fast_date_parse(c: Column, fmt: str) -> Column | None:
+    """Compile a simple yyyy/MM/dd-with-literal-separators format into
+    an exception-free parse expression; ``None`` if ``fmt`` is not of
+    that shape (caller falls back to try_to_date).
+
+    Why: ``try_to_date(c, fmt)`` is exception-driven — every
+    non-matching row throws and catches a JVM DateTimeException
+    internally, which dominates multi-format fallback chains (each row
+    fails all formats before its own). The compiled form rejects
+    non-matching rows with a regex and validates field ranges with
+    integer comparisons; ``try_make_date`` then only sees well-formed
+    candidates (its internal exception fires only for genuinely
+    impossible dates such as Feb 30 — none in a formatted-date feed).
+    Strictness matches try_to_date: exact width, no trimming.
+    """
+    tokens = re.findall(r"yyyy|MM|dd|.", fmt)
+    if len(tokens) != 5 or sorted(t for t in tokens if len(t) > 1) != ["MM", "dd", "yyyy"]:
+        return None
+    pos, regex, loc = 1, "^", {}
+    for t in tokens:
+        if t in ("yyyy", "MM", "dd"):
+            width = 4 if t == "yyyy" else 2
+            regex += rf"\d{{{width}}}"
+            loc[t] = (pos, width)
+            pos += width
+        else:
+            regex += re.escape(t)
+            pos += len(t)
+    regex += "$"
+    y = F.substring(c, *loc["yyyy"]).cast("int")
+    m = F.substring(c, *loc["MM"]).cast("int")
+    d = F.substring(c, *loc["dd"]).cast("int")
+    # day validity checked arithmetically (day <= dayofmonth(last_day))
+    # so make_date never sees an impossible date — no try_* needed, and
+    # safe under ANSI mode (this build has no try_make_date routine).
+    days_in_month = F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1))))
+    guarded = F.when(
+        m.between(1, 12) & d.between(1, 31),
+        F.when(d <= days_in_month, F.make_date(y, m, d)),
+    )
+    return F.when(c.rlike(regex), guarded)
+
+
 def parse_date_multi(df: DataFrame, col: str, formats: Sequence[str]) -> DataFrame:
     """F4 — first-match multi-format date parse
-    (claims_to_iceberg.py:60-63). ``try_to_date`` keeps NULL-on-malformed
-    semantics under ANSI mode."""
-    parsed = F.coalesce(*[F.try_to_date(F.col(col), fmt) for fmt in formats])
-    return df.withColumn(col, parsed)
+    (claims_to_iceberg.py:60-63). NULL-on-malformed semantics under
+    ANSI mode; simple formats compile to exception-free expressions
+    (see _fast_date_parse), others use ``try_to_date``."""
+    c = F.col(col)
+    branches = []
+    for fmt in formats:
+        fast = _fast_date_parse(c, fmt)
+        branches.append(fast if fast is not None else F.try_to_date(c, fmt))
+    return df.withColumn(col, F.coalesce(*branches))
 
 
 def add_date_parts(

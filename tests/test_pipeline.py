@@ -126,3 +126,19 @@ def test_medallion_end_to_end(spark, tmp_path):
     import os
 
     assert any("service_year=" in d for d in os.listdir(silver_path))
+
+
+def test_compact_small_files(spark, tmp_path):
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "landing")
+    # simulate 20 per-trigger micro-batches -> 20+ small files
+    for i in range(20):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+    rows_before = spark.read.parquet(path).count()
+    before, after = lio.compact(spark, path)
+    assert before >= 20
+    assert after < before
+    out = spark.read.parquet(path)
+    assert out.count() == rows_before == 2000
+    assert out.agg({"id": "min"}).collect()[0][0] == 0
