@@ -318,6 +318,7 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_join_semi": (relational.join_semi, relational.JOIN_SEMI_SQL),
     "q_join_anti": (relational.join_anti, relational.JOIN_ANTI_SQL),
     "q_join_range": (relational.join_range, relational.JOIN_RANGE_SQL),
+    "q_asof_join": (relational.asof_last_purchase, relational.ASOF_SQL),
     "q_topk_per_group": (relational.topk_per_group, relational.TOPK_PER_GROUP_SQL),
     "q_window_running": (relational.window_running, relational.WINDOW_RUNNING_SQL),
     "q_window_lag": (relational.window_lag, relational.WINDOW_LAG_SQL),

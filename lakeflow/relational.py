@@ -581,3 +581,86 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_median"),
         F.count("*").alias("n"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """AS-OF join (point-in-time lookup): for every left row, the value
+    of the latest right row with right_ts <= left_ts for the same key.
+
+    Spark has no native ASOF operator; a naive range-join is O(n·m) per
+    key. This is the scalable composition: tag both sides, union, one
+    window per key ordered by (ts, side) with a running
+    last(value, ignorenulls) — right rows deposit values, left rows
+    read them. ONE shuffle on the key, O((n+m) log(n+m)) per key via
+    the window sort — the standard distributed as-of shape.
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate if
+    not (ties would otherwise be nondeterministic; DuckDB's native
+    ASOF JOIN, used as the oracle, has the same requirement).
+    """
+    lcols = left.columns
+    l2 = left.withColumn("_side", F.lit(1)).withColumn(
+        "_v", F.lit(None).cast(dict(right.dtypes)[value_col])
+    ).withColumn("_ts", F.col(left_ts))
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(value_col).alias("_v"),
+    )
+    un = l2.select(key, "_ts", "_side", "_v", *[c for c in lcols if c != key]).unionByName(
+        r2, allowMissingColumns=True
+    )
+    # right (side 0) sorts before left (side 1) at equal ts => inclusive <=
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        un.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(key, *[c for c in lcols if c != key], out_col)
+    )
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF query over events: each click event annotated with the
+    value of the user's most recent purchase at or before it."""
+    ev = io.read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return (
+        asof_join(
+            clicks, purchases, "user_id", "ts", "ts", "pval", "last_purchase_value"
+        )
+        .select("event_id", "user_id", "ts", "value", "last_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH l AS (
+    SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+), r AS (
+    SELECT user_id, ts, MAX(value) AS pval
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, r.pval AS last_purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""

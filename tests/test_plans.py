@@ -127,3 +127,12 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         "o_orderkey", "c_custkey"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of composition must shuffle ONCE (on the key for the
+    window) — not once per side plus a join exchange."""
+    p = plan(relational.asof_last_purchase(spark, sf_dir))
+    body = p.split("InMemoryRelation")[0]  # exclude the cached-scan's own exchange
+    assert body.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in body and "CartesianProduct" not in body
