@@ -35,8 +35,9 @@ GOLD_VIEWS = (
 
 def split_statements(text: str) -> list[str]:
     """Split a SQL file into statements on ';', respecting single/double
-    quoted strings and line comments (C5 — the reference delegates this
-    to the trino CLI)."""
+    quoted strings (with backslash escapes — Spark's default string
+    escaping), line comments, and /* */ block comments (C5 — the
+    reference delegates this to the trino CLI)."""
     stmts: list[str] = []
     buf: list[str] = []
     quote: str | None = None
@@ -44,6 +45,10 @@ def split_statements(text: str) -> list[str]:
     while i < n:
         ch = text[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                buf.append(text[i : i + 2])
+                i += 2
+                continue
             buf.append(ch)
             if ch == quote:
                 quote = None
@@ -57,6 +62,10 @@ def split_statements(text: str) -> list[str]:
         if ch == "-" and text[i : i + 2] == "--":
             nl = text.find("\n", i)
             i = n if nl == -1 else nl
+            continue
+        if ch == "/" and text[i : i + 2] == "/*":
+            end = text.find("*/", i + 2)
+            i = n if end == -1 else end + 2
             continue
         if ch == ";":
             stmt = "".join(buf).strip()

@@ -37,6 +37,18 @@ def _cos_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k tail: deterministic ranking (cosine desc,
+    vec_id asc tiebreak) over a (q_id, vec_id, cosine) frame."""
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
 def _dvec(col: str) -> F.Column:
     """array<float> → array<double> (accumulate in double both engines)."""
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -97,15 +109,8 @@ def knn_bruteforce(
     )
     pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
     cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
-    scored = pairs.select(
-        "q_id", "vec_id", F.round(cos, 6).alias("cosine")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id", "cosine", "rnk")
-        .orderBy("q_id", "rnk")
+    return _topk(
+        pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
 
 
@@ -161,13 +166,8 @@ def knn_lsh(
         F.col("vec_id") != F.col("q_id")
     )
     cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id", "cosine", "rnk")
-        .orderBy("q_id", "rnk")
+    return _topk(
+        pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
 
 
@@ -191,15 +191,13 @@ def knn_bruteforce_pandas(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id", "vec_id", F.round(pandas_udf(_cos_batch_fn, "double")("qv", "v"), 6).alias("cosine")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id", "cosine", "rnk")
-        .orderBy("q_id", "rnk")
+    return _topk(
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round(pandas_udf(_cos_batch_fn, "double")("qv", "v"), 6).alias("cosine"),
+        ),
+        k,
     )
 
 
@@ -281,11 +279,6 @@ def knn_ivf(
     ).withColumnRenamed("vec_id", "q_id")
     cand = probes.join(lists, "list_id").filter(F.col("vec_id") != F.col("q_id"))
     cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id", "cosine", "rnk")
-        .orderBy("q_id", "rnk")
+    return _topk(
+        cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )

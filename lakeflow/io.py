@@ -51,6 +51,12 @@ _SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 
 
 def _maybe_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    # Directory-shaped tables (the production layout) are multi-file and
+    # therefore already splittable — never fan out those. os.path.getsize
+    # on a directory would return the ~4KB dirent size and invert the
+    # guard into persisting terabyte tables.
+    if not os.path.isfile(path):
+        return df
     try:
         size = os.path.getsize(path)
     except OSError:
@@ -135,12 +141,17 @@ def write_dual_sink(
     (/root/reference/jobs/silver/claims_to_iceberg.py:125-146). Here we
     persist once and reuse — the fix SURVEY.md §4 calls out.
     """
+    already_cached = df.is_cached
     df = df.persist()
     try:
         write_partitioned(df, primary_path, partition_by, fmt=fmt)
         write_partitioned(df, mirror_path, partition_by, fmt=fmt)
     finally:
-        df.unpersist()
+        # Only evict a cache WE created — unpersisting a frame the
+        # caller had already persisted (e.g. the shared silver tier)
+        # would silently drop the session-wide materialization.
+        if not already_cached:
+            df.unpersist()
 
 
 def write_bucketed(
@@ -199,8 +210,23 @@ def compact(
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.format(fmt).load(path)
+    # Preserve Hive partition layout: col=val path components become
+    # inferred columns on read — rewrite them with partitionBy so the
+    # compacted table keeps partition pruning (a flat rewrite would
+    # silently drop the layout every partition-aware reader relies on).
+    part_cols = sorted(
+        {
+            seg.split("=", 1)[0]
+            for f in before
+            for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+            if "=" in seg
+        }
+    )
     staging = path.rstrip("/") + "._compact_tmp"
-    df.repartition(n_out).write.format(fmt).mode("overwrite").save(staging)
+    w = df.repartition(n_out).write.format(fmt).mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.save(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
     return len(before), len(data_files(path))

@@ -62,3 +62,10 @@ def test_provision_table_idempotent(spark, tmp_path):
     assert name in info["tables"]
     assert info["columns"]["claim_id"] == "string"
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_split_statements_escapes_and_block_comments():
+    stmts = catalog.split_statements(
+        "SELECT 'it\\'s; fine' AS x; SELECT 1 /* hidden ; semi */ ; SELECT 2"
+    )
+    assert stmts == ["SELECT 'it\\'s; fine' AS x", "SELECT 1", "SELECT 2"]

@@ -142,3 +142,30 @@ def test_compact_small_files(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == rows_before == 2000
     assert out.agg({"id": "min"}).collect()[0][0] == 0
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "ptbl")
+    df = spark.range(1000).selectExpr("id", "id % 3 AS yr")
+    for _ in range(3):
+        df.write.mode("append").partitionBy("yr").parquet(path)
+    before, after = lio.compact(spark, path)
+    assert after < before
+    import os
+
+    assert any(d.startswith("yr=") for d in os.listdir(path))
+    out = spark.read.parquet(path)
+    assert out.count() == 3000
+    assert out.filter("yr = 1").count() == 999  # pruning path still works
+
+
+def test_dual_sink_keeps_caller_cache(spark, tmp_path):
+    from lakeflow import io as lio
+
+    df = spark.range(100).selectExpr("id", "id % 5 AS g").persist()
+    df.count()
+    lio.write_dual_sink(df, str(tmp_path / "a"), str(tmp_path / "b"))
+    assert df.is_cached  # caller's persist must survive the dual write
+    df.unpersist()

@@ -130,9 +130,19 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_asof_join_single_shuffle(spark, sf_dir):
-    """The as-of composition must shuffle ONCE (on the key for the
-    window) — not once per side plus a join exchange."""
-    p = plan(relational.asof_last_purchase(spark, sf_dir))
-    body = p.split("InMemoryRelation")[0]  # exclude the cached-scan's own exchange
-    assert body.count("Exchange hashpartitioning") <= 1
-    assert "SortMergeJoin" not in body and "CartesianProduct" not in body
+    """The as-of composition itself must shuffle ONCE (the key
+    hash-exchange feeding the window) — not once per side plus a join
+    exchange. Built over plain pre-made frames so the FULL plan is
+    asserted (no cached scans or pre-aggregations to excuse extra
+    exchanges)."""
+    left = spark.range(100).selectExpr(
+        "id % 7 AS k", "cast(id AS double) AS lts", "id AS lid"
+    )
+    right = spark.range(40).selectExpr(
+        "id % 7 AS k", "cast(id * 2 AS double) AS rts", "cast(id AS double) AS val"
+    )
+    j = relational.asof_join(left, right, "k", "lts", "rts", "val")
+    p = plan(j)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
