@@ -311,6 +311,8 @@ FROM claims_raw
 
 STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q1": (relational.tpch_q1, relational.TPCH_Q1_SQL),
+    "q_tpch_q3": (relational.tpch_q3, relational.TPCH_Q3_SQL),
+    "q_tpch_q5": (relational.tpch_q5, relational.TPCH_Q5_SQL),
     "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
     "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
     "q_join_snowflake": (relational.join_snowflake, relational.JOIN_SNOWFLAKE_SQL),
@@ -340,6 +342,7 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 
 EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_events_tumbling": (events.tumbling_counts, events.TUMBLING_SQL),
+    "q_rollup_daily": (events.rollup_daily, events.ROLLUP_DAILY_SQL),
     "q_events_props": (events.props_extract, events.PROPS_SQL),
     "q_events_props_map": (events.props_map_stats, events.PROPS_MAP_SQL),
     "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),

@@ -664,3 +664,94 @@ SELECT l.event_id, l.user_id, l.ts, l.value, r.pval AS last_purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str, segment: str = "BUILDING") -> DataFrame:
+    """Shipping-priority (TPC-H Q3 shape): 3-way join with selective
+    filters on both fact sides + top-10 by aggregated revenue. The
+    customer dim broadcasts; order/lineitem filters push to the scans;
+    the final top-k is TakeOrderedAndProject."""
+    cust = io.read_table(spark, sf_dir, "customer")
+    orders = io.read_table(spark, sf_dir, "orders")
+    li = io.read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == orders.o_orderkey)
+        .join(
+            broadcast(cust.filter(F.col("c_mktsegment") == segment)),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way snowflake with the
+    extra supplier-nation co-location predicate; every dim broadcast,
+    facts shuffle only for the orderkey join."""
+    cust = io.read_table(spark, sf_dir, "customer")
+    orders = io.read_table(spark, sf_dir, "orders")
+    li = io.read_table(spark, sf_dir, "lineitem")
+    supp = io.read_table(spark, sf_dir, "supplier")
+    nation = io.read_table(spark, sf_dir, "nation")
+    region = io.read_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
