@@ -239,3 +239,57 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the embeddings table —
+    the semantic-dedup complement to the lexical MinHash path.
+
+    Exact at test scale: all-pairs via a self-join on vec_id ordering
+    (O(n²) pairs but map-side only — the smaller side broadcasts, no
+    shuffle of the corpus). The 100 TB path swaps the broadcast for the
+    sign-LSH bucket join in lakeflow.ext.similarity.knn_lsh / the IVF
+    lists in knn_ivf — block-then-verify, identical verify expression.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from lakeflow.ext.similarity import _dot, _dvec, _norm
+
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    a, b = emb.alias("a"), broadcast(emb.alias("b"))
+    cos = _dot("a.v", "b.v") / (F.col("a.nv") * F.col("b.nv"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+             / (a.nv * b.nv), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+            / (a.nv * b.nv), 6) >= 0.4
+ORDER BY vec_a, vec_b
+"""

@@ -357,6 +357,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
     "q_dedup_simhash": (dedup.simhash, None),  # rows-only
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, None),  # rows-only
+    # threshold 0.4 so the oracle check compares real pairs (the synthetic
+    # embeddings are near-uniform; 0.95 matches nothing at test scale)
+    "q_dedup_embedding": (
+        lambda spark, sf: dedup.embedding_near_dups(spark, sf, threshold=0.4),
+        dedup.EMBEDDING_NEAR_DUPS_SQL,
+    ),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
