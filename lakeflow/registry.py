@@ -372,6 +372,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    drained via availableNow — EWMA/state cadence is engine-defined →
+    rows-only check (batch-agreement proven in tests/test_streaming.py)."""
+    from lakeflow import streaming
+
+    return streaming.user_stats_snapshot(spark, sf_dir)
+
+
 def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D11 — evaluate the reference DQ suite against derived silver
     claims; report shape is engine-defined → rows-only check."""
@@ -394,6 +403,7 @@ def _bronze_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dq_report": (_dq_report, None),
     "q_bronze_metadata": (_bronze_metadata, None),
+    "q_user_stats_stateful": (_user_stats_stateful, None),
 }
 
 

@@ -505,10 +505,15 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact count —
     the constant-memory scale path for distinct cardinality (exact
     countDistinct needs a full shuffle of the key set). Sketch values
-    are engine-specific → rows-only; the test asserts <5% error."""
+    are engine-specific → rows-only; the test asserts <5% error.
+
+    rsd=0.01 (vs the 0.05 default) keeps the 5% bound a 5-sigma event
+    across scale factors for ~24 KB of sketch per partition — the right
+    trade at 100 TB, where the sketch size is noise but a flaky
+    cardinality (default rsd leaves 5% as a 1-sigma miss) is not."""
     o = io.read_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custkeys"),
         F.countDistinct("o_custkey").alias("exact_custkeys"),
     )
 

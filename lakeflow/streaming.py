@@ -140,6 +140,135 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def user_stats_stateful_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics the built-in streaming aggregates can't
+    express. Per user it maintains running (count, total, order-sensitive
+    EWMA of value, distinct-event-type set) across micro-batches, emits
+    the running snapshot each batch (update mode), and emits a final
+    ``closed=true`` row when event-time timeout fires (no activity for
+    ``gap`` past the watermark) — a "session close with custom summary"
+    that ``session_window`` cannot produce (EWMA is order-dependent and
+    the distinct-type set is a custom accumulator).
+
+    Scale: state is O(users) and bounded per key (fixed-width numbers +
+    a ≤32-entry type set); the event-time timeout evicts idle keys, so
+    state does not grow with stream length. Arrow batches in/out, state
+    store partitioned by the shuffle on user_id — the same plan runs on
+    a 1000-executor cluster with RocksDB state backend.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    user_type = dict(events.dtypes)["user_id"]
+    out_schema = (
+        f"user_id {user_type}, n_events bigint, total_value double, "
+        "ewma_value double, n_event_types int, last_ts timestamp, closed boolean"
+    )
+    state_schema = (
+        "n_events bigint, total_value double, ewma_value double, "
+        "types_csv string, last_ts_micros bigint"
+    )
+
+    def fn(key, pdfs, state):  # runs on executors, Arrow-batched
+        import pandas as pd
+
+        uid = key[0]
+        if state.hasTimedOut:
+            n, tot, ewma, types_csv, last_us = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_events": [n],
+                    "total_value": [tot],
+                    "ewma_value": [ewma],
+                    "n_event_types": [len(types_csv.split(",")) if types_csv else 0],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "closed": [True],
+                }
+            )
+            state.remove()
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            n, tot, ewma, types_csv, last_us = state.get
+            types = set(types_csv.split(",")) if types_csv else set()
+        else:
+            n, tot, ewma, types, last_us = 0, 0.0, None, set(), 0
+        vals = pdf["value"].astype(float)
+        n += len(pdf)
+        tot += float(vals.sum())
+        for v in vals:
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+        if len(types) < 32:  # bounded-state cap
+            types.update(pdf["event_type"].astype(str))
+        last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+        types_csv = ",".join(sorted(types))
+        state.update((n, tot, ewma, types_csv, last_us))
+        timeout_ms = max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n],
+                "total_value": [tot],
+                "ewma_value": [ewma],
+                "n_event_types": [len(types)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "closed": [False],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """'30 minutes' → milliseconds (CalendarInterval-style unit words)."""
+    qty, unit = spec.split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(qty) * mult
+
+
+def user_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: drain the stateful stream with
+    availableNow and reduce to the last emission per user (rows-only —
+    EWMA/state emission cadence is engine-defined)."""
+    import tempfile
+
+    out = run_available_now(
+        user_stats_stateful_stream(events_stream(spark, sf_dir)),
+        tempfile.mkdtemp(prefix="lakeflow_state_"),
+        output_mode="update",
+    )
+    last = F.max_by(
+        F.struct("n_events", "total_value", "ewma_value", "n_event_types", "last_ts"),
+        F.struct("n_events", "closed"),
+    ).alias("s")
+    return out.groupBy("user_id").agg(last).select("user_id", "s.*")
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

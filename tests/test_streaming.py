@@ -96,6 +96,66 @@ def test_dedup_stream(spark, sf_dir, tmp_path):
     assert n_unique == base
 
 
+def test_stateful_user_stats_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals: after draining the whole
+    stream, the last emission per user equals the batch aggregate."""
+    got = streaming.user_stats_snapshot(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = {r.user_id: (r.n_events, round(r.total_value, 6), r.n_event_types, r.last_ts) for r in got.collect()}
+    w = {r.user_id: (r.n_events, round(r.total_value, 6), r.n_event_types, r.last_ts) for r in want.collect()}
+    assert g == w
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """State persists across stream restarts via the checkpoint: two
+    availableNow runs over incrementally-arriving files accumulate, and
+    the event-time timeout emits a closed-session row for a user idle
+    past gap+watermark."""
+    import pandas as pd
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drain():
+        ev = spark.readStream.schema(schema).parquet(str(src))
+        stream = streaming.user_stats_stateful_stream(
+            ev, gap="10 minutes", watermark="10 minutes"
+        )
+        return streaming.run_available_now(stream, ckpt, output_mode="update")
+
+    write_batch("b1", [(1, "2026-01-01 10:00", 1, "a", 1.0), (2, "2026-01-01 10:01", 1, "b", 3.0)])
+    out1 = drain().collect()
+    assert {(r.user_id, r.n_events, r.total_value) for r in out1} == {(1, 2, 4.0)}
+
+    # second batch: user 1 gets one more event (state accumulates);
+    # user 2 appears; the advancing watermark will close user sessions
+    # in a later no-data micro-batch once idle past the gap.
+    write_batch("b2", [(3, "2026-01-01 11:00", 1, "a", 5.0), (4, "2026-01-01 11:00", 2, "c", 7.0)])
+    out2 = drain().collect()
+    by_user = {r.user_id: r for r in out2 if not r.closed}
+    assert by_user[1].n_events == 3 and by_user[1].total_value == 9.0
+    assert by_user[1].n_event_types == 2
+    assert by_user[2].n_events == 1 and by_user[2].total_value == 7.0
+
+
 def test_watermark_append_mode_emits_closed_windows(spark, sf_dir, tmp_path):
     """Append mode with a watermark only emits windows the watermark has
     passed — the late-data contract (windows near max event time stay
