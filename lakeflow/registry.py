@@ -369,6 +369,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_knn_pandas": (similarity.knn_bruteforce_pandas, None),  # Arrow path — rows-only
     "q_knn_ivf": (similarity.knn_ivf, None),  # approximate — rows-only
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
+    "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
 }
 
 

@@ -88,6 +88,30 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     assert feats.count() == n_src
 
 
+def test_resize_plumbing(spark, sf_dir):
+    out = multimodal.resize_images(
+        multimodal.synthesize_binary_docs(spark, sf_dir), out_w=16, out_h=16
+    )
+    rows = out.orderBy("doc_id").take(3)
+    assert all(r.out_len == 16 * 16 * 3 for r in rows)
+    assert all(0 <= r.checksum < 65_536 for r in rows)
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    """Every video fans out to duration//1000 + 1 frame rows with
+    monotone frame timestamps and distinct per-frame payloads."""
+    vids = multimodal.synthesize_videos(spark, sf_dir)
+    frames = multimodal.sample_frames(vids, every_ms=1_000)
+    one = frames.filter(F.col("doc_id") == 1).orderBy("frame_idx").collect()
+    dur = vids.filter(F.col("doc_id") == 1).first().duration_ms
+    assert len(one) == dur // 1_000 + 1
+    assert [r.frame_ts_ms for r in one] == [i * 1_000 for i in range(len(one))]
+    assert len({bytes(r.frame_bytes) for r in one}) == len(one)
+    n_vids = vids.count()
+    stats = multimodal.frame_sample_stats(spark, sf_dir)
+    assert stats.count() == n_vids
+
+
 def test_decode_stub_rejects_unknown_mime():
     import pytest
 
