@@ -87,9 +87,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
     100 TB. ``h2`` is bounded to int range so ``i*h2`` stays ANSI-safe
     (no bigint overflow for K ≤ ~2^32).
     """
-    sh = tokenized(docs).select(
+    # NULL text is the only way to an empty/NULL shingle array (sequence
+    # always emits index 0, so non-null text yields ≥1 shingle). Filter
+    # on the RAW column — a filter on size(shingles) would be pushed
+    # below the projections by PushDownPredicates, duplicating the whole
+    # shingle derivation inside the Filter (2× the map work; measured
+    # ~2× on this stage). text IS NOT NULL reaches the parquet scan.
+    sh = tokenized(docs.filter(F.col("text").isNotNull())).select(
         "doc_id", _shingles(F.col("tokens"), shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    )
 
     hashed = F.transform(
         "shingles",

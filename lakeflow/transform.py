@@ -207,5 +207,17 @@ def clean_claims(df: DataFrame) -> DataFrame:
         ],
         default=1.0,
     )
-    df = threshold_filter(df, "data_quality_score", 0.5)
+    # The reference gate is threshold_filter(score >= 0.5)
+    # (claims_to_iceberg.py:85). Under this rule ladder that predicate
+    # is EXACTLY member_id IS NOT NULL: the only sub-0.5 scores are 0.0
+    # (claim_id NULL — impossible after not_null_filter above) and 0.3
+    # (member_id NULL); every other rung (0.5/0.7/1.0) passes. Filtering
+    # on the raw column matters because PushDownPredicates would
+    # otherwise substitute the whole score CASE — including the
+    # multi-format date parse it references — into the Filter and push
+    # it below the projections: every row then evaluates the full
+    # derivation twice (a measured ~45 KB Filter expression; ~2× the
+    # silver materialization cost). tests/test_transform.py proves the
+    # two filters select identical rows.
+    df = not_null_filter(df, "member_id")
     return df

@@ -117,6 +117,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
 
 
+def test_silver_filters_stay_cheap(spark, sf_dir):
+    """The silver quality gate must filter on raw columns — if a filter
+    on the DERIVED score column reappears, PushDownPredicates inlines
+    the whole score CASE (and the date parse it references) into the
+    Filter, and every row evaluates the derivation twice (~2× measured
+    silver materialization cost)."""
+    from lakeflow import transform
+
+    df = transform.clean_claims(claims.claims_raw(spark, sf_dir))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        s = line.strip().lstrip("+- ")
+        if s.startswith("Filter"):
+            assert "make_date" not in s, f"date parse duplicated into Filter: {s[:200]}"
+            assert len(s) < 4000, f"suspiciously fat Filter ({len(s)} chars)"
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
