@@ -178,6 +178,97 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def upsert_by_key(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Keyed upsert (MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT) on
+    a plain parquet table — the incremental-refresh primitive the
+    reference's append-only pipeline lacks (its roadmap defers it,
+    /root/reference/README.md:189-195; Delta MERGE is the managed-format
+    equivalent).
+
+    Scale design: only partitions TOUCHED by ``updates`` are read and
+    rewritten. The touched-partition list is collected driver-side (by
+    design small — it's the update batch's partition fan-out, not the
+    table's), existing rows load with literal partition predicates
+    (static pruning reaches the file listing), matched keys are removed
+    with a left-anti join (shuffle bounded by the touched partitions,
+    not the table), and the rewrite goes through a staging dir swapped
+    in per-partition — untouched partitions are never read, never
+    rewritten. Constraint (same as any partition-scoped merge): a key's
+    partition values must be stable across versions.
+
+    ``order_col``: when the update batch can contain multiple versions
+    of one key, the row with the greatest order_col wins; ``None``
+    asserts batch-unique keys.
+
+    Returns {"matched": keys replaced, "inserted": new keys}.
+    """
+    import shutil
+
+    keys = [F.col(k) for k in key_cols]
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        )
+        updates = updates.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+    exists = os.path.isdir(path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    )
+    if not exists:
+        write_partitioned(updates, path, partition_by, fmt=fmt, mode="overwrite")
+        return {"matched": 0, "inserted": updates.count()}
+
+    if partition_by:
+        touched = [
+            tuple(r) for r in updates.select(*partition_by).distinct().collect()
+        ]
+        pred = None
+        for values in touched:
+            conj = None
+            for col, v in zip(partition_by, values):
+                c = F.col(col) == F.lit(v)
+                conj = c if conj is None else conj & c
+            pred = conj if pred is None else pred | conj
+        existing = spark.read.format(fmt).load(path).filter(pred)
+    else:
+        existing = spark.read.format(fmt).load(path)
+
+    matched = existing.join(updates.select(*key_cols), list(key_cols), "left_semi").count()
+    kept = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+
+    staging = path.rstrip("/") + "._upsert_tmp"
+    write_partitioned(merged, staging, partition_by, fmt=fmt, mode="overwrite")
+    if partition_by:
+        # swap only the touched partition directories
+        for values in touched:
+            rel = os.path.join(
+                *[f"{c}={v}" for c, v in zip(partition_by, values)]
+            )
+            dst = os.path.join(path, rel)
+            src = os.path.join(staging, rel)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+        shutil.rmtree(staging)
+    else:
+        shutil.rmtree(path)
+        os.rename(staging, path)
+    return {"matched": matched, "inserted": updates.count() - matched}
+
+
 def compact(
     spark: SparkSession,
     path: str,

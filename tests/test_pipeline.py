@@ -169,3 +169,55 @@ def test_dual_sink_keeps_caller_cache(spark, tmp_path):
     lio.write_dual_sink(df, str(tmp_path / "a"), str(tmp_path / "b"))
     assert df.is_cached  # caller's persist must survive the dual write
     df.unpersist()
+
+
+def test_upsert_by_key_partition_scoped(spark, tmp_path):
+    """Keyed MERGE on plain parquet: matched keys replaced, new keys
+    inserted, and UNTOUCHED partitions' files are never rewritten."""
+    import glob
+    import os
+
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2023), (3, "c", 2024), (4, "d", 2024)],
+        "id long, val string, year int",
+    )
+    r0 = lio.upsert_by_key(spark, base, path, ("id",), partition_by=("year",))
+    assert r0 == {"matched": 0, "inserted": 4}
+
+    files_2023_before = sorted(glob.glob(os.path.join(path, "year=2023", "*")))
+    mtimes = {f: os.path.getmtime(f) for f in files_2023_before}
+
+    updates = spark.createDataFrame(
+        [(3, "c2", 2024), (5, "e", 2024), (6, "f", 2025)],
+        "id long, val string, year int",
+    )
+    r1 = lio.upsert_by_key(spark, updates, path, ("id",), partition_by=("year",))
+    assert r1 == {"matched": 1, "inserted": 2}
+
+    out = {(r.id, r.val, r.year) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        (1, "a", 2023), (2, "b", 2023),
+        (3, "c2", 2024), (4, "d", 2024), (5, "e", 2024),
+        (6, "f", 2025),
+    }
+    files_2023_after = sorted(glob.glob(os.path.join(path, "year=2023", "*")))
+    assert files_2023_after == files_2023_before
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files_2023_after)
+
+
+def test_upsert_latest_wins_within_batch(spark, tmp_path):
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "t2")
+    base = spark.createDataFrame([(1, "old", 1)], "id long, val string, v int")
+    lio.upsert_by_key(spark, base, path, ("id",))
+    updates = spark.createDataFrame(
+        [(1, "mid", 2), (1, "new", 3), (2, "x", 1)], "id long, val string, v int"
+    )
+    r = lio.upsert_by_key(spark, updates, path, ("id",), order_col="v")
+    assert r == {"matched": 1, "inserted": 1}
+    out = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "new"), (2, "x")}
