@@ -1,0 +1,116 @@
+"""Sampling operators for training-data pipelines.
+
+Three samplers with different determinism/scale trade-offs:
+
+- :func:`hash_sample` / :func:`train_test_split` — CONTENT-HASH
+  sampling: membership is a pure function of the row key (md5 hex
+  prefix), so the sample is reproducible across engines, runs, and
+  repartitioning, rows can be assigned to splits with no RNG state,
+  and late-arriving data lands in the same split forever. This is the
+  right default for 100 TB training corpora (no seed coordination
+  across executors, no sampling drift between pipeline runs) and it is
+  exactly mirrorable in SQL → oracle-checked.
+- :func:`stratified_sample` — Spark's ``sampleBy`` (per-stratum
+  Bernoulli): cheap one-pass, but engine-RNG-specific → rows-only,
+  property-tested (per-class proportions within binomial tolerance).
+
+No shuffles anywhere: all three are scan + filter/project; the hash
+samplers push nothing BUT a cheap md5-prefix predicate below the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+
+def _bucket(key: F.Column, buckets: int = 256) -> F.Column:
+    """Stable [0, buckets) bucket from the md5 hex prefix of a key —
+    identical in any engine with md5 (two lowercase hex chars = 256
+    buckets; conv() exists in Spark but not DuckDB, string compare and
+    unhex-free arithmetic keep the expression portable)."""
+    hx = F.substring(F.md5(key.cast("string")), 1, 2)
+    digit = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+    return digit(F.substring(hx, 1, 1)) * 16 + digit(F.substring(hx, 2, 1))
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction_256: int = 51
+) -> DataFrame:
+    """Deterministic ~(fraction_256/256) sample: keep rows whose key
+    hashes into the first ``fraction_256`` of 256 md5 buckets."""
+    return df.filter(_bucket(F.col(key)) < fraction_256)
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: deterministic 51/256 (~20%) document sample."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id").select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+SAMPLE_DOCS_SQL = """
+WITH b AS (
+    SELECT doc_id, lang, source,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, source FROM b WHERE bucket < 51 ORDER BY doc_id
+"""
+
+
+def train_test_split(
+    spark: SparkSession, sf_dir: str, test_256: int = 26, val_256: int = 26
+) -> DataFrame:
+    """Reproducible 3-way split by content hash: buckets [0, test) →
+    test, [test, test+val) → val, rest → train. Returns per-split ×
+    per-lang counts (the assignment audit a training pipeline logs)."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < test_256, "test")
+        .when(b < test_256 + val_256, "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH b AS (
+    SELECT lang,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 26 THEN 'test'
+            WHEN bucket < 52 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS docs
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample over documents (Spark ``sampleBy``).
+    Engine-RNG-dependent membership → rows-only; per-class proportions
+    are property-tested. At scale this is one pass, no shuffle — the
+    stratum column needs no pre-aggregation."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    if fractions is None:
+        langs = [r[0] for r in docs.select("lang").distinct().collect()]
+        fractions = {lg: 0.2 for lg in langs}
+    return docs.sampleBy("lang", fractions, seed=seed).select(
+        "doc_id", "lang", "source"
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from lakeflow import claims, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
-from lakeflow.ext import dedup, events, multimodal, similarity, text
+from lakeflow.ext import dedup, events, multimodal, sampling, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -255,6 +255,20 @@ SELECT COUNT(CASE WHEN claim_id IS NULL THEN 1 END) AS null_claim_ids,
 FROM claims
 """),
     ),
+    "q_pivot_category": (
+        _silver(views.pivot_category_amounts),
+        oracle("""
+SELECT service_year, service_month,
+       coalesce(SUM(CASE WHEN claim_amount_category = 'ZERO' THEN claim_amount END), 0.0) AS zero_amount,
+       coalesce(SUM(CASE WHEN claim_amount_category = 'LOW' THEN claim_amount END), 0.0) AS low_amount,
+       coalesce(SUM(CASE WHEN claim_amount_category = 'MEDIUM' THEN claim_amount END), 0.0) AS medium_amount,
+       coalesce(SUM(CASE WHEN claim_amount_category = 'HIGH' THEN claim_amount END), 0.0) AS high_amount,
+       coalesce(SUM(CASE WHEN claim_amount_category = 'VERY_HIGH' THEN claim_amount END), 0.0) AS very_high_amount
+FROM claims
+GROUP BY service_year, service_month
+ORDER BY service_year, service_month
+"""),
+    ),
     "q_topk": (
         _silver(views.topk_newest),
         oracle("""
@@ -370,6 +384,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_knn_ivf": (similarity.knn_ivf, None),  # approximate — rows-only
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
+    "q_sample_hash": (sampling.sample_documents, sampling.SAMPLE_DOCS_SQL),
+    "q_train_test_split": (sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL),
+    "q_sample_stratified": (sampling.stratified_sample, None),  # engine RNG — rows-only
 }
 
 

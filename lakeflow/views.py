@@ -337,3 +337,27 @@ def dq_aggregates(silver: DataFrame) -> DataFrame:
         _avg_score("mean_quality_score"),
         F.count("*").alias("total_rows"),
     )
+
+
+CATEGORY_ORDER = ("ZERO", "LOW", "MEDIUM", "HIGH", "VERY_HIGH")
+
+
+def pivot_category_amounts(silver: DataFrame) -> DataFrame:
+    """Wide month × category amount matrix via ``pivot`` with EXPLICIT
+    pivot values — the values list matters at scale: without it Spark
+    runs an extra distinct-collect job over the fact table to discover
+    the columns. Equivalent to five conditional sums (the SQL mirror),
+    which is exactly the physical plan pivot compiles to: one partial+
+    final hash aggregate, no extra shuffle versus a plain groupBy."""
+    wide = (
+        silver.groupBy("service_year", "service_month")
+        .pivot("claim_amount_category", list(CATEGORY_ORDER))
+        .agg(F.sum(F.col("claim_amount").cast("decimal(18,2)")))
+    )
+    cols = [
+        F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(f"{c.lower()}_amount")
+        for c in CATEGORY_ORDER
+    ]
+    return wide.select("service_year", "service_month", *cols).orderBy(
+        "service_year", "service_month"
+    )

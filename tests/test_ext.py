@@ -195,3 +195,42 @@ def test_winnowing_containment_property(spark, sf_dir):
 
     corpus = t.winnow_fingerprints(spark, sf_dir)
     assert corpus.agg(F.min("n_fingerprints")).collect()[0][0] >= 1
+
+
+def test_hash_sample_is_repartition_invariant(spark, sf_dir):
+    """Content-hash sampling must select the same rows regardless of
+    physical layout — the reproducibility contract seed-based sampling
+    cannot give."""
+    from lakeflow.ext import sampling
+
+    a = {r.doc_id for r in sampling.sample_documents(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    b = {r.doc_id for r in sampling.hash_sample(docs, "doc_id").select("doc_id").collect()}
+    assert a == b
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~51/256 ≈ 20%
+
+
+def test_train_test_split_partitions_everything_once(spark, sf_dir):
+    from lakeflow.ext import sampling
+
+    out = sampling.train_test_split(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.docs for r in out) == n
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from lakeflow.ext import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    samp = sampling.stratified_sample(spark, sf_dir)
+    got = {r.lang: r.cnt for r in samp.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    import math
+
+    for lang, n in base.items():
+        # binomial(n, 0.2): mean 0.2n, sd sqrt(n*0.2*0.8); allow 4 sigma
+        tol = 4 * math.sqrt(n * 0.2 * 0.8)
+        assert abs(got.get(lang, 0) - 0.2 * n) <= max(tol, 3), (lang, n, got.get(lang))
