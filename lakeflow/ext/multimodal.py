@@ -27,7 +27,10 @@ def synthesize_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake 'image' payloads: 64 bytes derived from the
     document text (md5 ×4), plus typed metadata — the schema a real
     multimodal table would have (payload binary, mime string, meta)."""
-    docs = io.read_table(spark, sf_dir, "documents")
+    # NULL text would synthesize a NULL payload and crash the decode
+    # stubs executor-side (len(None)/None[:8]); a real ingest would
+    # reject payload-less rows at the edge the same way.
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payload_hex = F.concat(*[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(4)])
     return docs.select(
         "doc_id",
@@ -126,7 +129,7 @@ def synthesize_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column plus the typed metadata a real video table carries
     (duration_ms, fps). duration is a closed-form function of doc_id so
     frame-sampling results stay oracle-checkable."""
-    docs = io.read_table(spark, sf_dir, "documents")
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         F.unhex(F.md5(F.col("text"))).alias("payload"),
@@ -184,7 +187,7 @@ SELECT doc_id,
        CAST((1000 + (doc_id * 37) % 9000) // 1000 + 1 AS BIGINT) AS n_frames,
        CAST(((1000 + (doc_id * 37) % 9000) // 1000) * 1000 AS INTEGER) AS last_frame_ts_ms,
        CAST(12 AS INTEGER) AS frame_len
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -203,5 +206,5 @@ SELECT doc_id,
        CAST(64 + doc_id % 512 AS INTEGER) AS width,
        CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
        64 AS byte_len
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """

@@ -205,8 +205,9 @@ def upsert_by_key(
     partition values must be stable across versions.
 
     ``order_col``: when the update batch can contain multiple versions
-    of one key, the row with the greatest order_col wins; ``None``
-    asserts batch-unique keys.
+    of one key, the row with the greatest order_col wins; with ``None``
+    a duplicate-keyed batch is rejected (ValueError) — silently writing
+    both versions would corrupt the table's key invariant.
 
     Returns {"matched": keys replaced, "inserted": new keys}.
     """
@@ -221,52 +222,86 @@ def upsert_by_key(
         )
         updates = updates.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
-    exists = os.path.isdir(path) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(path)
-    )
-    if not exists:
-        write_partitioned(updates, path, partition_by, fmt=fmt, mode="overwrite")
-        return {"matched": 0, "inserted": updates.count()}
+    # The batch is consumed by several jobs below (partition discovery,
+    # matched count, the write, the insert count) — materialize it once
+    # instead of re-running its lineage (incl. the dedup window) per job.
+    updates = updates.persist()
+    try:
+        n_updates = updates.count()
+        if order_col is None:
+            n_keys = updates.select(*key_cols).distinct().count()
+            if n_keys != n_updates:
+                raise ValueError(
+                    f"update batch has {n_updates - n_keys} duplicate key(s); "
+                    "pass order_col to pick a winner"
+                )
 
-    if partition_by:
-        touched = [
-            tuple(r) for r in updates.select(*partition_by).distinct().collect()
-        ]
-        pred = None
-        for values in touched:
-            conj = None
-            for col, v in zip(partition_by, values):
-                c = F.col(col) == F.lit(v)
-                conj = c if conj is None else conj & c
-            pred = conj if pred is None else pred | conj
-        existing = spark.read.format(fmt).load(path).filter(pred)
-    else:
-        existing = spark.read.format(fmt).load(path)
+        exists = os.path.isdir(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+        if not exists:
+            write_partitioned(updates, path, partition_by, fmt=fmt, mode="overwrite")
+            return {"matched": 0, "inserted": n_updates}
+        if n_updates == 0:
+            return {"matched": 0, "inserted": 0}
 
-    matched = existing.join(updates.select(*key_cols), list(key_cols), "left_semi").count()
-    kept = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")
-    merged = kept.unionByName(updates.select(*existing.columns))
+        if partition_by:
+            touched = [
+                tuple(r) for r in updates.select(*partition_by).distinct().collect()
+            ]
+            pred = None
+            for values in touched:
+                conj = None
+                for col, v in zip(partition_by, values):
+                    c = F.col(col).isNull() if v is None else F.col(col) == F.lit(v)
+                    conj = c if conj is None else conj & c
+                pred = conj if pred is None else pred | conj
+            existing = spark.read.format(fmt).load(path).filter(pred)
+        else:
+            existing = spark.read.format(fmt).load(path)
 
-    staging = path.rstrip("/") + "._upsert_tmp"
-    write_partitioned(merged, staging, partition_by, fmt=fmt, mode="overwrite")
-    if partition_by:
-        # swap only the touched partition directories
-        for values in touched:
-            rel = os.path.join(
-                *[f"{c}={v}" for c, v in zip(partition_by, values)]
-            )
-            dst = os.path.join(path, rel)
-            src = os.path.join(staging, rel)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
+        matched = existing.join(
+            updates.select(*key_cols), list(key_cols), "left_semi"
+        ).count()
+        kept = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")
+        merged = kept.unionByName(updates.select(*existing.columns))
+
+        staging = path.rstrip("/") + "._upsert_tmp"
+        write_partitioned(merged, staging, partition_by, fmt=fmt, mode="overwrite")
+        if partition_by:
+            # Swap the partition directories Spark actually wrote into
+            # staging (never re-derive dir names from values — Spark
+            # Hive-escapes specials, renders NULL as
+            # __HIVE_DEFAULT_PARTITION__, booleans lowercase, etc.;
+            # staging holds exactly the touched partitions since merged
+            # carries every update row).
+            depth = len(partition_by)
+
+            def leaf_dirs(root: str, d: int) -> list[str]:
+                out = [""]
+                for _ in range(d):
+                    out = [
+                        os.path.join(rel, e)
+                        for rel in out
+                        for e in os.listdir(os.path.join(root, rel) if rel else root)
+                        if "=" in e
+                        and os.path.isdir(os.path.join(root, rel, e))
+                    ]
+                return out
+
+            for rel in leaf_dirs(staging, depth):
+                dst = os.path.join(path, rel)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(src, dst)
-        shutil.rmtree(staging)
-    else:
-        shutil.rmtree(path)
-        os.rename(staging, path)
-    return {"matched": matched, "inserted": updates.count() - matched}
+                os.rename(os.path.join(staging, rel), dst)
+            shutil.rmtree(staging)
+        else:
+            shutil.rmtree(path)
+            os.rename(staging, path)
+        return {"matched": matched, "inserted": n_updates - matched}
+    finally:
+        updates.unpersist()
 
 
 def compact(

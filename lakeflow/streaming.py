@@ -172,22 +172,24 @@ def user_stats_stateful_stream(
     )
     state_schema = (
         "n_events bigint, total_value double, ewma_value double, "
-        "types_csv string, last_ts_micros bigint"
+        "types_json string, last_ts_micros bigint"
     )
 
     def fn(key, pdfs, state):  # runs on executors, Arrow-batched
+        import json
+
         import pandas as pd
 
         uid = key[0]
         if state.hasTimedOut:
-            n, tot, ewma, types_csv, last_us = state.get
+            n, tot, ewma, types_json, last_us = state.get
             yield pd.DataFrame(
                 {
                     "user_id": [uid],
                     "n_events": [n],
                     "total_value": [tot],
                     "ewma_value": [ewma],
-                    "n_event_types": [len(types_csv.split(",")) if types_csv else 0],
+                    "n_event_types": [len(json.loads(types_json))],
                     "last_ts": [pd.Timestamp(last_us, unit="us")],
                     "closed": [True],
                 }
@@ -197,8 +199,8 @@ def user_stats_stateful_stream(
 
         pdf = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            n, tot, ewma, types_csv, last_us = state.get
-            types = set(types_csv.split(",")) if types_csv else set()
+            n, tot, ewma, types_json, last_us = state.get
+            types = set(json.loads(types_json))
         else:
             n, tot, ewma, types, last_us = 0, 0.0, None, set(), 0
         vals = pdf["value"].astype(float)
@@ -206,11 +208,16 @@ def user_stats_stateful_stream(
         tot += float(vals.sum())
         for v in vals:
             ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
-        if len(types) < 32:  # bounded-state cap
-            types.update(pdf["event_type"].astype(str))
+        # strict bounded-state cap: update, then truncate to the 32
+        # lexicographically-first types (a pre-update len check would
+        # let one wide micro-batch blow past the bound)
+        types.update(pdf["event_type"].astype(str))
+        if len(types) > 32:
+            types = set(sorted(types)[:32])
         last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
-        types_csv = ",".join(sorted(types))
-        state.update((n, tot, ewma, types_csv, last_us))
+        # JSON round-trip — a joined-string encoding corrupts on types
+        # containing the separator and loses the empty-string type
+        state.update((n, tot, ewma, json.dumps(sorted(types)), last_us))
         timeout_ms = max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
         state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
@@ -262,9 +269,13 @@ def user_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="lakeflow_state_"),
         output_mode="update",
     )
+    # "last emission" = greatest event time seen, then closed beats the
+    # running row it duplicates (same last_ts). Ordering by n_events
+    # would wrongly prefer a closed-out big session over a newer small
+    # one after a timeout close + reopen.
     last = F.max_by(
         F.struct("n_events", "total_value", "ewma_value", "n_event_types", "last_ts"),
-        F.struct("n_events", "closed"),
+        F.struct("last_ts", "closed"),
     ).alias("s")
     return out.groupBy("user_id").agg(last).select("user_id", "s.*")
 
@@ -273,12 +284,17 @@ def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,
     output_mode: str = "append",
+    name: str | None = None,
 ) -> DataFrame:
     """Drain a stream with trigger(availableNow=True) into an in-memory
     table and return it as a DataFrame — the test/driver harness for the
     streaming operators (one incremental batch, same semantics a
-    long-running trigger would apply per micro-batch)."""
-    name = f"lakeflow_stream_{uuid.uuid4().hex[:8]}"
+    long-running trigger would apply per micro-batch).
+
+    Pass a fixed ``name`` to PIN the checkpoint across calls — that is
+    what makes a second drain a real restart (resumed state + file-source
+    exactly-once) instead of a fresh replay under a new checkpoint."""
+    name = name or f"lakeflow_stream_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -289,6 +305,30 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def drain_collect(
+    stream_df: DataFrame,
+    checkpoint_loc: str,
+    output_mode: str = "update",
+) -> list:
+    """Drain with trigger(availableNow=True) through foreachBatch and
+    return the emitted rows. Unlike the memory sink, foreachBatch IS
+    checkpoint-recoverable — re-draining with the same checkpoint_loc
+    resumes state and source offsets (a true restart), which is what
+    the stateful-operator recovery tests need."""
+    rows: list = []
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, batch_id: rows.extend(df.collect())
+        )
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_loc)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
 
 
 def run_to_parquet(

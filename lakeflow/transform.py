@@ -179,10 +179,11 @@ CLAIM_AMOUNT_BANDS: tuple[tuple[float | None, str], ...] = (
 )
 
 
-def clean_claims(df: DataFrame) -> DataFrame:
-    """Full silver transform — exact semantics of
-    /root/reference/jobs/silver/claims_to_iceberg.py:45-88, composed
-    from the generic operators above.
+def clean_claims_scored(df: DataFrame) -> DataFrame:
+    """The silver transform up to (and including) the quality score,
+    WITHOUT the final quality gate — the shared ladder both
+    ``clean_claims`` and the gate-equivalence test build on, so the
+    proof can never drift from the shipped chain.
 
     Input columns: claim_id, member_id, provider_name, claim_amount,
     service_date (string) (+ passthrough lineage columns).
@@ -207,6 +208,13 @@ def clean_claims(df: DataFrame) -> DataFrame:
         ],
         default=1.0,
     )
+    return df
+
+
+def clean_claims(df: DataFrame) -> DataFrame:
+    """Full silver transform — exact semantics of
+    /root/reference/jobs/silver/claims_to_iceberg.py:45-88."""
+    df = clean_claims_scored(df)
     # The reference gate is threshold_filter(score >= 0.5)
     # (claims_to_iceberg.py:85). Under this rule ladder that predicate
     # is EXACTLY member_id IS NOT NULL: the only sub-0.5 scores are 0.0

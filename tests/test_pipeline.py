@@ -221,3 +221,45 @@ def test_upsert_latest_wins_within_batch(spark, tmp_path):
     assert r == {"matched": 1, "inserted": 1}
     out = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
     assert out == {(1, "new"), (2, "x")}
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "t3")
+    base = spark.createDataFrame([(1, "a", 2024)], "id long, val string, year int")
+    lio.upsert_by_key(spark, base, path, ("id",), partition_by=("year",))
+    empty = spark.createDataFrame([], "id long, val string, year int")
+    r = lio.upsert_by_key(spark, empty, path, ("id",), partition_by=("year",))
+    assert r == {"matched": 0, "inserted": 0}
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_rejects_duplicate_keys_without_order(spark, tmp_path):
+    import pytest
+
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "t4")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, val string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        lio.upsert_by_key(spark, dup, path, ("id",))
+
+
+def test_upsert_escaped_partition_values(spark, tmp_path):
+    """Partition values needing Hive escaping (spaces/colons) must swap
+    correctly — dir names come from what Spark wrote, not re-derived."""
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "t5")
+    base = spark.createDataFrame(
+        [(1, "a", "North America"), (2, "b", "x:y")], "id long, val string, region string"
+    )
+    lio.upsert_by_key(spark, base, path, ("id",), partition_by=("region",))
+    updates = spark.createDataFrame(
+        [(1, "a2", "North America"), (3, "c", "x:y")], "id long, val string, region string"
+    )
+    r = lio.upsert_by_key(spark, updates, path, ("id",), partition_by=("region",))
+    assert r == {"matched": 1, "inserted": 1}
+    out = {(x.id, x.val, x.region) for x in spark.read.parquet(path).collect()}
+    assert out == {(1, "a2", "North America"), (2, "b", "x:y"), (3, "c", "x:y")}

@@ -115,17 +115,18 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_stateful_state_survives_restart(spark, tmp_path):
-    """State persists across stream restarts via the checkpoint: two
-    availableNow runs over incrementally-arriving files accumulate, and
-    the event-time timeout emits a closed-session row for a user idle
-    past gap+watermark."""
+    """A REAL restart: both drains pin the same checkpoint (name=), so
+    the second drain resumes state and the file source's exactly-once
+    manifest instead of replaying. Asserts: (a) accumulation across
+    restarts, (b) no reprocessing of batch-1 files, (c) the event-time
+    timeout emits a closed row for a user idle past the watermark."""
     import pandas as pd
 
     src = tmp_path / "ev"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
 
-    def write_batch(name, rows):
+    def write_batch(rows):
         pdf = pd.DataFrame(
             rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
         )
@@ -136,24 +137,55 @@ def test_stateful_state_survives_restart(spark, tmp_path):
 
     def drain():
         ev = spark.readStream.schema(schema).parquet(str(src))
+        # gap (6 h) far exceeds the per-drain watermark advance, so
+        # sessions stay OPEN across the first restart (a gap smaller
+        # than the advance would — correctly — close every idle session
+        # in the trailing no-data micro-batch before the next drain).
         stream = streaming.user_stats_stateful_stream(
-            ev, gap="10 minutes", watermark="10 minutes"
+            ev, gap="6 hours", watermark="10 minutes"
         )
-        return streaming.run_available_now(stream, ckpt, output_mode="update")
+        return streaming.drain_collect(stream, ckpt, output_mode="update")
 
-    write_batch("b1", [(1, "2026-01-01 10:00", 1, "a", 1.0), (2, "2026-01-01 10:01", 1, "b", 3.0)])
-    out1 = drain().collect()
-    assert {(r.user_id, r.n_events, r.total_value) for r in out1} == {(1, 2, 4.0)}
+    write_batch(
+        [
+            (1, "2026-01-01 10:00", 1, "a", 1.0),
+            (2, "2026-01-01 10:01", 1, "b", 3.0),
+            (3, "2026-01-01 10:00", 3, "c", 2.0),
+            (4, "2026-01-01 12:00", 9, "d", 9.9),
+        ]
+    )
+    out1 = drain()
+    running1 = {r.user_id: r for r in out1 if not r.closed}
+    assert (running1[1].n_events, running1[1].total_value) == (2, 4.0)
+    assert (running1[3].n_events, running1[3].total_value) == (1, 2.0)
+    assert not [r for r in out1 if r.closed]  # all timeouts still ahead
 
-    # second batch: user 1 gets one more event (state accumulates);
-    # user 2 appears; the advancing watermark will close user sessions
-    # in a later no-data micro-batch once idle past the gap.
-    write_batch("b2", [(3, "2026-01-01 11:00", 1, "a", 5.0), (4, "2026-01-01 11:00", 2, "c", 7.0)])
-    out2 = drain().collect()
-    by_user = {r.user_id: r for r in out2 if not r.closed}
-    assert by_user[1].n_events == 3 and by_user[1].total_value == 9.0
-    assert by_user[1].n_event_types == 2
-    assert by_user[2].n_events == 1 and by_user[2].total_value == 7.0
+    write_batch(
+        [
+            (5, "2026-01-01 13:00", 1, "a", 5.0),
+            (6, "2026-01-01 13:00", 2, "c", 7.0),
+        ]
+    )
+    out2 = drain()
+    running2 = {r.user_id: r for r in out2 if not r.closed}
+
+    # exactly-once: batch-1 files not replayed → user9 emits nothing new
+    assert 9 not in running2
+    # state recovered across the restart: user1's totals include batch 1
+    assert (running2[1].n_events, running2[1].total_value) == (3, 9.0)
+    assert running2[1].n_event_types == 2
+    assert (running2[2].n_events, running2[2].total_value) == (1, 7.0)
+
+    # third drain: a far-future event advances the watermark past every
+    # session's timeout → the trailing no-data micro-batch closes them,
+    # emitting final rows WITH the state accumulated across restarts
+    write_batch([(7, "2026-01-02 05:00", 8, "e", 1.0)])
+    out3 = drain()
+    closed3 = {r.user_id: r for r in out3 if r.closed}
+    assert (closed3[1].n_events, closed3[1].total_value) == (3, 9.0)
+    assert (closed3[3].n_events, closed3[3].total_value) == (1, 2.0)
+    assert (closed3[9].n_events, closed3[9].total_value) == (1, 9.9)
+    assert 8 not in closed3  # the watermark-driver's own session stays open
 
 
 def test_watermark_append_mode_emits_closed_windows(spark, sf_dir, tmp_path):

@@ -75,38 +75,14 @@ def test_quality_gate_equals_score_threshold(spark):
         (None, "M5", "P", 10.0, "2024-01-01"),   # dropped by P2
     ]
     got = transform.clean_claims(_raw(spark, rows))
-    # reference formulation: same chain but gated on the derived score
+    # reference formulation: the SAME shipped pre-gate chain, gated on
+    # the derived score (no duplicated ladder that could drift)
     naive = transform.threshold_filter(
-        _chain_without_gate(_raw(spark, rows)), "data_quality_score", 0.5
+        transform.clean_claims_scored(_raw(spark, rows)), "data_quality_score", 0.5
     )
     assert sorted(r.claim_id for r in got.collect()) == sorted(
         r.claim_id for r in naive.collect()
     ) == ["C1", "C3", "C4"]
-
-
-def _chain_without_gate(df):
-    from pyspark.sql import functions as F
-
-    df = transform.not_null_filter(df, "claim_id")
-    df = transform.trim_columns(df, "claim_id", "member_id")
-    df = transform.null_or_blank_to_default(df, "provider_name", "UNKNOWN")
-    df = transform.clamp_non_negative(df, "claim_amount", 0.0)
-    df = transform.parse_date_multi(df, "service_date", transform.CLAIM_DATE_FORMATS)
-    df = transform.add_date_parts(df, "service_date", "service_year", "service_month", "service_day")
-    df = transform.band_column(
-        df, "claim_amount", "claim_amount_category", transform.CLAIM_AMOUNT_BANDS, zero_label="ZERO"
-    )
-    return transform.cascade_score(
-        df,
-        "data_quality_score",
-        [
-            (F.col("claim_id").isNull(), 0.0),
-            (F.col("member_id").isNull(), 0.3),
-            (F.col("service_date").isNull(), 0.5),
-            (F.col("claim_amount").isNull() | (F.col("claim_amount") <= 0), 0.7),
-        ],
-        default=1.0,
-    )
 
 
 def test_ambiguous_date_prefers_mm_dd(spark):
