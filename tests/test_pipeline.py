@@ -263,3 +263,40 @@ def test_upsert_escaped_partition_values(spark, tmp_path):
     assert r == {"matched": 1, "inserted": 1}
     out = {(x.id, x.val, x.region) for x in spark.read.parquet(path).collect()}
     assert out == {(1, "a2", "North America"), (2, "b", "x:y"), (3, "c", "x:y")}
+
+
+def test_upsert_model_differential(spark, tmp_path):
+    """Model-based check: a randomized sequence of upsert batches must
+    leave the table equal to a plain dict replay of the same batches
+    (deterministic seeded batches; latest version per key wins)."""
+    import random
+
+    from lakeflow import io as lio
+
+    rng = random.Random(7)
+    path = str(tmp_path / "model")
+    model: dict[int, tuple[str, int, int]] = {}
+    version = 0
+    for _ in range(5):
+        batch = []
+        for _ in range(rng.randint(0, 6)):
+            k = rng.randint(1, 12)
+            version += 1
+            row = (k, f"v{version}", rng.choice([2023, 2024, 2025]), version)
+            # model keeps a key's ORIGINAL partition (upsert contract:
+            # partition values stable per key)
+            if k in model:
+                row = (k, row[1], model[k][1], row[3])
+            batch.append(row)
+            model[k] = (row[1], row[2], row[3])
+        df = spark.createDataFrame(
+            batch, "id long, val string, year int, v int"
+        )
+        r = lio.upsert_by_key(
+            spark, df, path, ("id",), partition_by=("year",), order_col="v"
+        )
+        assert r["matched"] + r["inserted"] == len({b[0] for b in batch})
+    got = {
+        r.id: (r.val, r.year, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == model
