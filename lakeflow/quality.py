@@ -94,6 +94,24 @@ def evaluate_suite(df: DataFrame, suite: dict) -> list[ExpectationResult]:
             aggs.append((F.countDistinct(col) / F.count(col)).alias(f"a{slot}"))
         elif etype == "expect_column_mean_to_be_between":
             aggs.append(F.avg(col).alias(f"a{slot}"))
+        elif etype == "expect_column_values_to_match_regex":
+            aggs.append(_violations(col.rlike(kw["regex"])).alias(f"a{slot}"))
+        elif etype == "expect_column_values_to_not_match_regex":
+            aggs.append(_violations(~col.rlike(kw["regex"])).alias(f"a{slot}"))
+        elif etype == "expect_column_min_to_be_between":
+            aggs.append(F.min(col).alias(f"a{slot}"))
+        elif etype == "expect_column_max_to_be_between":
+            aggs.append(F.max(col).alias(f"a{slot}"))
+        elif etype == "expect_column_sum_to_be_between":
+            aggs.append(F.sum(col).alias(f"a{slot}"))
+        elif etype == "expect_column_stdev_to_be_between":
+            aggs.append(F.stddev_samp(col).alias(f"a{slot}"))
+        elif etype == "expect_column_distinct_values_to_be_in_set":
+            aggs.append(
+                F.array_sort(F.collect_set(F.when(~col.isin(kw["value_set"]), col)))
+                .cast("string")
+                .alias(f"a{slot}")
+            )
         else:
             raise ValueError(f"unsupported expectation_type: {etype}")
         plans.append((slot, exp))
@@ -137,6 +155,26 @@ def evaluate_suite(df: DataFrame, suite: dict) -> list[ExpectationResult]:
             m = row[f"a{slot}"]
             ok = m is not None and kw["min_value"] <= m <= kw["max_value"]
             results.append(ExpectationResult(etype, col_name, bool(ok), f"mean={m}"))
+        elif etype in (
+            "expect_column_min_to_be_between",
+            "expect_column_max_to_be_between",
+            "expect_column_sum_to_be_between",
+            "expect_column_stdev_to_be_between",
+        ):
+            v = row[f"a{slot}"]
+            ok = (
+                v is not None
+                and (kw.get("min_value") is None or v >= kw["min_value"])
+                and (kw.get("max_value") is None or v <= kw["max_value"])
+            )
+            stat = etype.rsplit("_to_be_between", 1)[0].rsplit("_", 1)[-1]
+            results.append(ExpectationResult(etype, col_name, bool(ok), f"{stat}={v}"))
+        elif etype == "expect_column_distinct_values_to_be_in_set":
+            extras = row[f"a{slot}"]
+            ok = extras == "[]"
+            results.append(
+                ExpectationResult(etype, col_name, ok, f"unexpected={extras}")
+            )
         else:
             v = row[f"a{slot}"]
             results.append(

@@ -79,3 +79,37 @@ def test_report_df_shape(spark, sf_dir):
     rep = quality.report_df(spark, results)
     assert rep.count() == len(results)
     assert rep.columns == ["expectation_type", "column", "success", "observed"]
+
+
+def test_extended_expectation_types(spark):
+    df = spark.createDataFrame(
+        [("A1", 10.0, "x"), ("A2", 20.0, "y"), ("B3", 30.0, "y")],
+        "code string, amt double, tag string",
+    )
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "code", "regex": "^[A-Z][0-9]$"}},
+            {"expectation_type": "expect_column_values_to_not_match_regex",
+             "kwargs": {"column": "tag", "regex": "^z"}},
+            {"expectation_type": "expect_column_min_to_be_between",
+             "kwargs": {"column": "amt", "min_value": 5, "max_value": 15}},
+            {"expectation_type": "expect_column_max_to_be_between",
+             "kwargs": {"column": "amt", "min_value": 25, "max_value": 35}},
+            {"expectation_type": "expect_column_sum_to_be_between",
+             "kwargs": {"column": "amt", "min_value": 60, "max_value": 60}},
+            {"expectation_type": "expect_column_stdev_to_be_between",
+             "kwargs": {"column": "amt", "min_value": 9, "max_value": 11}},
+            {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+             "kwargs": {"column": "tag", "value_set": ["x", "y"]}},
+            {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+             "kwargs": {"column": "code", "value_set": ["A1"]}},
+        ]
+    }
+    res = quality.evaluate_suite(df, suite)
+    by = {(r.expectation_type, r.column, i): r for i, r in enumerate(res)}
+    outcomes = [r.success for r in res]
+    # regex: all match ^[A-Z][0-9]$ ; not-match ^z holds; min 10 in [5,15];
+    # max 30 in [25,35]; sum 60; stdev 10; tag ⊆ {x,y}; code ⊄ {A1}
+    assert outcomes == [True, True, True, True, True, True, True, False]
+    assert "A2" in res[-1].observed
