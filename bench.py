@@ -40,6 +40,22 @@ BENCH_QUERIES = (
     "q_multimodal_meta",
 )
 
+# Newer operators, timed warm and reported under "extended" — kept OUT
+# of the headline set/total so round-over-round `value` comparisons
+# stay apples-to-apples.
+EXTENDED_QUERIES = (
+    "q_tpch_q3",
+    "q_asof_join",
+    "q_rollup_daily",
+    "q_window_analytics",
+    "q_pivot_category",
+    "q_frame_sample",
+    "q_sample_hash",
+    "q_train_test_split",
+    "q_dedup_embedding",
+    "q_knn_ivf",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +85,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s) rows={n}", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        qmap[name](spark, sf_dir).count()  # warmup
+        t0 = time.perf_counter()
+        n = qmap[name](spark, sf_dir).count()
+        extended[name] = round(time.perf_counter() - t0, 3)
+        print(f"# ext {name}: {extended[name]:.3f}s rows={n}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     warm_s = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,6 +105,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cold_total_sec": warm_s,
+                "extended": extended,
             }
         )
     )

@@ -339,6 +339,7 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_window_running": (relational.window_running, relational.WINDOW_RUNNING_SQL),
     "q_window_lag": (relational.window_lag, relational.WINDOW_LAG_SQL),
     "q_window_rank": (relational.window_rank, relational.WINDOW_RANK_SQL),
+    "q_window_analytics": (relational.window_analytics, relational.WINDOW_ANALYTICS_SQL),
     "q_rollup": (relational.rollup_orders, relational.ROLLUP_ORDERS_SQL),
     "q_cube": (relational.cube_orders, relational.CUBE_ORDERS_SQL),
     "q_grouping_sets": (relational.grouping_sets_orders, relational.GROUPING_SETS_SQL),
