@@ -249,3 +249,98 @@ SELECT date_trunc('day', bucket_start) AS day_start,
 FROM hourly
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-step funnel conversion: for each user, step k counts only
+    if it happens strictly AFTER the user's step k-1 time (earliest
+    qualifying event per step). Returns per-step reached-user counts and
+    conversion ratios.
+
+    Plan shape: ONE shuffle (groupBy user_id) computing all step times
+    in a single aggregation — step k's time is the conditional min over
+    the rows, chained with min_by-free nested aggregation via a sorted
+    event-list fold:
+
+    events are collected per user as a sorted (ts, type) array (bounded:
+    per-user event counts, same state bound a sessionizer has), then the
+    step times fall out of ONE array fold (aggregate), all JVM-side.
+    At 100 TB this is the standard funnel shape: shuffle keyed by user,
+    per-user work linear in their event count, final global aggregate is
+    |steps| rows.
+    """
+    ev = io.read_table(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+    )
+    per_user = ev.groupBy("user_id").agg(pairs.alias("evs"))
+
+    # fold once over the sorted events: acc = array of step times (NULL
+    # until reached); event advances the FIRST unreached step it matches
+    # and that is strictly after the previous step's time
+    n = len(steps)
+    ts_type = dict(ev.dtypes)["ts"]  # ntz from driver parquet, plain ts in fixtures
+    init = F.array(*[F.lit(None).cast(ts_type) for _ in steps])
+
+    def advance(acc: F.Column, e: F.Column) -> F.Column:
+        out = acc
+        for k in range(n):
+            prev_ok = F.lit(True) if k == 0 else F.element_at(out, k).isNotNull() & (
+                e["ts"] > F.element_at(out, k)
+            )
+            hit = (
+                (e["et"] == F.lit(steps[k]))
+                & F.element_at(out, k + 1).isNull()
+                & prev_ok
+            )
+            out = F.when(
+                hit,
+                F.concat(
+                    F.slice(out, 1, k),
+                    F.array(e["ts"]),
+                    F.slice(out, k + 2, n - k - 1),
+                ),
+            ).otherwise(out)
+        return out
+
+    stepped = per_user.select(
+        "user_id", F.aggregate("evs", init, advance).alias("t")
+    )
+    aggs = [
+        F.count(F.when(F.element_at("t", k + 1).isNotNull(), 1)).alias(
+            f"reached_{steps[k]}"
+        )
+        for k in range(n)
+    ]
+    out = stepped.agg(*aggs)
+    convs = [
+        F.round(
+            F.col(f"reached_{steps[k]}") / F.col(f"reached_{steps[0]}"), 6
+        ).alias(f"conv_{steps[k]}")
+        for k in range(1, n)
+    ]
+    return out.select("*", *convs)
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS reached_view,
+       (SELECT COUNT(*) FROM s2) AS reached_click,
+       (SELECT COUNT(*) FROM s3) AS reached_purchase,
+       round((SELECT COUNT(*) FROM s2) / (SELECT COUNT(*) FROM s1), 6) AS conv_click,
+       round((SELECT COUNT(*) FROM s3) / (SELECT COUNT(*) FROM s1), 6) AS conv_purchase
+"""

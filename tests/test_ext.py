@@ -234,3 +234,40 @@ def test_stratified_sample_proportions(spark, sf_dir):
         # binomial(n, 0.2): mean 0.2n, sd sqrt(n*0.2*0.8); allow 4 sigma
         tol = 4 * math.sqrt(n * 0.2 * 0.8)
         assert abs(got.get(lang, 0) - 0.2 * n) <= max(tol, 3), (lang, n, got.get(lang))
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """Steps count only in strict order: a click BEFORE the first view
+    doesn't advance the funnel; a user with no view contributes to no
+    stage; equal timestamps don't satisfy the strict 'after'."""
+    import pandas as pd
+
+    from lakeflow.ext import events as ev_mod
+
+    rows = [
+        # u1 full ordered funnel
+        (1, "2026-01-01 10:00", 1, "view", 1.0),
+        (2, "2026-01-01 10:05", 1, "click", 1.0),
+        (3, "2026-01-01 10:10", 1, "purchase", 1.0),
+        # u2 clicks before viewing; the click after the view counts
+        (4, "2026-01-01 09:00", 2, "click", 1.0),
+        (5, "2026-01-01 10:00", 2, "view", 1.0),
+        (6, "2026-01-01 11:00", 2, "click", 1.0),
+        # u3 purchase first, never views in order
+        (7, "2026-01-01 08:00", 3, "purchase", 1.0),
+        (8, "2026-01-01 09:00", 3, "view", 1.0),
+        # u4 click at the SAME instant as view — strict > excludes it
+        (9, "2026-01-01 10:00", 4, "view", 1.0),
+        (10, "2026-01-01 10:00", 4, "click", 1.0),
+        # u5 no view at all
+        (11, "2026-01-01 10:00", 5, "click", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = ev_mod.funnel(spark, str(tmp_path)).collect()[0]
+    # views: u1,u2,u3,u4 → 4; ordered clicks: u1,u2 → 2; purchases: u1 → 1
+    assert (out.reached_view, out.reached_click, out.reached_purchase) == (4, 2, 1)
+    assert out.conv_click == 0.5 and out.conv_purchase == 0.25
