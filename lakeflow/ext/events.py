@@ -344,3 +344,45 @@ SELECT (SELECT COUNT(*) FROM s1) AS reached_view,
        round((SELECT COUNT(*) FROM s2) / (SELECT COUNT(*) FROM s1), 6) AS conv_click,
        round((SELECT COUNT(*) FROM s3) / (SELECT COUNT(*) FROM s1), 6) AS conv_purchase
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix: users bucketed by first-active day,
+    counted once per (cohort, day-offset) they return on.
+
+    Two shuffles, both keyed by user_id (first-seen aggregate, then the
+    activity join) — AQE coalesces the tiny (cohort, offset) final
+    aggregate. The same shape at 100 TB: the user-keyed join is the
+    dominant exchange and it is exactly one pass over events.
+    """
+    ev = io.read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+    SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), act AS (
+    SELECT DISTINCT ev.user_id, first.cohort_day,
+           CAST(date_diff('day', first.cohort_day, ev.day) AS INTEGER) AS day_offset
+    FROM ev JOIN first ON ev.user_id = first.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS active_users
+FROM act GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+"""

@@ -250,3 +250,89 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Query-registry wrapper of :func:`winnow_frame` over documents."""
     return winnow_frame(io.read_table(spark, sf_dir, "documents"), k, window)
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, top_k: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Top-k terms per language by corpus TF-IDF — the
+    vocabulary-building / keyword-extraction primitive of a text
+    pipeline.
+
+    Plan shape at scale: explode(distinct tokens per doc) → one
+    (lang, term) aggregate for DF+TF, a tiny per-lang doc-count
+    broadcast join, then a per-lang top-k window over the (small) term
+    relation — the corpus shuffles once, keyed by (lang, term), with
+    map-side partial aggregation.
+
+    tf = total occurrences of term in the lang's docs; idf uses the
+    smoothed ln((1+N)/(1+df)) so single-lang corpora don't zero out.
+    Deterministic tiebreak by term; rounded score → oracle-stable.
+    """
+    from pyspark.sql import Window
+
+    docs = io.read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    stats = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    ndocs = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    from pyspark.sql.functions import broadcast as _bc
+
+    scored = (
+        stats.join(_bc(ndocs), "lang")
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((1 + F.col("n_docs")) / (1 + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select("lang", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, t AS term
+    FROM documents, UNNEST(string_split_regex(lower(trim(text)), '{TOKEN_SPLIT}')) AS u(t)
+    WHERE text IS NOT NULL AND t != ''
+), stats AS (
+    SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM toks GROUP BY lang, term
+), nd AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL GROUP BY lang
+), scored AS (
+    SELECT s.lang, s.term, s.tf, s.df,
+           round(s.tf * ln((1 + nd.n_docs) / (1 + s.df)), 6) AS tfidf
+    FROM stats s JOIN nd ON s.lang = nd.lang
+    WHERE s.df >= 2
+), ranked AS (
+    SELECT lang, term, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, tf DESC, term) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT lang, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+"""
