@@ -259,11 +259,12 @@ def tfidf_top_terms(
     vocabulary-building / keyword-extraction primitive of a text
     pipeline.
 
-    Plan shape at scale: explode(distinct tokens per doc) → one
-    (lang, term) aggregate for DF+TF, a tiny per-lang doc-count
-    broadcast join, then a per-lang top-k window over the (small) term
-    relation — the corpus shuffles once, keyed by (lang, term), with
-    map-side partial aggregation.
+    Plan shape at scale: explode tokens → (lang, term) aggregate for
+    TF+DF (the COUNT(DISTINCT doc_id) plans as the standard two-phase
+    expand: a (lang, term, doc_id) partial-distinct exchange feeding the
+    (lang, term) final — both map-side combined), a tiny per-lang
+    doc-count broadcast join, then a per-lang top-k window over the
+    (small) term relation. The corpus itself is scanned once.
 
     tf = total occurrences of term in the lang's docs; idf uses the
     smoothed ln((1+N)/(1+df)) so single-lang corpora don't zero out.

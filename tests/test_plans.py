@@ -163,3 +163,25 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The funnel fold is ONE user-keyed exchange + a single-partition
+    final aggregate — no joins, no per-step passes over events."""
+    from lakeflow.ext import events
+
+    p = plan(events.funnel(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_and_retention_stay_hash_based(spark, sf_dir):
+    from lakeflow.ext import events, text
+
+    for df in (text.tfidf_top_terms(spark, sf_dir), events.retention_cohorts(spark, sf_dir)):
+        p = plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    # the per-lang doc-count side is explicitly broadcast
+    assert "BroadcastHashJoin" in plan(text.tfidf_top_terms(spark, sf_dir))
