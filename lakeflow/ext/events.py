@@ -386,3 +386,60 @@ WITH ev AS (
 SELECT cohort_day, day_offset, COUNT(*) AS active_users
 FROM act GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
 """
+
+
+def anomaly_zscore(
+    spark: SparkSession, sf_dir: str, threshold: float = 3.0
+) -> DataFrame:
+    """Per-event-type z-score outliers — the cheap first-pass anomaly
+    filter of a telemetry/quality pipeline. Two passes expressed as one
+    aggregate + one broadcast join back (group stats are |event_types|
+    rows); the events table itself is scanned twice but never shuffled
+    on the data path."""
+    from pyspark.sql.functions import broadcast
+
+    ev = io.read_table(spark, sf_dir, "events")
+    # mu/sigma from EXACT decimal sums (value is ≤6dp), not avg/stddev:
+    # float aggregation order differs between engines and partitionings,
+    # and an ulp of drift in sigma can flip rows sitting on the
+    # threshold — exact sums make the stats bit-identical everywhere.
+    dv = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+        F.count("value").alias("n"),
+    ).select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .orderBy("event_type", "event_id")
+    )
+
+
+ANOMALY_SQL = """
+WITH sums AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+           COUNT(value) AS n
+    FROM events GROUP BY event_type
+), stats AS (
+    SELECT event_type, s1 / n AS mu,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+    FROM sums
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 6) AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - mu) / sigma) >= 3.0
+ORDER BY event_type, event_id
+"""

