@@ -54,6 +54,11 @@ EXTENDED_QUERIES = (
     "q_train_test_split",
     "q_dedup_embedding",
     "q_knn_ivf",
+    "q_funnel",
+    "q_retention",
+    "q_tfidf_top_terms",
+    "q_anomaly_zscore",
+    "q_label_centroids",
 )
 
 

@@ -106,6 +106,21 @@ def read_csv_source(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a table whose appended batches evolved the schema — the
+    read-side half of the reference's mergeSchema append contract
+    (/root/reference/jobs/bronze/ingest_csv_to_delta.py:71). Delta
+    resolves this from its log; plain parquet needs the (footer-
+    sampling) mergeSchema scan option. Rows from pre-evolution files
+    surface NULL for later-added columns.
+
+    Scale note: mergeSchema reads every file footer at planning time —
+    acceptable for bronze landing zones, wrong for a curated tier; the
+    silver DDL (catalog.provision_table) is the fixed-schema answer
+    downstream."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -300,3 +300,26 @@ def test_upsert_model_differential(spark, tmp_path):
         r.id: (r.val, r.year, r.v) for r in spark.read.parquet(path).collect()
     }
     assert got == model
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Bronze append contract: a later batch adds a column; read_evolved
+    surfaces the union schema with NULLs for pre-evolution rows."""
+    from lakeflow import io as lio
+
+    path = str(tmp_path / "bronze")
+    spark.createDataFrame([(1, "a")], "id long, val string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "extra")], "id long, val string, note string"
+    ).write.mode("append").parquet(path)
+
+    plain = spark.read.parquet(path)
+    merged = lio.read_evolved(spark, path)
+    assert "note" in merged.columns
+    rows = {r.id: r.asDict() for r in merged.collect()}
+    assert rows[1]["note"] is None and rows[2]["note"] == "extra"
+    # plain read may or may not pick the evolved schema (footer order);
+    # the merged read is the contract
+    assert merged.count() == plain.count() == 2
