@@ -59,6 +59,7 @@ EXTENDED_QUERIES = (
     "q_tfidf_top_terms",
     "q_anomaly_zscore",
     "q_label_centroids",
+    "q_dedup_clusters",
 )
 
 

@@ -282,6 +282,152 @@ def embedding_near_dups(
     )
 
 
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected-components clustering over near-duplicate pairs — the
+    step a training-data dedup pipeline runs AFTER pair generation:
+    collapse pairwise matches into clusters so each group keeps one
+    canonical document (cluster_id = min vec_id in the component;
+    singletons are their own cluster).
+
+    Pairs come from the embedding-cosine near-dup join (deterministic,
+    so the whole operator stays oracle-checkable against a DuckDB
+    recursive-CTE transitive closure).
+
+    Algorithm: distributed min-label propagation. Each round is one
+    join (neighbor labels) + one groupBy-min — two shuffles on the
+    evenly-distributed id key; rounds = graph diameter. Near-dup
+    graphs are dense blobs with tiny diameters (2-4 rounds in
+    practice), and the pair generator's similarity threshold bounds
+    component fan-in, so this converges fast at any corpus size. For
+    adversarially chain-shaped graphs the alternating small-star /
+    large-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") drops rounds to O(log n) — same per-round
+    plan shape, so it slots in without changing the contract.
+
+    Lineage MUST be truncated per round, not just persisted: the
+    union references the previous labels twice (directly and through
+    the neighbor join), so the logical plan doubles every iteration —
+    persist() caches execution but Catalyst still renders the full
+    2^rounds plan (AQE's explain OOMed at round ~10 before this used
+    localCheckpoint). On a multi-executor cluster prefer
+    df.checkpoint() with a reliable checkpoint dir so a lost executor
+    can't kill a late round; localCheckpoint avoids the HDFS
+    round-trip in local mode.
+    """
+    pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
+    # Both edge directions from ONE pass over the pair join (a
+    # union-with-swap would evaluate the cosine self-join twice).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+                    F.struct(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+
+    # Propagate only over the ACTIVE subgraph (nodes that matched some
+    # pair). After thresholding, active nodes ≪ corpus — the loop never
+    # touches the full table; singletons rejoin map-side at the end.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        stepped = labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        # Pointer jump (path doubling): re-resolve each label through
+        # the label of its label, so chains collapse in O(log diameter)
+        # rounds instead of O(diameter) — 17 rounds → 5 on the sf0.1
+        # similarity graph. One extra self-join per round, same shuffle
+        # key, strictly fewer rounds.
+        new_labels = (
+            stepped.alias("l")
+            .join(stepped.alias("m"), F.col("l.comp") == F.col("m.id"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(F.col("l.comp"), F.coalesce(F.col("m.comp"), F.col("l.comp"))).alias("comp"),
+            )
+            # lazy: the convergence count below is the materializing
+            # action, so each round is ONE Spark job, not two.
+        ).localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    clustered = labels.join(sizes, "comp").select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("cluster_size"),
+    )
+    nodes = io.read_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        # no broadcast hint: the active set is usually tiny (AQE will
+        # broadcast it), but a pathological dup-rate could make it
+        # corpus-sized — let runtime stats decide.
+        nodes.join(clustered, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+), pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+                / (a.nv * b.nv), 6) >= 0.4
+), edges AS (
+    SELECT va AS src, vb AS dst FROM pairs
+    UNION ALL
+    SELECT vb, va FROM pairs
+), reach(id, root) AS (
+    SELECT vec_id, vec_id FROM v
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
 EMBEDDING_NEAR_DUPS_SQL = """
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -383,6 +383,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: dedup.embedding_near_dups(spark, sf, threshold=0.4),
         dedup.EMBEDDING_NEAR_DUPS_SQL,
     ),
+    "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only

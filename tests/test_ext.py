@@ -271,3 +271,25 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     # views: u1,u2,u3,u4 → 4; ordered clicks: u1,u2 → 2; purchases: u1 → 1
     assert (out.reached_view, out.reached_click, out.reached_purchase) == (4, 2, 1)
     assert out.conv_click == 0.5 and out.conv_purchase == 0.25
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair lands in one cluster; cluster_id is the min
+    member; non-paired vectors are singletons of themselves."""
+    clusters = {
+        r.vec_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dups(spark, sf_dir, threshold=0.4).collect()
+    ]
+    paired = {v for p in pairs for v in p}
+    for a, b in pairs:
+        assert clusters[a][0] == clusters[b][0]
+    for vec_id, (cid, size) in clusters.items():
+        members = [v for v, (c, _) in clusters.items() if c == cid]
+        assert cid == min(members)
+        assert size == len(members)
+        if vec_id not in paired:
+            assert cid == vec_id and size == 1
