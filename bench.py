@@ -60,6 +60,10 @@ EXTENDED_QUERIES = (
     "q_anomaly_zscore",
     "q_label_centroids",
     "q_dedup_clusters",
+    "q_histogram",
+    "q_ntile_binning",
+    "q_corr",
+    "q_column_profile",
 )
 
 

@@ -1,0 +1,199 @@
+"""Data-profiling operators for training-data pipelines: fixed-width
+histograms, quantile (ntile) binning, exact correlation, and a
+single-pass multi-column profile.
+
+The reference's closest surface is the whole-table stats check
+(/root/reference/sql/trino_checks.sql:113-123) and the distribution
+queries (:126-155); these operators generalize that into the per-column
+profiling a feature/data-quality pipeline runs before training.
+
+Hash-stability (driver oracle): every float aggregate goes through
+exact arithmetic — integer-cent histogram bins, DECIMAL sums for the
+correlation moments with ONE final double division — so results are
+bit-identical regardless of partition/aggregation order at any scale.
+
+Scale notes:
+- Histogram: map-side integer bin + partial count, shuffle carries one
+  row per bin. The bin expression is a pure projection — pushdown-safe.
+- ntile: one shuffle on the grouping key; the per-group sort is the
+  unavoidable cost of exact quantile binning (approx_percentile is the
+  scale-out alternative already covered by q_approx_percentiles).
+- Correlation: all five moments in ONE aggregate pass (no second scan,
+  no corr() UDAF float-order nondeterminism).
+- Column profile: one Expand-based pass computes count/null/distinct/
+  min/max/sum for every profiled column; rows scale with bins/columns,
+  never with input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+
+def histogram(
+    spark: SparkSession, sf_dir: str, bin_width_cents: int = 500_000
+) -> DataFrame:
+    """Fixed-width histogram of lineitem extended price (default bin =
+    5000.00 currency units), with share-of-total percentage.
+
+    Bins are computed in integer cents (exact for 2-decimal money) so
+    Spark and the oracle agree on every boundary value.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    binned = li.select((cents / F.lit(bin_width_cents)).cast("bigint").alias("bin"))
+    counts = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "bin",
+        (F.col("bin") * bin_width_cents / F.lit(100.0)).alias("bin_lo"),
+        "cnt",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 4).alias("pct"),
+    ).orderBy("bin")
+
+
+HISTOGRAM_SQL = """
+WITH b AS (
+    SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 500000 AS bin
+    FROM lineitem
+), c AS (
+    SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+)
+SELECT bin, bin * 500000 / 100.0 AS bin_lo, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct
+FROM c
+ORDER BY bin
+"""
+
+
+def ntile_binning(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """Exact quantile binning: decile of order total within each order
+    priority, with per-bin count and bounds.
+
+    The ntile ORDER BY is made total (price, then key) so bin
+    membership is deterministic under ties — the property that keeps
+    this oracle-checkable and re-run-stable on any cluster layout.
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(n).over(w).alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+NTILE_BINNING_SQL = """
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           ntile(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+"""
+
+
+def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, from exact DECIMAL moments (one pass, one final double
+    division) instead of the float-order-dependent corr() aggregate.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+CORRELATION_SQL = """
+WITH m AS (
+    SELECT l_returnflag, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of lineitem's numeric columns: rows, nulls,
+    exact distincts, min/max, exact sum. One wide aggregate (Catalyst
+    plans the multi-distinct via Expand — still one scan), unpivoted to
+    a (column, metric...) row per profiled column.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.sum(col.cast("decimal(18,2)")).cast("double").alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({}, {}) AS (column, n_rows, n_null, n_distinct, min_val, max_val, sum_val)".format(
+            len(_PROFILE_COLS),
+            ", ".join(
+                "'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__sum".format(c=c)
+                for c in _PROFILE_COLS
+            ),
+        )
+    )
+    return stacked.orderBy("column")
+
+
+COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
+    """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({c}) AS min_val, max({c}) AS max_val,
+       CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM lineitem""".format(c=c)
+    for c in _PROFILE_COLS
+) + "\nORDER BY \"column\""

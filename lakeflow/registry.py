@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from lakeflow import claims, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
-from lakeflow.ext import dedup, events, multimodal, sampling, similarity, text
+from lakeflow.ext import dedup, events, multimodal, profile, sampling, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -384,6 +384,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         dedup.EMBEDDING_NEAR_DUPS_SQL,
     ),
     "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    "q_histogram": (profile.histogram, profile.HISTOGRAM_SQL),
+    "q_ntile_binning": (profile.ntile_binning, profile.NTILE_BINNING_SQL),
+    "q_corr": (profile.correlation, profile.CORRELATION_SQL),
+    "q_column_profile": (profile.column_profile, profile.COLUMN_PROFILE_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only

@@ -185,3 +185,14 @@ def test_tfidf_and_retention_stay_hash_based(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p
     # the per-lang doc-count side is explicitly broadcast
     assert "BroadcastHashJoin" in plan(text.tfidf_top_terms(spark, sf_dir))
+
+
+def test_profile_ops_single_scan(spark, sf_dir):
+    """Histogram, correlation, and the multi-column profile each read
+    the fact table exactly once — profiling must not multiply scans."""
+    from lakeflow.ext import profile
+
+    for fn in (profile.histogram, profile.correlation, profile.column_profile):
+        p = plan(fn(spark, sf_dir))
+        assert p.count("Scan parquet") + p.count("Scan In-memory") <= 1
+        assert "CartesianProduct" not in p
