@@ -64,6 +64,7 @@ EXTENDED_QUERIES = (
     "q_ntile_binning",
     "q_corr",
     "q_column_profile",
+    "q_attribution",
 )
 
 

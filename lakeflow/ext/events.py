@@ -443,3 +443,53 @@ FROM events e JOIN stats USING (event_type)
 WHERE abs((value - mu) / sigma) >= 3.0
 ORDER BY event_type, event_id
 """
+
+
+def attribution(spark: SparkSession, sf_dir: str, window_minutes: int = 60) -> DataFrame:
+    """View→purchase attribution: for every purchase, count the same
+    user's views in the preceding hour (classic conversion-window
+    stream-stream join; streaming twin: lakeflow.streaming
+    .attribution_stream).
+
+    Equi-key on user_id + a time-range bound — Catalyst plans a hash
+    join on the equi key with the range as a post-join predicate, never
+    a cartesian product. Purchases with no prior view survive via the
+    left join (conversion rate needs the zero rows). Both sides come
+    from one events scan (the persisted fan-out cache serves both
+    filters; at production scale these are two pruned column scans).
+    """
+    ev = io.read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (purchases.user_id == views.v_user)
+        & (views.v_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (views.v_ts < purchases.purchase_ts)
+    )
+    return (
+        purchases.join(views, cond, "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts", "purchase_value")
+        .agg(F.count("v_ts").alias("views_prior"))
+        .orderBy("purchase_id")
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       CAST(count(v.ts) AS BIGINT) AS views_prior
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 60 MINUTE
+ AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts, p.value
+ORDER BY purchase_id
+"""

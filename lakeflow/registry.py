@@ -364,6 +364,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_funnel": (events.funnel, events.FUNNEL_SQL),
     "q_retention": (events.retention_cohorts, events.RETENTION_SQL),
     "q_anomaly_zscore": (events.anomaly_zscore, events.ANOMALY_SQL),
+    "q_attribution": (events.attribution, events.ATTRIBUTION_SQL),
     "q_label_centroids": (similarity.label_centroids, similarity.LABEL_CENTROIDS_SQL),
     "q_tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
     "q_session_window": (events.session_window_counts, events.SESSION_WINDOW_SQL),

@@ -280,6 +280,46 @@ def user_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(last).select("user_id", "s.*")
 
 
+def attribution_stream(
+    events: DataFrame, window_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream join twin of lakeflow.ext.events.attribution:
+    purchases inner-joined to the same user's views within the
+    preceding conversion window.
+
+    Both sides carry a watermark and the join condition bounds view
+    time relative to purchase time, so Spark can size the join state
+    store and evict rows once the watermark passes — the bounded-state
+    contract a production stream-stream join needs. Inner join here
+    (append-mode emits matches as soon as both sides arrive); the
+    LEFT-outer zero-view rows of the batch twin are a watermark-close
+    emission, which an availableNow drain may legitimately still be
+    holding — so equivalence tests compare the matched pairs.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (purchases.user_id == views.v_user)
+        & (views.v_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (views.v_ts < purchases.purchase_ts)
+    )
+    return purchases.join(views, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "v_ts"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

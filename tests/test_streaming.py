@@ -216,3 +216,40 @@ def test_watermark_append_mode_emits_closed_windows(spark, sf_dir, tmp_path):
 
     horizon = max_ts - datetime.timedelta(hours=3)  # 1h window + 2h watermark
     assert all(bucket >= horizon for bucket, _ in withheld)
+
+
+def test_attribution_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """Stream-stream join (purchases × prior-hour views) emits exactly
+    the matched pairs the batch attribution join produces."""
+    stream = streaming.attribution_stream(streaming.events_stream(spark, sf_dir))
+    got = streaming.run_available_now(stream, str(tmp_path), output_mode="append")
+    g = {
+        (r.purchase_id, r.purchase_ts.replace(tzinfo=None), r.v_ts.replace(tzinfo=None))
+        for r in got.collect()
+    }
+    want = batch_events.attribution(spark, sf_dir)
+    # re-derive the matched pairs (batch version aggregates to counts)
+    from lakeflow import io as lio
+
+    ev = lio.read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS v_user", "ts AS v_ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS purchase_ts"
+    )
+    pairs = purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.v_ts >= purchases.purchase_ts - F.expr("INTERVAL 60 MINUTES"))
+        & (views.v_ts < purchases.purchase_ts),
+    )
+    w = {(r.purchase_id, r.purchase_ts, r.v_ts) for r in pairs.collect()}
+    assert g == w
+    # and the batch twin's per-purchase counts agree with the pair multiset
+    from collections import Counter
+
+    per_purchase = Counter(p for p, _, _ in w)
+    counts = {r.purchase_id: r.views_prior for r in want.collect()}
+    matched = {p: c for p, c in counts.items() if c > 0}
+    assert matched == dict(per_purchase)
