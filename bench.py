@@ -65,6 +65,11 @@ EXTENDED_QUERIES = (
     "q_corr",
     "q_column_profile",
     "q_attribution",
+    "q_heavy_hitters",
+    "q_scalar_subquery",
+    "q_window_distribution",
+    "q_sample_weighted",
+    "q_char_pairs",
 )
 
 

@@ -197,3 +197,40 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem""".format(c=c)
     for c in _PROFILE_COLS
 ) + "\nORDER BY \"column\""
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Skew diagnostic: top-k join/agg keys by row share. At 100 TB this
+    is the query you run BEFORE choosing a partitioning — its output
+    (share of the hottest keys) decides whether a plain hash join is
+    safe or `relational.salted_join` / AQE skew-split is needed.
+
+    Partial-aggregated groupBy (one row per distinct key into the
+    shuffle), then the top-k runs on the aggregated (small) side with a
+    scalar total via an empty-frame window. Deterministic tie-break on
+    the key keeps it oracle-stable.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return (
+        counts.select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 6).alias("pct"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(k)
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH c AS (
+    SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt * 100.0 / sum(cnt) OVER (), 6) AS pct
+FROM c
+ORDER BY cnt DESC, l_partkey
+LIMIT 20
+"""

@@ -114,3 +114,47 @@ def stratified_sample(
     return docs.sampleBy("lang", fractions, seed=seed).select(
         "doc_id", "lang", "source"
     )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Reproducible weighted sampling: top-k documents by the priority
+    h(key) / weight (A-Res shape with a hash-derived uniform), weight =
+    document length — longer docs proportionally likelier, yet the
+    draw is a pure function of doc_id so it is re-runnable, auditable,
+    and oracle-checkable (no engine RNG).
+
+    Integer-only arithmetic (16-bit hash value, integer-scaled
+    division) — no transcendental functions whose last-ulp differences
+    between libm implementations could flip a rank at the selection
+    boundary. TakeOrderedAndProject keeps it one pass, no global sort.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("bigint")
+    # bigint `div` (not `/` + cast: a float quotient within half an ulp
+    # below an integer would round up and truncate to the wrong floor)
+    priority = F.expr("(h16 * 1000000L) div n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", h16.alias("h16"))
+        .select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+    SELECT doc_id, lang, n_chars,
+           (  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+           ) AS h16
+    FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(h16 * 1000000 // n_chars AS BIGINT) AS priority
+FROM h
+ORDER BY priority, doc_id
+LIMIT 50
+"""

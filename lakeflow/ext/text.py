@@ -337,3 +337,48 @@ WITH toks AS (
 )
 SELECT lang, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
 """
+
+
+def char_pair_freqs(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """Top adjacent character-pair frequencies over the normalized
+    corpus — the statistic the first merge round of BPE vocabulary
+    training computes (the full trainer iterates this count with a
+    merged alphabet).
+
+    The normalized text is STAGED as its own projection before the
+    index lambda touches it (Catalyst re-evaluates captured non-
+    attribute expressions per array element — the §9 SCALE.md lambda
+    trap), so the pair fan-out is O(chars), one explode, one
+    partial-aggregated shuffle of (pair, count).
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    staged = docs.select("doc_id", norm.alias("txt")).filter(F.length("txt") >= 2)
+    pairs = staged.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(txt) - 1), i -> substr(txt, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(k)
+    )
+
+
+CHAR_PAIR_SQL = """
+WITH staged AS (
+    SELECT regexp_replace(lower(text), '[^a-z ]', '', 'g') AS txt FROM documents
+), idx AS (
+    SELECT txt, unnest(generate_series(1, length(txt) - 1)) AS i
+    FROM staged WHERE length(txt) >= 2
+), pairs AS (
+    SELECT substr(txt, i, 2) AS pair FROM idx
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 30
+"""

@@ -386,6 +386,17 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "q_histogram": (profile.histogram, profile.HISTOGRAM_SQL),
+    "q_heavy_hitters": (profile.heavy_hitters, profile.HEAVY_HITTERS_SQL),
+    "q_scalar_subquery": (
+        relational.scalar_subquery_above_avg,
+        relational.SCALAR_SUBQUERY_SQL,
+    ),
+    "q_window_distribution": (
+        relational.window_distribution,
+        relational.WINDOW_DISTRIBUTION_SQL,
+    ),
+    "q_sample_weighted": (sampling.weighted_sample, sampling.WEIGHTED_SAMPLE_SQL),
+    "q_char_pairs": (text.char_pair_freqs, text.CHAR_PAIR_SQL),
     "q_ntile_binning": (profile.ntile_binning, profile.NTILE_BINNING_SQL),
     "q_corr": (profile.correlation, profile.CORRELATION_SQL),
     "q_column_profile": (profile.column_profile, profile.COLUMN_PROFILE_SQL),

@@ -793,3 +793,72 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average total, counted per priority — the
+    scalar-subquery shape (uncorrelated aggregate threshold).
+
+    DataFrame form: the one-row aggregate is broadcast and cross-joined
+    (a single-row BroadcastNestedLoopJoin — constant cost at any scale),
+    which is exactly what Catalyst rewrites an uncorrelated scalar
+    subquery into. The threshold is an exact-decimal average divided
+    once, so both engines compare against the identical double.
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.join(broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            _dsum(_dec("o_totalprice"), "total_above"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+WITH thr AS (
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_above
+FROM orders, thr
+WHERE o_totalprice > avg_price
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window battery: percent_rank + cume_dist of order
+    totals within priority (the ranking complements of the analytic
+    battery). Total ordering via the key tie-break keeps every rank
+    deterministic; both functions are integer-ratio formulas so the
+    doubles agree bit-for-bit across engines.
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+ORDER BY o_orderkey
+"""
