@@ -70,6 +70,8 @@ EXTENDED_QUERIES = (
     "q_window_distribution",
     "q_sample_weighted",
     "q_char_pairs",
+    "q_dedup_keep_best",
+    "q_scd2_history",
 )
 
 

@@ -445,3 +445,52 @@ WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
             / (a.nv * b.nv), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based canonical selection: within each exact-dup group,
+    keep the LONGEST copy (ties → lowest doc_id) instead of the lowest
+    id — the "keep the best representative" policy a training-data
+    dedup actually wants (longest text, highest quality score, newest
+    crawl — same plan, different struct ordering).
+
+    max(struct(n_chars, -doc_id)) is a single partial-aggregable
+    expression — one shuffle of one small struct per group, no window,
+    no second pass. (A row_number window would sort every group; the
+    struct-max is the map-side-combinable form.)
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    return (
+        docs.select(F.md5(_norm_text()).alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(best, F.count("*").alias("copies"))
+        .select(
+            "fingerprint",
+            (-F.col("b.neg_id")).cast("bigint").alias("keep_doc_id"),
+            F.col("b.n_chars").alias("kept_chars"),
+            "copies",
+        )
+        .orderBy("fingerprint")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH fp AS (
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+           doc_id, n_chars
+    FROM documents
+), ranked AS (
+    SELECT fingerprint, doc_id, n_chars,
+           row_number() OVER (PARTITION BY fingerprint
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY fingerprint) AS copies
+    FROM fp
+)
+SELECT fingerprint, doc_id AS keep_doc_id, n_chars AS kept_chars,
+       CAST(copies AS BIGINT) AS copies
+FROM ranked WHERE rn = 1
+ORDER BY fingerprint
+"""

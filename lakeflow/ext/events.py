@@ -493,3 +493,47 @@ LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
 GROUP BY p.event_id, p.user_id, p.ts, p.value
 ORDER BY purchase_id
 """
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event stream into versioned state rows (state = event_type here;
+    the same plan builds any attribute history). A row opens when the
+    state CHANGES vs the previous event and closes at the next change
+    (valid_to NULL = current) — the merge pattern a lakehouse dimension
+    table maintains incrementally.
+
+    One shuffle on user_id serves both windows (change detection and
+    the closing lead); the change-filter runs on lag() of a RAW column,
+    so no derivation is duplicated into the filter (SCALE.md §9).
+    """
+    ev = io.read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changed = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    ).orderBy("user_id", "version")
+
+
+SCD2_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+    FROM events
+), changed AS (
+    SELECT user_id, ts, event_type FROM marked
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS INTEGER) AS version
+FROM changed
+ORDER BY user_id, version
+"""

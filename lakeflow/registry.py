@@ -385,6 +385,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         dedup.EMBEDDING_NEAR_DUPS_SQL,
     ),
     "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    "q_dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
+    "q_scd2_history": (events.scd2_history, events.SCD2_SQL),
     "q_histogram": (profile.histogram, profile.HISTOGRAM_SQL),
     "q_heavy_hitters": (profile.heavy_hitters, profile.HEAVY_HITTERS_SQL),
     "q_scalar_subquery": (
