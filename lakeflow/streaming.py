@@ -389,3 +389,83 @@ def run_to_parquet(
         w = w.partitionBy(*partition_by)
     q = w.start()
     q.awaitTermination()
+
+
+def maintain_daily_rollup(
+    stream_events: DataFrame,
+    table_path: str,
+    checkpoint_loc: str,
+) -> None:
+    """Continuous-aggregate maintenance: drain an events stream into a
+    materialized daily rollup table via per-batch aggregating MERGE —
+    the incremental-refresh loop a hypertable rollup runs, composed
+    from this engine's own primitives (partial agg + io.upsert_by_key).
+
+    Per micro-batch: aggregate the batch to per-(day, event_type)
+    partials (exact decimal sums), read back ONLY the rollup rows for
+    touched days (partition-pruned — the rollup table is partitioned by
+    day), combine by summing, and upsert the combined rows. Only
+    additive metrics live in the incremental table (counts, sums);
+    distinct-style metrics need a mergeable sketch (HLL — see
+    q_approx_distinct) and are deliberately excluded so the maintained
+    table stays EXACTLY equal to the batch rollup at every point.
+
+    Restart-safe: foreachBatch + checkpoint give exactly-once batch
+    replay, and the upsert is idempotent per (batch keys, values).
+    """
+    from lakeflow import io as lio
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        partial = partial.persist()
+        try:
+            if os.path.isdir(table_path) and any(
+                not n.startswith(("_", ".")) for n in os.listdir(table_path)
+            ):
+                days = [r.day_start for r in partial.select("day_start").distinct().collect()]
+                existing = (
+                    spark.read.parquet(table_path)
+                    .filter(F.col("day_start").isin(days))
+                    .select("day_start", "event_type", "events", "total_value")
+                )
+                combined = (
+                    existing.unionByName(partial)
+                    .groupBy("day_start", "event_type")
+                    .agg(
+                        F.sum("events").alias("events"),
+                        F.sum(F.col("total_value").cast("decimal(18,6)"))
+                        .cast("double")
+                        .alias("total_value"),
+                    )
+                )
+            else:
+                combined = partial
+            lio.upsert_by_key(
+                spark,
+                combined,
+                table_path,
+                key_cols=("day_start", "event_type"),
+                partition_by=("day_start",),
+            )
+        finally:
+            partial.unpersist()
+
+    q = (
+        stream_events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_loc)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -253,3 +253,40 @@ def test_attribution_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     counts = {r.purchase_id: r.views_prior for r in want.collect()}
     matched = {p: c for p, c in counts.items() if c > 0}
     assert matched == dict(per_purchase)
+
+
+def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: draining the events stream in
+    several micro-batches through the aggregating MERGE produces a table
+    EXACTLY equal to the batch daily rollup (additive metrics)."""
+    from lakeflow import io as lio
+
+    # multi-file copy of events => multiple micro-batches
+    src = str(tmp_path / "events_src")
+    lio.read_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    table = str(tmp_path / "daily_rollup")
+    streaming.maintain_daily_rollup(stream, table, str(tmp_path / "ckpt"))
+
+    got = {
+        (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
+        for r in batch_events.rollup_daily(spark, sf_dir)
+        .select(
+            F.col("day_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == want
