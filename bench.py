@@ -72,6 +72,8 @@ EXTENDED_QUERIES = (
     "q_char_pairs",
     "q_dedup_keep_best",
     "q_scd2_history",
+    "q_gap_fill",
+    "q_unpivot",
 )
 
 

@@ -537,3 +537,77 @@ SELECT user_id, event_type AS state, ts AS valid_from,
 FROM changed
 ORDER BY user_id, version
 """
+
+
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: a dense hourly grid per event_type
+    over the table's time span, zero-filling missing buckets' counts
+    and carrying the last observed value forward (LOCF) for the
+    gauge-style metric.
+
+    The grid is generated from a 1-row bounds aggregate × the distinct
+    type dimension (both broadcast — grid size is hours × types,
+    independent of event volume); actual hourly aggregates left-join
+    onto it. LOCF is one ignore-nulls window over the grid, not the
+    events. At 100 TB the heavy side (hourly aggregation) stays a
+    partial-aggregated shuffle; the gap-fill machinery never touches
+    raw rows.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ev = io.read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket_start")
+        )
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("events", F.lit(0)).alias("events"),
+            F.round(F.last("total_value", ignorenulls=True).over(w), 6).alias("locf_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+), grid AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start, t.event_type
+    FROM bounds, (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.bucket_start, g.event_type,
+       CAST(coalesce(h.events, 0) AS BIGINT) AS events,
+       round(last_value(h.total_value IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_value
+FROM grid g LEFT JOIN hourly h
+  ON h.bucket_start = g.bucket_start AND h.event_type = g.event_type
+ORDER BY g.bucket_start, g.event_type
+"""

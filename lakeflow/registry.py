@@ -387,6 +387,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "q_dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     "q_scd2_history": (events.scd2_history, events.SCD2_SQL),
+    "q_gap_fill": (events.gap_fill, events.GAP_FILL_SQL),
+    "q_unpivot": (relational.unpivot_metrics, relational.UNPIVOT_SQL),
     "q_histogram": (profile.histogram, profile.HISTOGRAM_SQL),
     "q_heavy_hitters": (profile.heavy_hitters, profile.HEAVY_HITTERS_SQL),
     "q_scalar_subquery": (

@@ -862,3 +862,42 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native unpivot (melt) operator — the
+    inverse of the pivot view. The unpivot runs on the AGGREGATED frame
+    (rows = groups × metrics), so the reshape cost is independent of
+    input size; metric values are exact decimal sums surfaced as double.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(_dec("l_quantity"), "sum_qty"),
+        _dsum(_dec("l_extendedprice"), "sum_price"),
+        _dsum(_dec("l_discount"), "sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+)
+ORDER BY l_returnflag, metric
+"""
