@@ -290,3 +290,52 @@ def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_chained_stateful_join_then_window(spark, sf_dir, tmp_path):
+    """Two stateful operators chained in one streaming query: the
+    stream-stream attribution join feeds a daily tumbling aggregation
+    (watermark propagates through the join). Result equals the batch
+    per-day count of matched pairs."""
+    joined = streaming.attribution_stream(streaming.events_stream(spark, sf_dir))
+    daily = (
+        joined.groupBy(
+            F.window("purchase_ts", "1 day").alias("w")
+        ).agg(F.count("*").alias("pairs"))
+        .select(F.col("w.start").alias("day_start"), "pairs")
+    )
+    got = {
+        (r.day_start.replace(tzinfo=None), r.pairs)
+        for r in streaming.run_available_now(
+            daily, str(tmp_path), output_mode="append"
+        ).collect()
+    }
+
+    from lakeflow import io as lio
+
+    ev = lio.read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS v_user", "ts AS v_ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS purchase_ts"
+    )
+    pairs = purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.v_ts >= purchases.purchase_ts - F.expr("INTERVAL 60 MINUTES"))
+        & (views.v_ts < purchases.purchase_ts),
+    )
+    want = {
+        (r.day_start, r.pairs)
+        for r in pairs.groupBy(
+            F.date_trunc("day", "purchase_ts").alias("day_start")
+        )
+        .agg(F.count("*").alias("pairs"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; the final day may
+    # still be open after an availableNow drain — require every emitted
+    # window to match batch and at least all but one batch window emitted
+    assert got.issubset(want)
+    assert len(got) >= len(want) - 1
