@@ -282,6 +282,57 @@ def embedding_near_dups(
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distributed connected components by min-label propagation with
+    pointer jumping, over an edge list with BOTH directions present
+    (columns ``src``, ``dst``). Returns one (id, comp) row per node
+    appearing in ``edges``, comp = the component's minimum node id.
+
+    Each round: neighbor-min (join + groupBy-min on the id key) then a
+    pointer jump (resolve each label through its label's label) so
+    chains collapse in O(log diameter) rounds instead of O(diameter).
+    Lineage MUST be truncated per round, not just persisted: the union
+    references the previous labels twice, so the logical plan doubles
+    every iteration — persist() caches execution but Catalyst still
+    renders the 2^rounds plan (AQE's explain OOMed at round ~10 before
+    this used localCheckpoint). The checkpoint is lazy: the convergence
+    count is the materializing action, one Spark job per round. On a
+    multi-executor cluster prefer df.checkpoint() with a reliable
+    checkpoint dir so a lost executor can't kill a late round.
+    """
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        stepped = labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        new_labels = (
+            stepped.alias("l")
+            .join(stepped.alias("m"), F.col("l.comp") == F.col("m.id"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("m.comp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -307,17 +358,9 @@ def dedup_clusters(
     adversarially chain-shaped graphs the alternating small-star /
     large-star variant (Kiveris et al., "Connected Components in
     MapReduce and Beyond") drops rounds to O(log n) — same per-round
-    plan shape, so it slots in without changing the contract.
-
-    Lineage MUST be truncated per round, not just persisted: the
-    union references the previous labels twice (directly and through
-    the neighbor join), so the logical plan doubles every iteration —
-    persist() caches execution but Catalyst still renders the full
-    2^rounds plan (AQE's explain OOMed at round ~10 before this used
-    localCheckpoint). On a multi-executor cluster prefer
-    df.checkpoint() with a reliable checkpoint dir so a lost executor
-    can't kill a late round; localCheckpoint avoids the HDFS
-    round-trip in local mode.
+    plan shape, so it slots in without changing the contract. The loop
+    itself is the reusable :func:`connected_components` primitive (see
+    its docstring for the lineage-truncation requirement).
     """
     pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
     # Both edge directions from ONE pass over the pair join (a
@@ -338,42 +381,7 @@ def dedup_clusters(
     # Propagate only over the ACTIVE subgraph (nodes that matched some
     # pair). After thresholding, active nodes ≪ corpus — the loop never
     # touches the full table; singletons rejoin map-side at the end.
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-
-    for _ in range(max_iter):
-        neighbor = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        stepped = labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
-        # Pointer jump (path doubling): re-resolve each label through
-        # the label of its label, so chains collapse in O(log diameter)
-        # rounds instead of O(diameter) — 17 rounds → 5 on the sf0.1
-        # similarity graph. One extra self-join per round, same shuffle
-        # key, strictly fewer rounds.
-        new_labels = (
-            stepped.alias("l")
-            .join(stepped.alias("m"), F.col("l.comp") == F.col("m.id"), "left")
-            .select(
-                F.col("l.id").alias("id"),
-                F.least(F.col("l.comp"), F.coalesce(F.col("m.comp"), F.col("l.comp"))).alias("comp"),
-            )
-            # lazy: the convergence count below is the materializing
-            # action, so each round is ONE Spark job, not two.
-        ).localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(edges, max_iter)
     edges.unpersist()
 
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))

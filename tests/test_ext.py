@@ -293,3 +293,22 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert size == len(members)
         if vec_id not in paired:
             assert cid == vec_id and size == 1
+
+
+def test_connected_components_chain_and_blobs(spark):
+    """Adversarial shapes for the CC primitive: a 64-node chain (max
+    diameter — exercises pointer jumping over many rounds), two blobs,
+    and an isolated pair."""
+    chain = [(i, i + 1) for i in range(63)]
+    blob_a = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    pair = [(200, 201)]
+    all_edges = chain + blob_a + pair
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in all_edges] + [(b, a) for a, b in all_edges],
+        "src long, dst long",
+    )
+    got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[100 + i] == 100 for i in range(4))
+    assert got[200] == 200 and got[201] == 200
+    assert len(got) == 64 + 4 + 2
