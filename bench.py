@@ -74,6 +74,7 @@ EXTENDED_QUERIES = (
     "q_scd2_history",
     "q_gap_fill",
     "q_unpivot",
+    "q_mad",
 )
 
 

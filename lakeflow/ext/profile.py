@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type-hint strings must resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -233,4 +235,49 @@ SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
 FROM c
 ORDER BY cnt DESC, l_partkey
 LIMIT 20
+"""
+
+
+def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event values per type via a
+    GROUPED_AGG pandas UDF — the custom-aggregate (UDAF) extension
+    point: order-statistic aggregates that Catalyst's built-ins can't
+    partial-aggregate get an Arrow-batched vectorized escape hatch.
+
+    Scale: a grouped-agg UDF shuffles full groups to their aggregator
+    (no map-side combine possible for exact order statistics — same
+    constraint as exact percentile); groups here are |event_types|.
+    For high-cardinality keys the sketch path (q_approx_percentiles)
+    is the scale-out answer. Interpolated medians are (a+b)/2 on
+    identical doubles in both engines — bit-stable, rounded once.
+    """
+
+    @F.pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        m = v.median()
+        return float((v - m).abs().median())
+
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() — the companion count is a pandas aggregate too
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(v.count())
+
+    ev = io.read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(_mad("value"), 6).alias("mad_value"),
+            _n("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_SQL = """
+SELECT event_type, round(mad(value), 6) AS mad_value,
+       CAST(count(value) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """

@@ -323,3 +323,38 @@ def test_schema_evolution_on_append(spark, tmp_path):
     # plain read may or may not pick the evolved schema (footer order);
     # the merged read is the contract
     assert merged.count() == plain.count() == 2
+
+
+def test_permissive_ingest_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakeflow import ingest
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,name,amount\n"
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    clean, quarantine = ingest.ingest_csv_permissive(
+        spark, str(src), schema, quarantine_path=str(tmp_path / "quarantine")
+    )
+    assert {r.id for r in clean.collect()} == {1, 3}
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 1 and "not_a_number" in bad[0]
+    q = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert q.count() == 1
