@@ -199,3 +199,34 @@ def test_profile_ops_single_scan(spark, sf_dir):
         p = plan(fn(spark, sf_dir)).split("== Initial Plan ==")[0]
         assert p.count("Scan parquet") + p.count("Scan In-memory") <= 1, p
         assert "CartesianProduct" not in p
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows (change-detect lag, closing lead) share ONE
+    user-keyed exchange; the second sort reuses the partitioning."""
+    from lakeflow.ext import events
+
+    p = plan(events.scd2_history(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_hash_join(spark, sf_dir):
+    """The conversion-window join hashes on the user equi-key with the
+    time range as a residual predicate — never a nested-loop product."""
+    from lakeflow.ext import events
+
+    p = plan(events.attribution(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gap_fill_grid_stays_broadcast(spark, sf_dir):
+    """Gap fill's only nested-loop join is the 1-row bounds x types
+    grid (bounded by construction); the hourly aggregate side must
+    join the grid hash-based."""
+    from lakeflow.ext import events
+
+    p = plan(events.gap_fill(spark, sf_dir))
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in p
