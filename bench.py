@@ -75,6 +75,7 @@ EXTENDED_QUERIES = (
     "q_gap_fill",
     "q_unpivot",
     "q_mad",
+    "q_percentile_multi",
 )
 
 

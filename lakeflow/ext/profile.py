@@ -281,3 +281,38 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile (p25/p50/p75/p95 order totals per
+    priority) in ONE aggregation pass — four PERCENTILE_DISC values
+    (actual data values, no interpolation: the A6 semantics trap from
+    SURVEY §2.4 applies to every quantile here, mirrored by DuckDB's
+    quantile_disc).
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(name)
+        for name, p in qs.items()
+    ]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(*aggs, F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILE_MULTI_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75,
+       quantile_disc(o_totalprice, 0.95) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -371,3 +371,29 @@ def compact(
     shutil.rmtree(path)
     os.rename(staging, path)
     return len(before), len(data_files(path))
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    partitions: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Range-partitioned, sorted table layout: rows are range-split on
+    ``sort_cols`` (Exchange rangepartitioning — sampled split points,
+    balanced files) and sorted within each partition, so every output
+    file covers a tight, non-overlapping key range.
+
+    This is the data-layout lever for read-side file skipping: parquet
+    min/max footer stats on the sort key become selective, and a reader
+    filtering on the key prunes whole files (the same effect Z-ordering
+    targets for one dimension). Pair with `compact` for maintenance.
+    """
+    parts = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(partitions, *parts)
+        if partitions
+        else df.repartitionByRange(*parts)
+    )
+    out.sortWithinPartitions(*parts).write.format(fmt).mode("overwrite").save(path)

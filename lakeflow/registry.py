@@ -405,6 +405,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_corr": (profile.correlation, profile.CORRELATION_SQL),
     "q_column_profile": (profile.column_profile, profile.COLUMN_PROFILE_SQL),
     "q_mad": (profile.mad_by_group, profile.MAD_SQL),
+    "q_percentile_multi": (profile.percentile_multi, profile.PERCENTILE_MULTI_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only

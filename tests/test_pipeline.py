@@ -358,3 +358,32 @@ def test_permissive_ingest_quarantines_bad_rows(spark, tmp_path):
     assert len(bad) == 1 and "not_a_number" in bad[0]
     q = spark.read.parquet(str(tmp_path / "quarantine"))
     assert q.count() == 1
+
+
+def test_write_sorted_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_sorted: each output file covers a tight key range and the
+    ranges do not overlap — the property parquet min/max file skipping
+    depends on."""
+    from pyspark.sql import functions as F
+
+    from lakeflow import io as lio
+
+    orders = lio.read_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "sorted")
+    lio.write_sorted(orders, dst, ("o_totalprice",), partitions=4)
+
+    per_file = (
+        spark.read.parquet(dst)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 2
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint
+    assert sum(r.n for r in per_file) == orders.count()
