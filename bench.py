@@ -76,6 +76,7 @@ EXTENDED_QUERIES = (
     "q_unpivot",
     "q_mad",
     "q_percentile_multi",
+    "q_sample_capped",
 )
 
 

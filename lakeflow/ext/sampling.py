@@ -20,7 +20,7 @@ samplers push nothing BUT a cheap md5-prefix predicate below the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeflow import io
@@ -157,4 +157,38 @@ SELECT doc_id, lang, n_chars,
 FROM h
 ORDER BY priority, doc_id
 LIMIT 50
+"""
+
+
+def capped_sample(spark: SparkSession, sf_dir: str, cap: int = 8) -> DataFrame:
+    """Per-stratum capped sampling: keep at most ``cap`` documents per
+    (lang, source) stratum, chosen by hash priority — the curation
+    primitive that stops a dominant source from flooding a training
+    mix while staying reproducible (membership is a pure function of
+    doc_id, not engine RNG).
+
+    One shuffle on the stratum key; the per-stratum rank is a window
+    over md5 priority with a doc_id tie-break (total order → the same
+    cap set on any cluster layout).
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(pri, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+CAPPED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+WHERE rk <= 8
+ORDER BY doc_id
 """

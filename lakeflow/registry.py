@@ -400,6 +400,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         relational.WINDOW_DISTRIBUTION_SQL,
     ),
     "q_sample_weighted": (sampling.weighted_sample, sampling.WEIGHTED_SAMPLE_SQL),
+    "q_sample_capped": (sampling.capped_sample, sampling.CAPPED_SAMPLE_SQL),
     "q_char_pairs": (text.char_pair_freqs, text.CHAR_PAIR_SQL),
     "q_ntile_binning": (profile.ntile_binning, profile.NTILE_BINNING_SQL),
     "q_corr": (profile.correlation, profile.CORRELATION_SQL),

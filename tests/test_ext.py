@@ -312,3 +312,41 @@ def test_connected_components_chain_and_blobs(spark):
     assert all(got[100 + i] == 100 for i in range(4))
     assert got[200] == 200 and got[201] == 200
     assert len(got) == 64 + 4 + 2
+
+
+def test_connected_components_random_graphs(spark):
+    """CC against a pure-python union-find reference on seeded random
+    graphs (structure Spark-independent → any disagreement is a bug in
+    the distributed loop, not the generator)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        undirected = {
+            (a, b)
+            for _ in range(45)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in undirected:
+            parent[find(a)] = find(b)
+        want = {}
+        touched = {v for e in undirected for v in e}
+        for v in touched:
+            root = find(v)
+            want[v] = min(u for u in touched if find(u) == root)
+
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected],
+            "src long, dst long",
+        )
+        got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+        assert got == want, f"seed {seed}"
