@@ -901,3 +901,40 @@ SELECT l_returnflag, metric, value FROM (
 )
 ORDER BY l_returnflag, metric
 """
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy string join: pairs rows whose strings are within
+    ``max_dist`` Levenshtein edits, with a normalized-prefix blocking
+    key so the quadratic comparison happens only INSIDE blocks — the
+    block-then-verify shape every scalable string-matching pipeline
+    uses (same architecture as the LSH dedup path, cheaper verifier).
+
+    Caveat the blocking implies: a typo inside the first
+    ``block_chars`` characters lands the strings in different blocks
+    and the pair is missed — the standard recall trade-off; widen
+    recall with multiple blocking passes (e.g. prefix + suffix) when
+    the domain needs it. Verification is the built-in JVM levenshtein,
+    no UDF.
+    """
+    lnorm = F.lower(F.trim(F.col(left_col)))
+    rnorm = F.lower(F.trim(F.col(right_col)))
+    lb = left.withColumn("_lk", lnorm).withColumn(
+        "_blk", F.substring("_lk", 1, block_chars)
+    )
+    rb = right.withColumn("_rk", rnorm).withColumn(
+        "_blk", F.substring("_rk", 1, block_chars)
+    )
+    return (
+        lb.join(rb, "_blk")
+        .withColumn("edit_dist", F.levenshtein("_lk", "_rk"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .drop("_blk", "_lk", "_rk")
+    )

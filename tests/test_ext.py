@@ -350,3 +350,24 @@ def test_connected_components_random_graphs(spark):
         )
         got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_fuzzy_join_blocked_levenshtein(spark):
+    from lakeflow import relational
+
+    left = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Globex"), (3, "Initech")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "globexx"), (12, "umbrella"), (13, "xinitech")],
+        "rid long, rname string",
+    )
+    got = {
+        (r.id, r.rid, r.edit_dist)
+        for r in relational.fuzzy_join(left, right, "name", "rname").collect()
+    }
+    # "xinitech" blocks under "xi" != "in" → missed by design (recall
+    # trade-off documented); the two in-block typo matches are found
+    assert got == {(1, 10, 1), (2, 11, 1)}
+    p = relational.fuzzy_join(left, right, "name", "rname")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
