@@ -455,12 +455,87 @@ MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-ALL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+_BY_NAME: dict[str, tuple[QueryFn, str | None]] = {
     **CLAIMS_QUERIES,
     **STAR_QUERIES,
     **EXT_QUERIES,
     **MISC_QUERIES,
 }
+
+# Driver-certification ordering.  The driver's CORRECTNESS check walks
+# ALL_QUERIES in dict insertion order and (round 1) evaluated exactly the
+# first 50 entries, so ordering is part of the driver contract:
+#  1. two regression sentinels that were green in round 1,
+#  2. every oracle-bearing query that has NOT yet received a driver
+#     CORRECTNESS row (the round-1 unchecked tail), so they certify first,
+#  3. a spread of already-green queries for re-certification,
+#  4. the remaining already-green queries,
+#  5. rows-only queries (no oracle SQL → the driver can only record an
+#     `err: no_oracle` row, never a green one) at the very end so they
+#     never displace a certifiable query from the checked window.
+_CERT_FIRST: list[str] = [
+    # -- sentinels (green in r01) --------------------------------------
+    "q_silver_pipeline",
+    "q_tpch_q1",
+    # -- round-1 unchecked, oracle-bearing: certify these ---------------
+    "q_retention",
+    "q_anomaly_zscore",
+    "q_attribution",
+    "q_label_centroids",
+    "q_tfidf_top_terms",
+    "q_session_window",
+    "q_token_counts",
+    "q_text_stats",
+    "q_doc_quality",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_scd2_history",
+    "q_gap_fill",
+    "q_unpivot",
+    "q_histogram",
+    "q_heavy_hitters",
+    "q_scalar_subquery",
+    "q_window_distribution",
+    "q_sample_weighted",
+    "q_sample_capped",
+    "q_char_pairs",
+    "q_ntile_binning",
+    "q_corr",
+    "q_column_profile",
+    "q_mad",
+    "q_percentile_multi",
+    "q_embed_norms",
+    "q_knn_bruteforce",
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_sample_hash",
+    "q_train_test_split",
+    # -- re-certification spread of round-1 greens ----------------------
+    "q_claims_summary",
+    "q_join_snowflake",
+    "q_window_analytics",
+    "q_cube",
+    "q_sessionize",
+    "q_events_props",
+    "q_asof_join",
+    "q_median_by_group",
+]
+
+assert all(name in _BY_NAME for name in _CERT_FIRST), "stale _CERT_FIRST entry"
+
+ALL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    name: _BY_NAME[name] for name in _CERT_FIRST
+}
+for _name, _entry in _BY_NAME.items():  # remaining oracle-bearing greens
+    if _name not in ALL_QUERIES and _entry[1] is not None:
+        ALL_QUERIES[_name] = _entry
+for _name, _entry in _BY_NAME.items():  # rows-only tail
+    if _name not in ALL_QUERIES:
+        ALL_QUERIES[_name] = _entry
 
 
 def queries() -> dict[str, QueryFn]:
