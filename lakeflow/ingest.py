@@ -47,12 +47,19 @@ def ingest_csv(
     """Bronze job: glob-read CSVs, add lineage, append to the lake.
     Returns number of rows ingested (0 → skipped, S9 empty-input guard).
     """
-    df = read_csv_source(spark, input_glob)
-    if df.isEmpty():
-        return 0
-    df = with_lineage(df, source_file="csv", now=now)
-    write_partitioned(df, output_path, fmt=fmt, mode="append")
-    return spark.read.format(fmt).load(output_path).count()
+    df = with_lineage(read_csv_source(spark, input_glob), source_file="csv", now=now)
+    # One CSV materialization serves both the S9 emptiness check and the
+    # returned batch count (re-reading the output table after an append
+    # would report the cumulative table size, not this batch).
+    df = df.persist()
+    try:
+        n = df.count()
+        if n == 0:
+            return 0
+        write_partitioned(df, output_path, fmt=fmt, mode="append")
+        return n
+    finally:
+        df.unpersist()
 
 
 def ingest_csv_permissive(

@@ -304,19 +304,48 @@ def upsert_by_key(
                     ]
                 return out
 
+            # Per-partition swap: rename the old dir aside, rename the
+            # staged dir into place, then drop the old copy — a crash
+            # leaves at worst one partition as a `._old` remnant instead
+            # of a deleted partition. The loop as a whole is still not
+            # transactional (partitions swap one at a time); that is the
+            # managed-format gap (Delta/Iceberg commit protocols).
             for rel in leaf_dirs(staging, depth):
                 dst = os.path.join(path, rel)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+                old = dst.rstrip("/") + "._old"
+                had_old = os.path.isdir(dst)
+                if had_old:
+                    if os.path.isdir(old):
+                        shutil.rmtree(old)
+                    os.rename(dst, old)
                 os.rename(os.path.join(staging, rel), dst)
+                if had_old:
+                    shutil.rmtree(old)
             shutil.rmtree(staging)
         else:
-            shutil.rmtree(path)
-            os.rename(staging, path)
+            _swap_dirs(staging, path)
         return {"matched": matched, "inserted": n_updates - matched}
     finally:
         updates.unpersist()
+
+
+def _swap_dirs(staging: str, path: str) -> None:
+    """Replace ``path`` with ``staging``, narrowing the data-loss window
+    to a single rename: the old table is renamed aside first, so a crash
+    mid-swap leaves either the old or the new copy on disk (plus at
+    worst a recoverable ``._old`` directory), never neither. Local-fs
+    rename is not transactional — Delta/Iceberg commit protocols are the
+    managed answer; this is the best plain-directory equivalent.
+    """
+    import shutil
+
+    old = path.rstrip("/") + "._old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def compact(
@@ -368,8 +397,7 @@ def compact(
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.save(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    _swap_dirs(staging, path)
     return len(before), len(data_files(path))
 
 

@@ -76,9 +76,23 @@ def evaluate_suite(df: DataFrame, suite: dict) -> list[ExpectationResult]:
             plans.append((-3, exp))  # schema-only
             continue
         elif etype == "expect_column_values_to_be_dateutil_parseable":
-            parseable = (
-                col.cast("string").isNull() | F.try_to_date(col.cast("string")).isNotNull()
+            # Approximates dateutil's permissive parser with a coalesce
+            # over ISO timestamp/date plus the common non-ISO layouts
+            # (month-first like dateutil's default, year-first slashed,
+            # and spelled-month forms). Deviation from true dateutil:
+            # exotic forms ("next tuesday", fuzzy text) still count as
+            # violations — documented, deliberate (no Python-row path).
+            s = col.cast("string")
+            parsed = F.coalesce(
+                F.try_to_timestamp(s),
+                F.try_to_date(s).cast("timestamp"),
+                F.try_to_date(s, "MM/dd/yyyy").cast("timestamp"),
+                F.try_to_date(s, "yyyy/MM/dd").cast("timestamp"),
+                F.try_to_date(s, "MMM d, yyyy").cast("timestamp"),
+                F.try_to_date(s, "MMMM d, yyyy").cast("timestamp"),
+                F.try_to_date(s, "d MMM yyyy").cast("timestamp"),
             )
+            parseable = s.isNull() | parsed.isNotNull()
             aggs.append(_violations(parseable).alias(f"a{slot}"))
         elif etype == "expect_column_value_lengths_to_be_between":
             aggs.append(

@@ -113,3 +113,21 @@ def test_extended_expectation_types(spark):
     # max 30 in [25,35]; sum 60; stdev 10; tag ⊆ {x,y}; code ⊄ {A1}
     assert outcomes == [True, True, True, True, True, True, True, False]
     assert "A2" in res[-1].observed
+
+
+def test_dateutil_parseable_accepts_common_non_iso(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15",), ("03/15/2024",), ("Mar 5, 2024",), ("2024/03/15",),
+         ("15 Mar 2024",), ("not a date",), (None,)],
+        "d string",
+    )
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_be_dateutil_parseable",
+             "kwargs": {"column": "d"}},
+        ]
+    }
+    res = quality.evaluate_suite(df, suite)
+    # only "not a date" violates; NULL and the five real layouts pass
+    assert res[0].success is False
+    assert "violations=1" in res[0].observed
