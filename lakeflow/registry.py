@@ -326,7 +326,10 @@ FROM claims_raw
 STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q1": (relational.tpch_q1, relational.TPCH_Q1_SQL),
     "q_tpch_q3": (relational.tpch_q3, relational.TPCH_Q3_SQL),
+    "q_tpch_q4": (relational.tpch_q4, relational.TPCH_Q4_SQL),
     "q_tpch_q5": (relational.tpch_q5, relational.TPCH_Q5_SQL),
+    "q_tpch_q17": (relational.tpch_q17, relational.TPCH_Q17_SQL),
+    "q_fuzzy_join": (relational.fuzzy_match_parts, relational.FUZZY_MATCH_SQL),
     "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
     "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
     "q_join_snowflake": (relational.join_snowflake, relational.JOIN_SNOWFLAKE_SQL),
@@ -514,6 +517,10 @@ _CERT_FIRST: list[str] = [
     "q_frame_sample",
     "q_sample_hash",
     "q_train_test_split",
+    # -- new this round: never checked ----------------------------------
+    "q_tpch_q4",
+    "q_tpch_q17",
+    "q_fuzzy_join",
     # -- re-certification spread of round-1 greens ----------------------
     "q_claims_summary",
     "q_join_snowflake",

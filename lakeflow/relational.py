@@ -903,6 +903,120 @@ ORDER BY l_returnflag, metric
 """
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders in a quarter-year
+    window that have at least one late-shipping lineitem, counted per
+    priority.
+
+    The correlated `EXISTS (SELECT ... WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate)` decorrelates to a LEFT SEMI join on
+    the equi key with the range predicate as the join residual — the
+    exact rewrite Catalyst applies to the SQL form. One fact-fact semi
+    join (shuffle on orderkey, AQE-sized), no nested loops, no
+    per-order subquery execution; the plan shape is scale-invariant.
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    li = io.read_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    with_late_item = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        with_late_item.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str, brand: str = "Brand#3") -> DataFrame:
+    """Correlated aggregate threshold (TPC-H Q17 shape): revenue of
+    small-quantity lineitems — rows whose quantity is below 20% of the
+    average quantity *of their own part* — for one brand.
+
+    The correlated `l_quantity < 0.2 * (SELECT avg(..) WHERE l2.l_partkey
+    = l_partkey)` decorrelates to: restrict the fact to the brand's
+    parts (broadcast dim filter), aggregate per part, join the per-part
+    averages back on the part key. The re-join's build side carries one
+    row per qualifying part (dimension-bounded, not fact-bounded); AQE
+    picks broadcast vs shuffle by its actual size. The average is an
+    exact decimal sum divided once, so the 0.2× threshold is the
+    identical double on any engine/partitioning.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li_b = li.join(broadcast(brand_parts), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("part_avg_qty")
+    )
+    return (
+        li_b.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 10.0).alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 10.0 AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l1.l_quantity < 0.2 * (
+      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fuzzy-join query: resolve a fixed list of misspelled
+    product names against the part dimension with the blocked
+    Levenshtein join (entity-resolution-against-reference-list shape).
+    Deterministic: literal query list, JVM levenshtein verify, ordered
+    output.
+    """
+    parts = io.read_table(spark, sf_dir, "part").select("p_name").distinct()
+    queries = spark.createDataFrame(
+        [("smal ring",), ("red widgett",), ("blue blot",), ("hot gearr",), ("shiny cog",)],
+        "query_name string",
+    )
+    return (
+        fuzzy_join(queries, parts, "query_name", "p_name", max_dist=2, block_chars=2)
+        .select("query_name", "p_name", "edit_dist")
+        .orderBy("query_name", "p_name")
+    )
+
+
+FUZZY_MATCH_SQL = """
+SELECT query_name, p_name, CAST(levenshtein(lower(trim(query_name)), lower(trim(p_name))) AS INTEGER) AS edit_dist
+FROM (VALUES ('smal ring'), ('red widgett'), ('blue blot'), ('hot gearr'), ('shiny cog')) AS q(query_name)
+JOIN (SELECT DISTINCT p_name FROM part) p
+  ON substring(lower(trim(query_name)), 1, 2) = substring(lower(trim(p_name)), 1, 2)
+WHERE levenshtein(lower(trim(query_name)), lower(trim(p_name))) <= 2
+ORDER BY query_name, p_name
+"""
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

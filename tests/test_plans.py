@@ -230,3 +230,32 @@ def test_gap_fill_grid_stays_broadcast(spark, sf_dir):
     p = plan(events.gap_fill(spark, sf_dir))
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark, sf_dir):
+    """The EXISTS shape must run as ONE semi join on the equi key with
+    the date range as residual — no per-order subquery, no nested
+    loops, no cartesian products."""
+    p = plan(relational.tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q17_joins_aggregate_back(spark, sf_dir):
+    """The correlated per-part average must decorrelate to an
+    aggregate + equi re-join (hash-based), never a per-row subquery or
+    nested loop."""
+    p = plan(relational.tpch_q17(spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_join_blocks_before_verify(spark, sf_dir):
+    """The fuzzy join must pair rows via the hash-join on the blocking
+    key (quadratic work only inside blocks), not a cross product with a
+    levenshtein filter."""
+    p = plan(relational.fuzzy_match_parts(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
