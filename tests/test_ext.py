@@ -307,11 +307,19 @@ def test_connected_components_chain_and_blobs(spark):
         [(a, b) for a, b in all_edges] + [(b, a) for a, b in all_edges],
         "src long, dst long",
     )
-    got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
-    assert all(got[i] == 0 for i in range(64))
-    assert all(got[100 + i] == 100 for i in range(4))
-    assert got[200] == 200 and got[201] == 200
-    assert len(got) == 64 + 4 + 2
+    # both execution paths: driver union-find (default guard) and the
+    # distributed loop (guard forced off)
+    for guard in (2_000_000, 0):
+        got = {
+            r.id: r.comp
+            for r in dedup.connected_components(
+                edges, driver_finish_max_edges=guard
+            ).collect()
+        }
+        assert all(got[i] == 0 for i in range(64))
+        assert all(got[100 + i] == 100 for i in range(4))
+        assert got[200] == 200 and got[201] == 200
+        assert len(got) == 64 + 4 + 2
 
 
 def test_connected_components_random_graphs(spark):
@@ -348,8 +356,14 @@ def test_connected_components_random_graphs(spark):
             [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected],
             "src long, dst long",
         )
-        got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
-        assert got == want, f"seed {seed}"
+        for guard in (2_000_000, 0):
+            got = {
+                r.id: r.comp
+                for r in dedup.connected_components(
+                    edges, driver_finish_max_edges=guard
+                ).collect()
+            }
+            assert got == want, f"seed {seed} guard {guard}"
 
 
 def test_fuzzy_join_blocked_levenshtein(spark):
