@@ -45,6 +45,9 @@ BENCH_QUERIES = (
 # stay apples-to-apples.
 EXTENDED_QUERIES = (
     "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q17",
+    "q_fuzzy_join",
     "q_asof_join",
     "q_rollup_daily",
     "q_window_analytics",
@@ -82,6 +85,10 @@ EXTENDED_QUERIES = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:  # sampled BEFORE this process starts its own burst
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     from lakeflow import registry
     from lakeflow.session import get_session
 
@@ -101,12 +108,23 @@ def main() -> None:
         qmap[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm timing = median of 3 repeats per query, so one GC pause or
+    # host-load spike doesn't masquerade as a regression in the
+    # round-over-round record.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = qmap[name](spark, sf_dir).count()  # count() = full execution, no collect
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s) rows={n}", file=sys.stderr)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n = qmap[name](spark, sf_dir).count()  # count() = full execution
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {[round(r, 3) for r in runs]} "
+            f"(cold {cold[name]:.3f}s) rows={n}",
+            file=sys.stderr,
+        )
 
     extended: dict[str, float] = {}
     for name in EXTENDED_QUERIES:
@@ -129,6 +147,12 @@ def main() -> None:
                 "sf": float(sf),
                 "cold_total_sec": warm_s,
                 "extended": extended,
+                # host-noise context for round-over-round comparisons:
+                # 1/5/15-min load BEFORE this process's own burst, cores,
+                # and the repeat count behind each median
+                "load_avg": load,
+                "cpus": os.cpu_count(),
+                "repeats": repeats,
             }
         )
     )
