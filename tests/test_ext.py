@@ -88,13 +88,51 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     assert feats.count() == n_src
 
 
-def test_resize_plumbing(spark, sf_dir):
-    out = multimodal.resize_images(
-        multimodal.synthesize_binary_docs(spark, sf_dir), out_w=16, out_h=16
+def test_png_bmp_codec_roundtrip():
+    """Byte-exact round trips through the real stdlib codecs: every PNG
+    scanline filter (0-4), RGBA, and BMP row padding."""
+    import random
+
+    rng = random.Random(42)
+    w, h = 7, 5
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    for f in range(5):
+        dw, dh, ch, px = multimodal.decode_png(
+            multimodal.encode_png(w, h, rgb, filter_type=f)
+        )
+        assert (dw, dh, ch) == (w, h, 3)
+        assert px == rgb, f"filter {f}"
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    dw, dh, ch, px = multimodal.decode_png(
+        multimodal.encode_png(w, h, rgba, filter_type=4, channels=4)
     )
-    rows = out.orderBy("doc_id").take(3)
-    assert all(r.out_len == 16 * 16 * 3 for r in rows)
-    assert all(0 <= r.checksum < 65_536 for r in rows)
+    assert (ch, px) == (4, rgba)
+    dw, dh, ch, px = multimodal.decode_bmp(multimodal.encode_bmp(w, h, rgb))
+    assert (dw, dh, ch) == (w, h, 3) and px == rgb
+
+
+def test_resize_real_decode(spark, sf_dir):
+    """Resize decodes the REAL payload, nearest-neighbor resamples, and
+    re-encodes: output PNG must decode back to the expected constant
+    color with a closed-form pixel sum."""
+    out = multimodal.resize_images(
+        multimodal.synthesize_image_docs(spark, sf_dir), out_w=16, out_h=16
+    )
+    for r in out.orderBy("doc_id").take(6):
+        d = r.doc_id
+        color = (d % 256) + ((d * 3) % 256) + ((d * 5) % 256)
+        assert r.width == 4 + d % 13 and r.height == 4 + (d * 7) % 11
+        assert r.out_pixel_sum == 16 * 16 * color
+        dw, dh, ch, px = multimodal.decode_png(bytes(r.resized))
+        assert (dw, dh, ch) == (16, 16, 3)
+        assert sum(px) == r.out_pixel_sum
+
+
+def test_resize_nearest_neighbor_grid():
+    src = bytes((1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))  # 2x2
+    out = multimodal.resize_pixels(src, 2, 2, 3, 4, 4)
+    grid = [out[(y * 4 + x) * 3] for y in range(4) for x in range(4)]
+    assert grid == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
 
 
 def test_frame_sample_fanout(spark, sf_dir):
@@ -112,11 +150,13 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert stats.count() == n_vids
 
 
-def test_decode_stub_rejects_unknown_mime():
+def test_decoders_reject_unknown_mime():
     import pytest
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image/png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", "video/mp4")
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
