@@ -5,7 +5,12 @@ Source/sink surface mirrors the reference's connectors
 - CSV source w/ header+inferSchema+multiline+escape
   (/root/reference/jobs/bronze/ingest_csv_to_delta.py:44-49)
 - Delta/Iceberg sinks are gated behind import-try (the jars are not in
-  this container); parquet is the always-available format.
+  this container); parquet is the always-available format. The
+  transactional semantics the jars would provide (atomic multi-file
+  commit, time travel, MERGE/OPTIMIZE under optimistic concurrency)
+  are implemented jar-free in ``lakeflow.txlog`` — prefer
+  ``txlog.TxTable`` over the rename-swap functions below when
+  atomicity matters.
 """
 
 from __future__ import annotations

@@ -1,0 +1,543 @@
+"""Pure-Python Delta-style transaction log over parquet.
+
+The one reference capability plain directories cannot serve is the
+managed-format commit protocol: the reference writes Delta
+(/root/reference/jobs/bronze/ingest_csv_to_delta.py:68-72) and Iceberg
+(/root/reference/jobs/silver/claims_to_iceberg.py:131), whose value is
+*atomic multi-file commits* and *time travel* — not the parquet bytes.
+The jars are unobtainable in this container (BASELINE.md §managed-format),
+so this module re-implements the protocol itself, Spark-first:
+
+- A table is a directory of immutable parquet data files plus a
+  ``_txlog/`` directory of ordered JSON commit files
+  (``00000000000000000000.json``, one per version), each holding
+  newline-delimited actions: ``metaData`` (schema, partition columns),
+  ``add`` (file path, size, partitionValues), ``remove``, ``commitInfo``.
+- **Atomicity**: data files are staged and moved into the table dir
+  FIRST (invisible to readers — only the log defines the table), then
+  the commit file is published with ``os.link(tmp, commit)``, which is
+  atomic and fails with EEXIST if the version was taken. A crash at any
+  earlier point leaves orphan data files (cleaned by ``vacuum``) and a
+  table still readable at the prior version.
+- **Optimistic concurrency**: writers read the latest version, prepare,
+  then CAS on the commit file. Losers of the race re-check: blind
+  appends rebase and retry; read-modify-write commits (overwrite,
+  upsert, compact) raise ``ConcurrentModification`` because their
+  premise (the snapshot they read) is stale.
+- **Time travel**: ``read(version=N)`` replays the log to N;
+  ``history()`` lists commits. Every 10 commits a
+  ``*.checkpoint.json`` snapshot of the full live set bounds replay
+  cost — at 100 TB / millions of commits the log read is
+  O(checkpoint + tail), exactly Delta's shape.
+
+Scale notes: the log is driver-side *metadata* — O(live files), never
+O(rows) — and the data plane stays a plain distributed parquet
+scan/write. Partition pruning happens log-side (filter ``add`` actions
+by partitionValues before handing Spark the file list) so a pruned read
+never even lists the skipped files. This mirrors how Delta/Iceberg
+scale reads: metadata pruning first, then Spark's normal splittable
+scan over the surviving files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_txlog"
+CHECKPOINT_EVERY = 10
+_VLEN = 20  # zero-padded version width -> lexicographic == numeric order
+
+
+class ConcurrentModification(Exception):
+    """A read-modify-write commit lost the optimistic-concurrency race:
+    another writer committed after our snapshot was taken, so replaying
+    our actions could drop their changes. Callers retry the whole
+    operation from a fresh snapshot."""
+
+
+class NoSuchVersion(Exception):
+    pass
+
+
+def _commit_name(v: int) -> str:
+    return f"{v:0{_VLEN}d}.json"
+
+
+def _checkpoint_name(v: int) -> str:
+    return f"{v:0{_VLEN}d}.checkpoint.json"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str | None
+    partition_by: tuple[str, ...]
+    # rel path -> add action dict (path, size, partitionValues)
+    files: dict[str, dict[str, Any]]
+    timestamp: float
+
+    @property
+    def schema(self) -> StructType | None:
+        return StructType.fromJson(json.loads(self.schema_json)) if self.schema_json else None
+
+
+@dataclass
+class TxTable:
+    """Handle on one transaction-logged table rooted at ``path``."""
+
+    path: str
+
+    # ------------------------------------------------------------------ log IO
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and self.latest_version() is not None
+
+    def _log_entries(self) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(os.listdir(self.log_dir))
+
+    def latest_version(self) -> int | None:
+        vs = [int(e[:_VLEN]) for e in self._log_entries() if e.endswith(".json") and not e.endswith(".checkpoint.json") and e[:_VLEN].isdigit()]
+        return max(vs) if vs else None
+
+    def _read_actions(self, version: int) -> list[dict[str, Any]]:
+        p = os.path.join(self.log_dir, _commit_name(version))
+        with open(p) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Reconstruct the live file set at ``version`` (default: latest)
+        by replaying the log from the newest checkpoint <= version."""
+        latest = self.latest_version()
+        if latest is None:
+            raise NoSuchVersion(f"{self.path}: no transaction log")
+        v = latest if version is None else version
+        if v > latest or v < 0:
+            raise NoSuchVersion(f"{self.path}: version {v} (latest {latest})")
+
+        ckpts = [
+            int(e[:_VLEN])
+            for e in self._log_entries()
+            if e.endswith(".checkpoint.json") and int(e[:_VLEN]) <= v
+        ]
+        files: dict[str, dict[str, Any]] = {}
+        schema_json: str | None = None
+        partition_by: tuple[str, ...] = ()
+        ts = 0.0
+        start = 0
+        if ckpts:
+            cv = max(ckpts)
+            with open(os.path.join(self.log_dir, _checkpoint_name(cv))) as fh:
+                state = json.load(fh)
+            files = {a["path"]: a for a in state["add"]}
+            schema_json = state.get("schemaJson")
+            partition_by = tuple(state.get("partitionBy", []))
+            ts = state.get("timestamp", 0.0)
+            start = cv + 1
+        for cur in range(start, v + 1):
+            for action in self._read_actions(cur):
+                if "metaData" in action:
+                    schema_json = action["metaData"].get("schemaJson", schema_json)
+                    partition_by = tuple(action["metaData"].get("partitionBy", partition_by))
+                elif "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+                elif "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp", ts)
+        return Snapshot(v, schema_json, partition_by, files, ts)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit metadata, newest first — Delta's DESCRIBE HISTORY."""
+        latest = self.latest_version()
+        out = []
+        for v in range((latest if latest is not None else -1), -1, -1):
+            info = next(
+                (a["commitInfo"] for a in self._read_actions(v) if "commitInfo" in a),
+                {},
+            )
+            out.append({"version": v, **info})
+        return out
+
+    def version_at(self, timestamp: float) -> int:
+        """Greatest version whose commit timestamp <= ``timestamp``
+        (time-travel-by-timestamp resolution)."""
+        best = None
+        for h in self.history():
+            if h.get("timestamp", float("inf")) <= timestamp:
+                best = h["version"]
+                break  # history is newest-first
+        if best is None:
+            raise NoSuchVersion(f"{self.path}: no commit at or before {timestamp}")
+        return best
+
+    # ------------------------------------------------------------- committing
+
+    def _try_commit(self, version: int, actions: list[dict[str, Any]]) -> bool:
+        """Atomically publish ``actions`` as ``version``. The os.link CAS
+        is the transaction point: it either creates the commit file
+        whole (the tmp file is fully written + fsynced first) or fails
+        EEXIST because another writer took the version."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(self.log_dir, _commit_name(version))
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(
+        self,
+        read_version: int | None,
+        actions: list[dict[str, Any]],
+        operation: str,
+    ) -> int:
+        """Single CAS attempt at ``read_version + 1``. Raises
+        ConcurrentModification if that version was taken — callers whose
+        actions don't depend on the snapshot (blind appends) catch it,
+        rebase on the new latest, and retry."""
+        attempt = (read_version if read_version is not None else -1) + 1
+        info = {
+            "commitInfo": {
+                "operation": operation,
+                "timestamp": time.time(),
+                "readVersion": read_version,
+            }
+        }
+        if not self._try_commit(attempt, actions + [info]):
+            raise ConcurrentModification(
+                f"{self.path}: version {attempt} committed by another writer "
+                f"after snapshot v{read_version} was taken"
+            )
+        if (attempt + 1) % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(attempt)
+        return attempt
+
+    def _write_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version)
+        state = {
+            "version": version,
+            "schemaJson": snap.schema_json,
+            "partitionBy": list(snap.partition_by),
+            "timestamp": snap.timestamp,
+            "add": sorted(snap.files.values(), key=lambda a: a["path"]),
+        }
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # Checkpoints are derived data — last writer wins is fine.
+        os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
+
+    # ------------------------------------------------------------- data plane
+
+    def _stage_files(
+        self, df: DataFrame, partition_by: tuple[str, ...]
+    ) -> list[dict[str, Any]]:
+        """Write ``df``'s files into the table directory (Hive layout when
+        partitioned) WITHOUT publishing them, returning their add
+        actions. Files are written to a staging dir then renamed in —
+        rename keeps Spark's unique part-file names, so concurrent
+        stagers never collide, and unpublished files are invisible
+        because readers only trust the log."""
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        w = df.write.format("parquet").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(staging)
+        adds: list[dict[str, Any]] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if name.startswith(("_", ".")):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                part_values = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                }
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "size": os.path.getsize(dst),
+                            "partitionValues": part_values,
+                        }
+                    }
+                )
+        shutil.rmtree(staging)
+        return adds
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
+        """Atomic multi-file append/overwrite — the transactional
+        equivalent of the reference's Delta append w/ mergeSchema
+        (/root/reference/jobs/bronze/ingest_csv_to_delta.py:68-72).
+        Returns the committed version."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        staged: list[dict[str, Any]] | None = None
+        while True:
+            read_version = self.latest_version()
+            if read_version is not None:
+                snap = self.snapshot(read_version)
+                partition_by = tuple(partition_by) or snap.partition_by
+                if tuple(partition_by) != snap.partition_by:
+                    raise ValueError(
+                        f"partition_by {partition_by} != table's {snap.partition_by}"
+                    )
+                # mergeSchema semantics: later appends may add columns; the
+                # union schema becomes the table schema (old files surface
+                # NULL for new columns at read, exactly Delta's behavior).
+                old = snap.schema
+                new_schema = _merge_schemas(old, df.schema) if old else df.schema
+            else:
+                snap = None
+                new_schema = df.schema
+            if staged is None:  # stage once; retries only recompute the log side
+                staged = self._stage_files(df, tuple(partition_by))
+            actions: list[dict[str, Any]] = [
+                {
+                    "metaData": {
+                        "schemaJson": new_schema.json(),
+                        "partitionBy": list(partition_by),
+                    }
+                }
+            ]
+            if mode == "overwrite" and snap is not None:
+                actions += [{"remove": {"path": p}} for p in snap.files]
+            actions += staged
+            try:
+                return self._commit(read_version, actions, mode)
+            except ConcurrentModification:
+                if mode == "overwrite":
+                    raise
+                # Blind append: rebase on the new latest (re-merging the
+                # schema against whatever the winner committed) and retry.
+                continue
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        asof_timestamp: float | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally time-travelled. ``partition_filter``
+        prunes add actions by their partitionValues BEFORE Spark sees a
+        file list — log-side partition pruning, so a pruned 100 TB read
+        plans over only the surviving files."""
+        if asof_timestamp is not None:
+            version = self.version_at(asof_timestamp)
+        snap = self.snapshot(version)
+        adds = list(snap.files.values())
+        if partition_filter is not None:
+            adds = [a for a in adds if partition_filter(a.get("partitionValues", {}))]
+        paths = [os.path.join(self.path, a["path"]) for a in adds]
+        if not paths:
+            schema = snap.schema
+            return spark.createDataFrame([], schema if schema else "dummy INT")
+        # basePath re-infers Hive partition columns from the file paths,
+        # so partitioned files (whose data omits the partition column)
+        # read back whole. The log's schema is passed explicitly: no
+        # footer-sampling inference job, and pre-evolution files surface
+        # NULL for later-added columns (per-file column resolution) —
+        # exactly Delta's read path, where the log owns the schema.
+        schema = snap.schema
+        reader = spark.read.option("basePath", self.path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    # --------------------------------------------------- maintenance commits
+
+    def upsert_by_key(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: tuple[str, ...],
+        order_col: str | None = None,
+    ) -> dict[str, int]:
+        """MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT) with a truly
+        atomic commit: rewritten files and their removals publish in ONE
+        log entry, so readers see either the whole merge or none of it —
+        the guarantee io.upsert_by_key's per-partition rename swap
+        cannot give (io.py:306-312 documents that gap; this closes it).
+
+        Only files in partitions touched by ``updates`` are rewritten;
+        untouched files carry over by reference (zero IO). Raises
+        ConcurrentModification if another writer commits between our
+        snapshot and our commit."""
+        if not self.exists():
+            self.write(updates, mode="append")
+            return {"matched": 0, "inserted": updates.count()}
+        read_version = self.latest_version()
+        snap = self.snapshot(read_version)
+
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            )
+            updates = updates.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+        updates = updates.persist()
+        try:
+            n_updates = updates.count()
+            if order_col is None:
+                n_keys = updates.select(*key_cols).distinct().count()
+                if n_keys != n_updates:
+                    raise ValueError(
+                        f"update batch has {n_updates - n_keys} duplicate key(s); "
+                        "pass order_col to pick a winner"
+                    )
+            if n_updates == 0:
+                return {"matched": 0, "inserted": 0}
+
+            part_by = snap.partition_by
+            if part_by:
+                from urllib.parse import unquote
+
+                touched = {
+                    tuple(
+                        str(r[c]) if r[c] is not None else "__HIVE_DEFAULT_PARTITION__"
+                        for c in part_by
+                    )
+                    for r in updates.select(*part_by).distinct().collect()
+                }
+
+                # partitionValues come from Hive dir names, which Spark
+                # percent-escapes; unquote before comparing so e.g. a
+                # space in a partition value still matches.
+                def in_touched(pv: dict[str, str]) -> bool:
+                    return tuple(unquote(pv.get(c, "")) for c in part_by) in touched
+
+            else:
+
+                def in_touched(pv: dict[str, str]) -> bool:
+                    return True
+
+            rewrite = [a for a in snap.files.values() if in_touched(a["partitionValues"])]
+            if rewrite:
+                # read() projects to the log schema, so pre-evolution
+                # files surface NULLs instead of schema-mismatched reads.
+                existing = self.read(
+                    spark, version=read_version, partition_filter=in_touched
+                )
+                matched = existing.join(
+                    updates.select(*key_cols), list(key_cols), "left_semi"
+                ).count()
+                kept = existing.join(
+                    updates.select(*key_cols), list(key_cols), "left_anti"
+                )
+                merged = kept.unionByName(updates, allowMissingColumns=True)
+            else:
+                matched = 0
+                merged = updates
+            new_schema = _merge_schemas(snap.schema, updates.schema)
+            adds = self._stage_files(merged, part_by)
+            actions: list[dict[str, Any]] = [
+                {
+                    "metaData": {
+                        "schemaJson": new_schema.json(),
+                        "partitionBy": list(part_by),
+                    }
+                }
+            ]
+            actions += [{"remove": {"path": a["path"]}} for a in rewrite] + adds
+            self._commit(read_version, actions, "upsert")
+            return {"matched": matched, "inserted": n_updates - matched}
+        finally:
+            updates.unpersist()
+
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> tuple[int, int]:
+        """OPTIMIZE: rewrite the live set into ~target-sized files and
+        swap the file list in one atomic commit. Readers mid-compaction
+        keep the old snapshot; time travel to it keeps working until
+        vacuum. Raises ConcurrentModification on a racing writer."""
+        read_version = self.latest_version()
+        snap = self.snapshot(read_version)
+        before = list(snap.files.values())
+        total = sum(a["size"] for a in before)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.read(spark, version=read_version)
+        adds = self._stage_files(df.repartition(n_out), snap.partition_by)
+        actions = [{"remove": {"path": a["path"]}} for a in before] + adds
+        self._commit(read_version, actions, "compact")
+        return len(before), len(adds)
+
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Delete data files referenced by NO snapshot newer than
+        (latest - retain_versions): removed-and-aged-out files plus
+        orphans from crashed writers. Time travel keeps working for the
+        retained window; older versions become unreadable (same contract
+        as Delta VACUUM)."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        live: set[str] = set()
+        for v in range(max(0, latest - retain_versions), latest + 1):
+            live |= set(self.snapshot(v).files)
+        deleted = []
+        for root, _dirs, names in os.walk(self.path, topdown=False):
+            if LOG_DIR in root.split(os.sep):
+                continue
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path).replace(os.sep, "/")
+                if rel not in live and not name.startswith(("_", ".")):
+                    os.unlink(full)
+                    deleted.append(rel)
+            if root != self.path and not os.listdir(root):
+                os.rmdir(root)
+        return sorted(deleted)
+
+
+def _merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Union of fields, old order first — mergeSchema append semantics.
+    Type conflicts on a shared column are rejected (Delta does the
+    same for non-upcastable changes)."""
+    by_name = {f.name: f for f in old.fields}
+    fields = list(old.fields)
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            fields.append(f)
+        elif prev.dataType.simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"column {f.name}: incompatible schema change "
+                f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return StructType(fields)
