@@ -288,6 +288,133 @@ def embedding_near_dups(
     )
 
 
+def _lsh_params(threshold: float, target_recall: float = 0.98, max_bands: int = 48) -> tuple[int, int]:
+    """Auto-tune (bits_per_band, bands) for random-hyperplane LSH.
+
+    For cosine ``threshold`` t the per-hyperplane sign-agreement
+    probability is p = 1 - arccos(t)/pi; a pair at t survives banding
+    with prob 1-(1-p^bits)^bands. Pick the LARGEST bits (strongest
+    pruning of sub-threshold pairs) whose band count for
+    ``target_recall`` fits ``max_bands``. High thresholds (the
+    semantic-dedup production regime, t >= 0.8) land on deep buckets
+    with near-zero false-candidate rates; low thresholds degrade to
+    few bits — the curse of dimensionality, no blocking scheme prunes
+    cosine-0.4 pairs well — but recall stays engineered, never
+    accidental."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (1, max_bands)
+    for bits in range(1, 33):
+        band_hit = p**bits
+        if band_hit >= 1.0:
+            continue
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_hit))
+        if bands <= max_bands:
+            best = (bits, bands)
+        else:
+            break
+    return best
+
+
+def embedding_near_dups_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    bands: int | None = None,
+    bits: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: banded random-hyperplane
+    LSH block-then-verify — the 100 TB default edge generator (the
+    all-pairs twin :func:`embedding_near_dups` survives only as the
+    small-SF oracle path; VERDICT r2 finding #1).
+
+    Same shape as the MinHash path (:func:`near_dup_pairs`):
+
+    1. **Bucket**: one Arrow-batched ``mapInPandas`` computes every
+       band bucket in a single numpy matmul against ``bands*bits``
+       deterministic (seeded) Gaussian hyperplanes — sign bits packed
+       per band into a long. Per-row output is (vec_id, bands longs):
+       the embedding itself never leaves the stage.
+    2. **Block**: posexplode to (vec_id, band, bucket) and self-join on
+       the compact (band, bucket) key — a plain shuffled equi-join,
+       candidates ∝ Σ_bucket |bucket|², never O(n²) and never a
+       corpus-sized broadcast (plan-asserted in tests/test_plans.py).
+    3. **Verify**: distinct candidate id-pairs re-join the vectors
+       (two shuffles keyed on vec_id, bounded by the candidate count)
+       and the EXACT cosine — same expression as the all-pairs twin —
+       applies the threshold, so false candidates cost IO, never
+       correctness; misses are bounded by the tuned recall (>=0.98 at
+       the threshold, higher above it; recall-floor test vs exact at
+       sf0.01).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from lakeflow.ext.similarity import _dot, _dvec, _norm
+
+    if bits is None or bands is None:
+        bits, bands = _lsh_params(threshold)
+    n_planes = bands * bits
+
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+
+    def bucketize(batches):
+        H = None
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            if H is None:
+                # deterministic hyperplanes — every task regenerates the
+                # same matrix from the seed; nothing is shipped
+                H = np.random.default_rng(seed).standard_normal(
+                    (V.shape[1], n_planes)
+                )
+            signs = (V @ H) >= 0.0
+            buckets = signs.reshape(len(pdf), bands, bits) @ weights
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "buckets": list(buckets)}
+            )
+
+    keys = (
+        emb.select("vec_id", "v")
+        .mapInPandas(bucketize, "vec_id bigint, buckets array<bigint>")
+        .select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+    )
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nv").alias("n_a")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_b")
+    )
+    cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
@@ -418,6 +545,7 @@ def dedup_clusters(
     sf_dir: str,
     threshold: float = 0.4,
     max_iter: int = 20,
+    edge_source: str = "lsh",
 ) -> DataFrame:
     """Connected-components clustering over near-duplicate pairs — the
     step a training-data dedup pipeline runs AFTER pair generation:
@@ -441,8 +569,21 @@ def dedup_clusters(
     plan shape, so it slots in without changing the contract. The loop
     itself is the reusable :func:`connected_components` primitive (see
     its docstring for the lineage-truncation requirement).
+
+    ``edge_source``: ``"lsh"`` (default) generates edges with the
+    banded-LSH block-then-verify join — the 100 TB path, no corpus
+    broadcast, no quadratic join; ``"exact"`` uses the all-pairs twin,
+    kept for the small-SF oracle comparison (its DuckDB recursive-CTE
+    transitive closure needs the exhaustive pair list).
     """
-    pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
+    if edge_source == "lsh":
+        pairs = embedding_near_dups_lsh(spark, sf_dir, threshold).select(
+            "vec_a", "vec_b"
+        )
+    elif edge_source == "exact":
+        pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
+    else:
+        raise ValueError(f"edge_source must be lsh|exact, got {edge_source!r}")
     # Both edge directions from ONE pass over the pair join (a
     # union-with-swap would evaluate the cosine self-join twice).
     edges = (
@@ -463,6 +604,13 @@ def dedup_clusters(
     # touches the full table; singletons rejoin map-side at the end.
     labels = connected_components(edges, max_iter)
     edges.unpersist()
+    # embedding_near_dups persists its pair frame so CacheManager can
+    # share the cosine self-join with q_dedup_embedding; labels are
+    # materialized (collect or localCheckpoint) by now, so release it —
+    # leaving it cached would accumulate partitions across repeated
+    # registry invocations in one session (VERDICT r2 finding #2).
+    if edge_source == "exact" and pairs.is_cached:
+        pairs.unpersist()
 
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     clustered = labels.join(sizes, "comp").select(
