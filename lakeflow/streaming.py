@@ -58,12 +58,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # Watermarks require TIMESTAMP (not NTZ) — keep the instant
         # identical to the batch reader's NTZ value by pinning the
         # session timezone to UTC (lakeflow.session does; tests cast
         # back to NTZ when comparing against batch twins).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Same watermark constraint when the driver writes NTZ directly;
+        # with the session pinned to UTC the instant is unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -100,9 +100,11 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState running totals: after draining the whole
     stream, the last emission per user equals the batch aggregate."""
     got = streaming.user_stats_snapshot(spark, sf_dir)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     want = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum("value").alias("total_value"),
@@ -207,8 +209,10 @@ def test_watermark_append_mode_emits_closed_windows(spark, sf_dir, tmp_path):
         assert w[k] == v
     # the withheld tail is exactly the windows within the watermark of
     # the max event time
-    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
-        F.max(F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    from lakeflow.io import read_table
+
+    max_ts = read_table(spark, sf_dir, "events").agg(
+        F.max(F.col("ts").cast("timestamp_ntz"))
     ).collect()[0][0]
     withheld = {k for k in w if k not in g}
     assert withheld  # some open windows exist
