@@ -425,3 +425,20 @@ def test_fuzzy_join_blocked_levenshtein(spark):
     assert got == {(1, 10, 1), (2, 11, 1)}
     p = relational.fuzzy_join(left, right, "name", "rname")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    """Banded sign-LSH block-then-verify must recover >=0.95 of the
+    exact all-pairs near-dup edges (tuned for 0.98 at the threshold;
+    pairs above it survive with higher probability). False positives
+    are impossible — the verify stage applies the exact cosine."""
+    exact = set(
+        map(tuple, dedup.embedding_near_dups(spark, sf_dir, 0.4).select("vec_a", "vec_b").collect())
+    )
+    approx = set(
+        map(tuple, dedup.embedding_near_dups_lsh(spark, sf_dir, 0.4).select("vec_a", "vec_b").collect())
+    )
+    assert not approx - exact  # verify stage forbids false positives
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.95, f"LSH recall {recall:.3f} below floor"

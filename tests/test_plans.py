@@ -259,3 +259,26 @@ def test_fuzzy_join_blocks_before_verify(spark, sf_dir):
     p = plan(relational.fuzzy_match_parts(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_lsh_path_no_corpus_broadcast(spark, sf_dir):
+    """The registered default edge generator (VERDICT r2 finding #1 fix)
+    must never hint a corpus-sized broadcast nor degrade to a product:
+    candidates come from a hash equi-join on compact (band, bucket)
+    keys. AQE may still stat-broadcast small sides at toy scale — the
+    property pinned here is that WE never force it."""
+    df = dedup.embedding_near_dups_lsh(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no explicit broadcast() hint
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_clusters_default_edges_are_lsh(spark, sf_dir):
+    """dedup_clusters() without arguments must take the scale-safe LSH
+    edge path — the all-pairs twin survives only behind an explicit
+    edge_source=\"exact\"."""
+    df = dedup.dedup_clusters(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
