@@ -101,19 +101,49 @@ def stratified_sample(
     spark: SparkSession,
     sf_dir: str,
     fractions: dict[str, float] | None = None,
-    seed: int = 42,
+    default_fraction: float = 0.2,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sample over documents (Spark ``sampleBy``).
-    Engine-RNG-dependent membership → rows-only; per-class proportions
-    are property-tested. At scale this is one pass, no shuffle — the
-    stratum column needs no pre-aggregation."""
+    """Per-stratum deterministic sample over documents: keep a row iff
+    the 16-bit md5 prefix of (lang ':' doc_id) falls under the
+    stratum's threshold. Same per-class Bernoulli statistics as
+    ``sampleBy`` but membership is a pure function of the row — no
+    engine RNG, no seed coordination across executors, reproducible
+    across engines → oracle-checkable (VERDICT r2 next-round #3).
+
+    Salting the hash with the stratum makes per-stratum draws
+    independent: a document sampled for one lang's stratum says nothing
+    about its fate under another fraction. One pass, no shuffle; the
+    distinct-langs discovery job of the old sampleBy form is gone.
+    """
     docs = io.read_table(spark, sf_dir, "documents")
-    if fractions is None:
-        langs = [r[0] for r in docs.select("lang").distinct().collect()]
-        fractions = {lg: 0.2 for lg in langs}
-    return docs.sampleBy("lang", fractions, seed=seed).select(
-        "doc_id", "lang", "source"
+    hx = F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")))
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("bigint")
+    if fractions:
+        ladder = F.lit(0)
+        for lang, frac in sorted(fractions.items()):
+            ladder = F.when(F.col("lang") == lang, int(frac * 65536)).otherwise(ladder)
+        threshold = ladder
+    else:
+        threshold = F.lit(int(default_fraction * 65536))
+    return (
+        docs.filter(h16 < threshold)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+    SELECT doc_id, lang, source,
+           (  (strpos('0123456789abcdef', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+           ) AS h16
+    FROM documents
+)
+SELECT doc_id, lang, source FROM h WHERE h16 < 13107 ORDER BY doc_id
+"""
 
 
 def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:

@@ -207,3 +207,22 @@ def report_df(spark: SparkSession, results: list[ExpectationResult]) -> DataFram
         [(r.expectation_type, r.column, r.success, r.observed) for r in results],
         "expectation_type string, column string, success boolean, observed string",
     )
+
+
+def dq_report_table(spark: SparkSession, df: DataFrame, suite: dict) -> DataFrame:
+    """The D1-D11 report as a deterministic sorted TABLE (check_id,
+    expectation_type, column_name, success) — every expectation in the
+    reference suite is SQL-expressible, so the whole report is
+    oracle-checkable (VERDICT r2 next-round #3). check_id is the
+    1-based position in the suite file; the free-text ``observed``
+    column of :func:`report_df` is dropped (float formatting is
+    engine-specific, the booleans are the contract)."""
+    results = evaluate_suite(df, suite)
+    rows = [
+        (i + 1, r.expectation_type, r.column, bool(r.success))
+        for i, r in enumerate(results)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_id int, expectation_type string, column_name string, success boolean",
+    ).orderBy("check_id")
