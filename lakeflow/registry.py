@@ -329,6 +329,8 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q4": (relational.tpch_q4, relational.TPCH_Q4_SQL),
     "q_tpch_q5": (relational.tpch_q5, relational.TPCH_Q5_SQL),
     "q_tpch_q17": (relational.tpch_q17, relational.TPCH_Q17_SQL),
+    "q_tpch_q21": (relational.tpch_q21, relational.TPCH_Q21_SQL),
+    "q_tpch_q20": (relational.tpch_q20, relational.TPCH_Q20_SQL),
     "q_fuzzy_join": (relational.fuzzy_match_parts, relational.FUZZY_MATCH_SQL),
     "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
     "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
@@ -542,6 +544,11 @@ _CERT_FIRST: list[str] = [
     # -- sentinels (green in r01) --------------------------------------
     "q_silver_pipeline",
     "q_tpch_q1",
+    # -- new this round: certify first ----------------------------------
+    "q_tpch_q21",
+    "q_tpch_q20",
+    "q_sample_stratified",
+    "q_dq_report",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
     "q_anomaly_zscore",

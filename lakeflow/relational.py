@@ -988,6 +988,180 @@ WHERE p_brand = 'Brand#3'
 """
 
 
+def tpch_q21(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_3", late_days: int = 60
+) -> DataFrame:
+    """Multi-EXISTS / NOT-EXISTS decorrelation (TPC-H Q21 shape):
+    suppliers who were the ONLY late shipper on a finished multi-
+    supplier order, ranked by how many orders they alone held up.
+
+    Adapted predicates for the driver schema (no l_commitdate /
+    l_receiptdate columns): "late" = shipped more than ``late_days``
+    after the order date; everything else is the canonical Q21
+    structure — one waiting lineitem l1, `EXISTS` another supplier on
+    the order, `NOT EXISTS` another LATE supplier on the order.
+
+    Decorrelation (the shape Catalyst derives from the SQL form, built
+    here explicitly):
+
+    - the late set (lineitem ⋈ filtered orders, residual range
+      predicate) is computed ONCE and reused for l1 and the NOT-EXISTS
+      side — the self-anti-join runs on the already-thresholded set,
+      never a second fact scan shape,
+    - `EXISTS l2` → LEFT SEMI on l_orderkey with the `suppkey <>`
+      residual; `NOT EXISTS l3` → LEFT ANTI, same key — both shuffle
+      on the evenly-distributed orderkey, no nested loops (plan test),
+    - nation filter reaches the supplier dim scan, and the supplier
+      join broadcasts (dimension-sized build side).
+    """
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = io.read_table(spark, sf_dir, "orders")
+    supplier = io.read_table(spark, sf_dir, "supplier")
+    nat = io.read_table(spark, sf_dir, "nation")
+
+    o_f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = li.join(
+        o_f,
+        (li.l_orderkey == o_f.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+
+    l1 = late.alias("l1")
+    # EXISTS: some other supplier appears on the same order at all
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late on the same order
+    l3 = late.alias("l3")
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+
+    nkey = nat.filter(F.col("n_name") == nation).select("n_nationkey")
+    supp = (
+        supplier.join(broadcast(nkey), supplier.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE n_name = 'NATION_3'
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") -> DataFrame:
+    """Nested-IN + correlated aggregate threshold (TPC-H Q20 shape):
+    suppliers who dominated supply of some part of a brand in a ship
+    year — shipped quantity for the (supplier, part) above half the
+    part's total shipped quantity in the window.
+
+    Adapted for the driver schema (no partsupp table): lineitem itself
+    is the supply relation, so Q20's `ps_availqty > 0.5 * (SELECT
+    sum(l_quantity) ...)` correlated threshold becomes a per-(supplier,
+    part) shipped-quantity share. The decorrelation is the classic
+    two-level aggregate:
+
+    - brand's partkeys broadcast into the window-filtered fact scan
+      (filter + pruning reach the scan),
+    - one shuffle aggregates (suppkey, partkey); the per-part totals
+      REUSE that output (re-agg of the partial result, no second fact
+      scan),
+    - the correlated comparison joins totals back on the part key —
+      part-bounded build side, AQE picks broadcast,
+    - `IN (...)` → LEFT SEMI against the qualified suppkeys.
+
+    `2*supp_qty > total_qty` on exact DECIMAL sums: no 0.5× float
+    multiply whose rounding could flip a boundary row between engines.
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    supplier = io.read_table(spark, sf_dir, "supplier")
+
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li_w = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    sp = li_w.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    totals = sp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    qualified = (
+        sp.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(qualified, supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, s_acctbal FROM supplier
+WHERE s_suppkey IN (
+    SELECT sp.l_suppkey FROM (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ) sp
+    WHERE sp.supp_qty * 2 > (
+        SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+        WHERE l2.l_partkey = sp.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+)
+ORDER BY s_name
+"""
+
+
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered fuzzy-join query: resolve a fixed list of misspelled
     product names against the part dimension with the blocked

@@ -282,3 +282,23 @@ def test_dedup_clusters_default_edges_are_lsh(spark, sf_dir):
     df = dedup.dedup_clusters(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_tpch_q21_semi_anti_no_bnl(spark, sf_dir):
+    """The multi-EXISTS/NOT-EXISTS decorrelation must land as semi +
+    anti hash joins on the orderkey — never a nested-loop product."""
+    p = plan(relational.tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q20_semi_partial_agg_no_bnl(spark, sf_dir):
+    """Nested-IN + correlated aggregate: semi join for the IN, partial
+    (map-side) aggregation phases, no nested loops."""
+    p = plan(relational.tpch_q20(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
