@@ -415,13 +415,27 @@ def maintain_daily_rollup(
     q_approx_distinct) and are deliberately excluded so the maintained
     table stays EXACTLY equal to the batch rollup at every point.
 
-    Restart-safe: foreachBatch + checkpoint give exactly-once batch
-    replay, and the upsert is idempotent per (batch keys, values).
+    Restart-safe AND replay-safe: foreachBatch re-delivers a batch if
+    the driver dies between the sink write and the checkpoint commit
+    (at-least-once delivery into the sink). The MERGE is therefore
+    keyed by batch_id through the transaction log's txn marker
+    (txlog.upsert_by_key txn=): the merged files and the (app_id,
+    batch_id) marker publish in one atomic commit, and a replayed
+    batch_id is detected in the log and skipped — the aggregating MERGE
+    (which is NOT naturally idempotent: it ADDS counts) becomes
+    effectively exactly-once. This is Delta's txnAppId/txnVersion
+    protocol for foreachBatch sinks, on the jar-free log.
     """
-    from lakeflow import io as lio
+    from lakeflow.txlog import TxTable
 
-    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+    app_id = "maintain_daily_rollup"
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        table = TxTable(table_path)
+        last = table.txn_version(app_id)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed batch: already committed, no-op
         partial = (
             batch.groupBy(
                 F.date_trunc("day", "ts").cast("date").alias("day_start"),
@@ -436,15 +450,15 @@ def maintain_daily_rollup(
         )
         partial = partial.persist()
         try:
-            if os.path.isdir(table_path) and any(
-                not n.startswith(("_", ".")) for n in os.listdir(table_path)
-            ):
-                days = [r.day_start for r in partial.select("day_start").distinct().collect()]
-                existing = (
-                    spark.read.parquet(table_path)
-                    .filter(F.col("day_start").isin(days))
-                    .select("day_start", "event_type", "events", "total_value")
-                )
+            if table.exists():
+                days = {
+                    str(r.day_start)
+                    for r in partial.select("day_start").distinct().collect()
+                }
+                existing = table.read(
+                    spark,
+                    partition_filter=lambda pv: pv.get("day_start") in days,
+                ).select("day_start", "event_type", "events", "total_value")
                 combined = (
                     existing.unionByName(partial)
                     .groupBy("day_start", "event_type")
@@ -455,15 +469,19 @@ def maintain_daily_rollup(
                         .alias("total_value"),
                     )
                 )
+                table.upsert_by_key(
+                    spark,
+                    combined,
+                    key_cols=("day_start", "event_type"),
+                    txn=(app_id, batch_id),
+                )
             else:
-                combined = partial
-            lio.upsert_by_key(
-                spark,
-                combined,
-                table_path,
-                key_cols=("day_start", "event_type"),
-                partition_by=("day_start",),
-            )
+                table.write(
+                    partial,
+                    mode="append",
+                    partition_by=("day_start",),
+                    txn=(app_id, batch_id),
+                )
         finally:
             partial.unpersist()
 

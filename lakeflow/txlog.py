@@ -85,6 +85,9 @@ class Snapshot:
     # rel path -> add action dict (path, size, partitionValues)
     files: dict[str, dict[str, Any]]
     timestamp: float
+    # appId -> highest committed transaction version (Delta txn action):
+    # the idempotence ledger for external retry loops (streaming batches)
+    txns: dict[str, int]
 
     @property
     def schema(self) -> StructType | None:
@@ -139,6 +142,7 @@ class TxTable:
         schema_json: str | None = None
         partition_by: tuple[str, ...] = ()
         ts = 0.0
+        txns: dict[str, int] = {}
         start = 0
         if ckpts:
             cv = max(ckpts)
@@ -148,6 +152,7 @@ class TxTable:
             schema_json = state.get("schemaJson")
             partition_by = tuple(state.get("partitionBy", []))
             ts = state.get("timestamp", 0.0)
+            txns = dict(state.get("txn", {}))
             start = cv + 1
         for cur in range(start, v + 1):
             for action in self._read_actions(cur):
@@ -160,7 +165,10 @@ class TxTable:
                     files.pop(action["remove"]["path"], None)
                 elif "commitInfo" in action:
                     ts = action["commitInfo"].get("timestamp", ts)
-        return Snapshot(v, schema_json, partition_by, files, ts)
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+        return Snapshot(v, schema_json, partition_by, files, ts, txns)
 
     def history(self) -> list[dict[str, Any]]:
         """Commit metadata, newest first — Delta's DESCRIBE HISTORY."""
@@ -185,6 +193,15 @@ class TxTable:
         if best is None:
             raise NoSuchVersion(f"{self.path}: no commit at or before {timestamp}")
         return best
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed for ``app_id``, or None
+        if the app never committed (or the table has no log). The replay
+        guard for external at-least-once drivers: skip work whose
+        version is <= this."""
+        if not self.exists():
+            return None
+        return self.snapshot().txns.get(app_id)
 
     # ------------------------------------------------------------- committing
 
@@ -244,6 +261,7 @@ class TxTable:
             "partitionBy": list(snap.partition_by),
             "timestamp": snap.timestamp,
             "add": sorted(snap.files.values(), key=lambda a: a["path"]),
+            "txn": snap.txns,
         }
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -301,11 +319,18 @@ class TxTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: tuple[str, ...] = (),
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomic multi-file append/overwrite — the transactional
         equivalent of the reference's Delta append w/ mergeSchema
         (/root/reference/jobs/bronze/ingest_csv_to_delta.py:68-72).
-        Returns the committed version."""
+        Returns the committed version.
+
+        ``txn=(app_id, version)`` stamps the commit with a transaction
+        marker (Delta's txn action): the data files and the marker
+        publish in the SAME atomic commit, so a crashed driver that
+        replays the write can detect it via :meth:`txn_version` — the
+        data either landed with its marker or neither did."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staged: list[dict[str, Any]] | None = None
@@ -339,6 +364,8 @@ class TxTable:
             if mode == "overwrite" and snap is not None:
                 actions += [{"remove": {"path": p}} for p in snap.files]
             actions += staged
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
             try:
                 return self._commit(read_version, actions, mode)
             except ConcurrentModification:
@@ -389,6 +416,7 @@ class TxTable:
         updates: DataFrame,
         key_cols: tuple[str, ...],
         order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict[str, int]:
         """MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT) with a truly
         atomic commit: rewritten files and their removals publish in ONE
@@ -399,12 +427,21 @@ class TxTable:
         Only files in partitions touched by ``updates`` are rewritten;
         untouched files carry over by reference (zero IO). Raises
         ConcurrentModification if another writer commits between our
-        snapshot and our commit."""
+        snapshot and our commit.
+
+        ``txn=(app_id, version)`` makes the merge IDEMPOTENT under
+        at-least-once replay: if the log already records ``app_id`` at
+        ``version`` or later the call is a no-op, and otherwise the
+        marker commits atomically WITH the merged files — exactly
+        Delta's txnAppId/txnVersion protocol for foreachBatch sinks."""
         if not self.exists():
-            self.write(updates, mode="append")
-            return {"matched": 0, "inserted": updates.count()}
+            n = updates.count()
+            self.write(updates, mode="append", txn=txn)
+            return {"matched": 0, "inserted": n}
         read_version = self.latest_version()
         snap = self.snapshot(read_version)
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"matched": 0, "inserted": 0, "skipped_replay": 1}
 
         if order_col is not None:
             from pyspark.sql import Window
@@ -477,6 +514,8 @@ class TxTable:
                 }
             ]
             actions += [{"remove": {"path": a["path"]}} for a in rewrite] + adds
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
             self._commit(read_version, actions, "upsert")
             return {"matched": matched, "inserted": n_updates - matched}
         finally:

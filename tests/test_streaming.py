@@ -278,9 +278,11 @@ def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
     table = str(tmp_path / "daily_rollup")
     streaming.maintain_daily_rollup(stream, table, str(tmp_path / "ckpt"))
 
+    from lakeflow.txlog import TxTable
+
     got = {
         (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
-        for r in spark.read.parquet(table).collect()
+        for r in TxTable(table).read(spark).collect()
     }
     want = {
         (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
@@ -343,3 +345,51 @@ def test_chained_stateful_join_then_window(spark, sf_dir, tmp_path):
     # window to match batch and at least all but one batch window emitted
     assert got.issubset(want)
     assert len(got) >= len(want) - 1
+
+
+def test_rollup_replayed_batch_is_noop(spark, sf_dir, tmp_path):
+    """Crash-before-checkpoint simulation: foreachBatch re-delivers a
+    committed batch_id after restart. The txn-keyed MERGE must detect
+    the marker in the log and leave the rollup byte-identical — the
+    aggregating MERGE would otherwise double-add counts."""
+    from lakeflow import io as lio
+    from lakeflow.txlog import TxTable
+
+    src = str(tmp_path / "events_src")
+    lio.read_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    table = str(tmp_path / "daily_rollup")
+    streaming.maintain_daily_rollup(stream, table, str(tmp_path / "ckpt"))
+
+    tx = TxTable(table)
+    version_before = tx.latest_version()
+    before = {
+        (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
+        for r in tx.read(spark).collect()
+    }
+    last_batch = tx.txn_version("maintain_daily_rollup")
+    assert last_batch is not None and last_batch >= 1  # multiple batches ran
+
+    # replay: re-run the whole stream against the SAME table with a
+    # FRESH checkpoint — every batch_id is re-delivered from 0, exactly
+    # what a sink sees after losing its checkpoint mid-run
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    streaming.maintain_daily_rollup(stream2, table, str(tmp_path / "ckpt2"))
+
+    after = {
+        (r.day_start, r.event_type): (r.events, round(r.total_value, 6))
+        for r in tx.read(spark).collect()
+    }
+    assert after == before  # no double-counting
+    assert tx.latest_version() == version_before  # replays committed nothing
