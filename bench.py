@@ -134,6 +134,18 @@ def main() -> None:
         extended[name] = round(time.perf_counter() - t0, 3)
         print(f"# ext {name}: {extended[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # Skew mitigation demo: plain straggler vs manual salting vs AQE
+    # skew-split on a deliberately hot-keyed join (lakeflow.skew).
+    # Reported beside the query suite so the round record shows the
+    # mitigation working, not just existing.
+    import tempfile
+
+    from lakeflow import skew as skew_mod
+
+    with tempfile.TemporaryDirectory() as skew_dir:
+        skew_demo = skew_mod.skew_timings(spark, sf_dir, skew_dir)
+    print(f"# skew_demo: {skew_demo}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     warm_s = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,6 +159,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cold_total_sec": warm_s,
                 "extended": extended,
+                "skew_demo": skew_demo,
                 # host-noise context for round-over-round comparisons:
                 # 1/5/15-min load BEFORE this process's own burst, cores,
                 # and the repeat count behind each median

@@ -302,3 +302,43 @@ def test_tpch_q20_semi_partial_agg_no_bnl(spark, sf_dir):
     assert "partial_" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_aqe_skew_split_activates(spark, sf_dir, tmp_path):
+    """AQE's OptimizeSkewedJoin must actually split the hot partition
+    (skew=true in the finalized adaptive plan) — with thresholds scaled
+    to test bytes and the two activation preconditions the demo module
+    documents: many real input files (mapper-boundary granularity) and
+    an incompressible payload (map-stats visibility)."""
+    from lakeflow import skew
+
+    left_path, right_path = skew.build_skewed_pair(spark, sf_dir, str(tmp_path))
+    saved = skew._with_confs(
+        spark,
+        {
+            **skew._AQE_SKEW_CONFS,
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20kb",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "20kb",
+        },
+    )
+    try:
+        df = skew.run_skewed_join(spark, left_path, right_path, "plain")
+        df.collect()
+        p = plan(df)
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, "AQE skew split did not activate"
+    finally:
+        skew._restore_confs(spark, saved)
+
+
+def test_salted_join_equals_plain(spark, sf_dir, tmp_path):
+    """The manual mitigation returns exactly the plain join's rows."""
+    from lakeflow import skew
+
+    left_path, right_path = skew.build_skewed_pair(spark, sf_dir, str(tmp_path))
+    plain = skew.run_skewed_join(spark, left_path, right_path, "plain")
+    salted = skew.run_skewed_join(spark, left_path, right_path, "salted")
+    cols = ["k", "l_quantity", "blob", "payload"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
+        map(tuple, salted.select(cols).collect())
+    )
