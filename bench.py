@@ -83,6 +83,70 @@ EXTENDED_QUERIES = (
 )
 
 
+def sweep() -> None:
+    """--sweep: run the headline suite at sf0.001/0.01/0.1 and fit each
+    query's scaling exponent (slope of ln(time) on ln(sf)). At these
+    sizes a fixed ~0.2s scheduling floor dominates small SFs, so
+    healthy distributed queries show slopes well BELOW 1 (overhead-
+    bound); a slope near 1 means compute-bound linear scaling; anything
+    meaningfully above 1 is super-linear and gets flagged — the early
+    warning that a plan shape won't survive a 100x scale-up.
+    Results go to stdout as one JSON line; BASELINE.md records the
+    table."""
+    import math
+
+    from lakeflow import registry
+    from lakeflow.session import get_session
+
+    sfs = [0.001, 0.01, 0.1]
+    base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata")
+    spark = get_session("lakeflow-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+
+    times: dict[str, dict[float, float]] = {q: {} for q in BENCH_QUERIES}
+    for sf in sfs:
+        sf_dir = os.path.join(base, f"sf{sf}")
+        for name in BENCH_QUERIES:
+            qmap[name](spark, sf_dir).count()  # warm (JIT + persisted tiers)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qmap[name](spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            times[name][sf] = round(sorted(runs)[1], 3)
+            print(f"# sf{sf} {name}: {times[name][sf]:.3f}s", file=sys.stderr)
+
+    lx = [math.log(sf) for sf in sfs]
+    mx = sum(lx) / len(lx)
+    out = {}
+    for name, by_sf in times.items():
+        ly = [math.log(max(by_sf[sf], 1e-3)) for sf in sfs]
+        my = sum(ly) / len(ly)
+        slope = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
+            (a - mx) ** 2 for a in lx
+        )
+        out[name] = {
+            **{f"sf{sf}": by_sf[sf] for sf in sfs},
+            "slope": round(slope, 3),
+            "superlinear": slope > 1.15,
+        }
+    flagged = sorted(n for n, v in out.items() if v["superlinear"])
+    print(
+        json.dumps(
+            {
+                "metric": "lakeflow scaling sweep",
+                "value": len(flagged),
+                "unit": "superlinear_queries",
+                "sfs": sfs,
+                "queries": out,
+                "flagged": flagged,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:  # sampled BEFORE this process starts its own burst
@@ -173,4 +237,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()
