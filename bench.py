@@ -46,7 +46,17 @@ BENCH_QUERIES = (
 EXTENDED_QUERIES = (
     "q_tpch_q3",
     "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
     "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     "q_fuzzy_join",
     "q_asof_join",
     "q_rollup_daily",

@@ -331,6 +331,14 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q17": (relational.tpch_q17, relational.TPCH_Q17_SQL),
     "q_tpch_q21": (relational.tpch_q21, relational.TPCH_Q21_SQL),
     "q_tpch_q20": (relational.tpch_q20, relational.TPCH_Q20_SQL),
+    "q_tpch_q6": (relational.tpch_q6, relational.TPCH_Q6_SQL),
+    "q_tpch_q7": (relational.tpch_q7, relational.TPCH_Q7_SQL),
+    "q_tpch_q8": (relational.tpch_q8, relational.TPCH_Q8_SQL),
+    "q_tpch_q10": (relational.tpch_q10, relational.TPCH_Q10_SQL),
+    "q_tpch_q13": (relational.tpch_q13, relational.TPCH_Q13_SQL),
+    "q_tpch_q14": (relational.tpch_q14, relational.TPCH_Q14_SQL),
+    "q_tpch_q18": (relational.tpch_q18, relational.TPCH_Q18_SQL),
+    "q_tpch_q22": (relational.tpch_q22, relational.TPCH_Q22_SQL),
     "q_fuzzy_join": (relational.fuzzy_match_parts, relational.FUZZY_MATCH_SQL),
     "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
     "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
@@ -547,6 +555,14 @@ _CERT_FIRST: list[str] = [
     # -- new this round: certify first ----------------------------------
     "q_tpch_q21",
     "q_tpch_q20",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q22",
     "q_sample_stratified",
     "q_dq_report",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------

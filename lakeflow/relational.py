@@ -1226,3 +1226,379 @@ def fuzzy_join(
         .filter(F.col("edit_dist") <= max_dist)
         .drop("_blk", "_lk", "_rk")
     )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6): pure filter + single
+    aggregate — the predicate-pushdown showcase: all three range
+    predicates reach the parquet scan, no shuffle at all (one partial
+    agg tree). Exact decimal product before the final double cast."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def tpch_q7(
+    spark: SparkSession, sf_dir: str, nation_a: str = "NATION_9", nation_b: str = "NATION_10"
+) -> DataFrame:
+    """Volume-shipping (TPC-H Q7): bidirectional two-nation trade by
+    ship year. The two tiny nation dims broadcast into the supplier and
+    customer joins; the disjunctive nation-pair predicate applies as a
+    join residual AFTER both broadcasts, so the only shuffles are the
+    fact-fact joins on orderkey — the canonical snowflake-with-
+    residual shape."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = io.read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    df = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+        )
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        df.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q8(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_2", region: str = "ASIA",
+    ptype: str = "PROMO",
+) -> DataFrame:
+    """National-market-share (TPC-H Q8): share of one supplier nation
+    in a region's order volume for one part type, by order year. The
+    region->nation->customer chain prunes the order side via three
+    broadcast joins; the share is a conditional-sum over total-sum on
+    exact decimals, divided once per year group."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    orders = io.read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = io.read_table(spark, sf_dir, "nation")
+    reg = io.read_table(spark, sf_dir, "region")
+
+    typed_parts = part.filter(F.col("p_type") == ptype).select("p_partkey")
+    region_nations = (
+        nat.join(broadcast(reg.filter(F.col("r_name") == region)),
+                 nat.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    supp_nation = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    df = (
+        li.join(broadcast(typed_parts), li.l_partkey == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(broadcast(region_nations), cust.c_nationkey == F.col("n_nationkey"), "left_semi")
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        df.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            # divide as doubles AFTER the exact decimal sums: Spark's
+            # decimal division truncates the quotient to scale 6 under
+            # allowPrecisionLoss, which would diverge from any engine
+            # dividing in float64
+            (
+                F.sum(F.when(F.col("nation") == nation, vol).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+           n2.n_name AS nation
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item-reporting (TPC-H Q10): revenue lost to returns per
+    customer in a quarter, top 20. Fact-fact shuffle on orderkey, then
+    a grouped sum keyed by the customer attributes; TakeOrderedAndProject
+    caps the output without a global sort."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    nat = io.read_table(spark, sf_dir, "nation")
+    df = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), orders.o_orderkey == li.l_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    return (
+        df.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution (TPC-H Q13): histogram of orders-per-
+    customer with the filter in the OUTER JOIN CONDITION (not a WHERE —
+    customers with zero qualifying orders must survive with count 0).
+    Two aggregations: per-customer count, then distribution."""
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = io.read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect (TPC-H Q14): promo share of one month's revenue.
+    Part dim broadcasts; one conditional-over-total division on exact
+    decimals, cast to double once."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+        )
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            # double division after exact decimal sums (see tpch_q8)
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE 0 END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str, min_qty: int = 140) -> DataFrame:
+    """Large-volume-customer (TPC-H Q18): orders whose total quantity
+    exceeds a threshold. The `IN (GROUP BY ... HAVING)` subquery
+    decorrelates to a semi join against the aggregated orderkeys — the
+    aggregate runs ONCE (map-side partials on the orderkey shuffle),
+    never per-row. Top 100 via TakeOrderedAndProject."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > min_qty)
+        .select("l_orderkey")
+    )
+    df = (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    return (
+        df.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 140
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): above-average-balance
+    customers in selected markets with no qualifying order. Adapted for
+    the driver schema (no c_phone): market = c_nationkey % 7 stands in
+    for the phone country-code prefix, and "never ordered" becomes
+    "never placed an URGENT order" (every synthetic customer has
+    orders). Structure preserved exactly: scalar AVG subquery
+    (broadcast as a 1-row cross join, not collected to the driver) +
+    LEFT ANTI join + grouped aggregate."""
+    cust = io.read_table(spark, sf_dir, "customer")
+    orders = io.read_table(spark, sf_dir, "orders")
+    market = cust.filter(F.pmod(F.col("c_nationkey"), F.lit(7)).isin(0, 1, 2))
+    threshold = market.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        market.join(broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, market.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.pmod(F.col("c_nationkey"), F.lit(7)).cast("int").alias("nationkey_group"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey_group")
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT nationkey_group, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT CAST(c_nationkey % 7 AS INTEGER) AS nationkey_group, c_acctbal
+    FROM customer
+    WHERE c_nationkey % 7 IN (0, 1, 2)
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (0, 1, 2))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY nationkey_group ORDER BY nationkey_group
+"""
