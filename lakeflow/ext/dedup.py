@@ -222,6 +222,30 @@ def ngram_jaccard_pairs(
     )
 
 
+NGRAM_JACCARD_SQL = """
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents
+), sh AS (
+    SELECT doc_id, lang,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - 2, 0) + 2),
+                              i -> array_to_string(tokens[i:i+1], ' '))) AS sh
+    FROM norm
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     """SimHash document signatures: sign-aggregate token hashes per bit.
 

@@ -390,7 +390,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
     "q_dedup_simhash": (dedup.simhash, None),  # rows-only
-    "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, None),  # rows-only
+    "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     # threshold 0.4 so the oracle check compares real pairs (the synthetic
     # embeddings are near-uniform; 0.95 matches nothing at test scale)
     "q_dedup_embedding": (
@@ -565,6 +565,7 @@ _CERT_FIRST: list[str] = [
     "q_tpch_q22",
     "q_sample_stratified",
     "q_dq_report",
+    "q_ngram_jaccard",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
     "q_anomaly_zscore",
