@@ -90,6 +90,10 @@ EXTENDED_QUERIES = (
     "q_mad",
     "q_percentile_multi",
     "q_sample_capped",
+    "q_pii_redact",
+    "q_contamination",
+    "q_repetition",
+    "q_ngram_jaccard",
 )
 
 

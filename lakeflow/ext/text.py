@@ -382,3 +382,173 @@ GROUP BY pair
 ORDER BY cnt DESC, pair
 LIMIT 30
 """
+
+
+# --------------------------------------------------------------------------
+# Curation filters (Dolma/FineWeb-style): PII redaction, benchmark
+# contamination, repetition. All pure built-in expressions — regex and
+# array functions run JVM-side, nothing leaves codegen.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{1,4}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: count and redact email/phone
+    matches (regexp_extract_all + chained regexp_replace, one
+    projection, no shuffle — at 100 TB this is a pure map stage).
+
+    The synthetic corpus contains no PII, so a deterministic augmenter
+    plants one email + one phone in every 7th document FIRST — the
+    redaction then provably finds and removes exactly those (the
+    redacted-text md5 is value-checked against the oracle, so a regex
+    that over- or under-matches fails the hash, not just a count).
+    """
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        docs.select("doc_id", aug.alias("_aug"))
+        .select(
+            "doc_id",
+            # regexes embedded in SQL string literals re-parse escapes:
+            # '\b' would become a backspace character — double them
+            F.size(
+                F.expr(f"regexp_extract_all(_aug, '{_EMAIL_RE.replace(chr(92), chr(92)*2)}', 0)")
+            ).cast("int").alias("n_emails"),
+            F.size(
+                F.expr(f"regexp_extract_all(_aug, '{_PHONE_RE.replace(chr(92), chr(92)*2)}', 0)")
+            ).cast("int").alias("n_phones"),
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_aug"), _EMAIL_RE, "[EMAIL]"),
+                    _PHONE_RE,
+                    "[PHONE]",
+                )
+            ).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_REDACT_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' || CAST(doc_id % 10000 AS VARCHAR) || ' now'
+                ELSE text END AS a
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(a, '\b555-[0-9]{1,4}\b')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\b555-[0-9]{1,4}\b', '[PHONE]', 'g')) AS redacted_md5
+FROM aug ORDER BY doc_id
+"""
+
+
+# Stand-in benchmark shingles: in production this list is the eval
+# suite's n-gram inventory, broadcast (or bloom-filtered) against the
+# corpus. Chosen to have hits at every test SF.
+EVAL_NGRAMS = (
+    "table table",
+    "fast table value",
+    "spark data vector",
+    "the row a",
+)
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: documents whose normalized text
+    contains any eval-set n-gram (word-boundary-safe via space
+    padding). Pure map stage — each doc is checked against the tiny
+    eval inventory locally; no join, no shuffle. At real eval-suite
+    sizes (millions of shingles) this becomes a broadcast semi join on
+    exploded document shingles — same verdict, one shuffle."""
+    from lakeflow.ext.dedup import _norm_text
+
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    padded = F.concat(F.lit(" "), _norm_text(), F.lit(" "))
+    hits = sum(
+        F.when(padded.contains(f" {ng} "), 1).otherwise(0) for ng in EVAL_NGRAMS
+    )
+    return (
+        docs.select("doc_id", hits.cast("int").alias("eval_hits"))
+        .filter(F.col("eval_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           ' ' || trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) || ' ' AS t
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST((CASE WHEN t LIKE '% table table %' THEN 1 ELSE 0 END)
+          + (CASE WHEN t LIKE '% fast table value %' THEN 1 ELSE 0 END)
+          + (CASE WHEN t LIKE '% spark data vector %' THEN 1 ELSE 0 END)
+          + (CASE WHEN t LIKE '% the row a %' THEN 1 ELSE 0 END) AS INTEGER) AS eval_hits
+FROM norm
+WHERE t LIKE '% table table %' OR t LIKE '% fast table value %'
+   OR t LIKE '% spark data vector %' OR t LIKE '% the row a %'
+ORDER BY doc_id
+"""
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics per document: duplicate-token ratio and
+    duplicate-trigram ratio (1 - distinct/total) — the FineWeb-style
+    quality signals that catch boilerplate and degenerate generations.
+    Array-function-only (no explode → no row blow-up, no shuffle)."""
+    from lakeflow.ext.dedup import tokenized
+
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = tokenized(docs)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("tokens") - 3, F.lit(0)))
+    tri = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, 3)))
+    return (
+        t.select("doc_id", "tokens", tri.alias("trigrams"))
+        .select(
+            "doc_id",
+            F.size("tokens").cast("int").alias("n_tokens"),
+            F.round(
+                1.0 - F.size(F.array_distinct("tokens")).cast("double") / F.size("tokens"), 6
+            ).alias("dup_token_ratio"),
+            F.round(
+                1.0 - F.size(F.array_distinct("trigrams")).cast("double") / F.size("trigrams"),
+                6,
+            ).alias("dup_trigram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id, tokens,
+           list_transform(range(1, greatest(len(tokens) - 3, 0) + 2),
+                          i -> array_to_string(tokens[i:i+2], ' ')) AS trigrams
+    FROM tok
+)
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6) AS dup_token_ratio,
+       round(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams), 6) AS dup_trigram_ratio
+FROM sh ORDER BY doc_id
+"""

@@ -391,6 +391,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
     "q_dedup_simhash": (dedup.simhash, None),  # rows-only
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
+    "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
+    "q_repetition": (text.repetition, text.REPETITION_SQL),
     # threshold 0.4 so the oracle check compares real pairs (the synthetic
     # embeddings are near-uniform; 0.95 matches nothing at test scale)
     "q_dedup_embedding": (
@@ -566,6 +569,9 @@ _CERT_FIRST: list[str] = [
     "q_sample_stratified",
     "q_dq_report",
     "q_ngram_jaccard",
+    "q_pii_redact",
+    "q_contamination",
+    "q_repetition",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
     "q_anomaly_zscore",
