@@ -342,3 +342,47 @@ def test_salted_join_equals_plain(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
         map(tuple, salted.select(cols).collect())
     )
+
+
+def test_zorder_layout_tightens_all_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must make per-file min/max ranges tight in
+    BOTH dimensions (each file covers a small hyper-rectangle), where a
+    1-D sort leaves the second dimension's per-file range ~global —
+    that tightness is what lets footer stats prune files for
+    predicates on either column."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from lakeflow import io as lio
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sort1d")
+    lio.write_zordered(li, zpath, ("l_partkey", "l_suppkey"), partitions=16, bits=8)
+    lio.write_sorted(li, spath, ("l_partkey",), partitions=16)
+
+    def avg_range_fraction(path, col):
+        spans, lo_g, hi_g = [], None, None
+        for f in _os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+            lo_g = lo if lo_g is None else min(lo_g, lo)
+            hi_g = hi if hi_g is None else max(hi_g, hi)
+        return sum(spans) / len(spans) / max(hi_g - lo_g, 1)
+
+    # 16 files = 4 z-prefix bits = 2 bits per dimension: the ideal
+    # per-file hyper-rectangle is ~1/4 of each dim's global range
+    # (quantile-sampled file boundaries blur that a little); under the
+    # 1-D sort the second dimension's per-file range stays ~global
+    zp, zs = avg_range_fraction(zpath, "l_partkey"), avg_range_fraction(zpath, "l_suppkey")
+    assert zp < 0.5, zp
+    assert zs < 0.5, zs
+    assert avg_range_fraction(spath, "l_suppkey") > 0.85
+    # layout change must not lose rows
+    assert spark.read.parquet(zpath).count() == li.count()
