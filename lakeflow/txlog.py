@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 LOG_DIR = "_txlog"
+CDF_DIR = "_change_data"
 CHECKPOINT_EVERY = 10
 _VLEN = 20  # zero-padded version width -> lexicographic == numeric order
 
@@ -320,6 +321,7 @@ class TxTable:
         mode: str = "append",
         partition_by: tuple[str, ...] = (),
         txn: tuple[str, int] | None = None,
+        cdf: bool = False,
     ) -> int:
         """Atomic multi-file append/overwrite — the transactional
         equivalent of the reference's Delta append w/ mergeSchema
@@ -334,6 +336,7 @@ class TxTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staged: list[dict[str, Any]] | None = None
+        cdf_rel: str | None = None
         while True:
             read_version = self.latest_version()
             if read_version is not None:
@@ -353,6 +356,14 @@ class TxTable:
                 new_schema = df.schema
             if staged is None:  # stage once; retries only recompute the log side
                 staged = self._stage_files(df, tuple(partition_by))
+                if cdf:
+                    changes = df.withColumn("_change_type", F.lit("insert"))
+                    if mode == "overwrite" and snap is not None:
+                        old = self.read(df.sparkSession, version=read_version)
+                        changes = old.withColumn(
+                            "_change_type", F.lit("delete")
+                        ).unionByName(changes, allowMissingColumns=True)
+                    cdf_rel = self._stage_changes(changes)
             actions: list[dict[str, Any]] = [
                 {
                     "metaData": {
@@ -366,6 +377,8 @@ class TxTable:
             actions += staged
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            if cdf and cdf_rel is not None:
+                actions.append({"cdf": {"path": cdf_rel, "operation": mode}})
             try:
                 return self._commit(read_version, actions, mode)
             except ConcurrentModification:
@@ -417,6 +430,7 @@ class TxTable:
         key_cols: tuple[str, ...],
         order_col: str | None = None,
         txn: tuple[str, int] | None = None,
+        cdf: bool = False,
     ) -> dict[str, int]:
         """MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT) with a truly
         atomic commit: rewritten files and their removals publish in ONE
@@ -433,10 +447,14 @@ class TxTable:
         at-least-once replay: if the log already records ``app_id`` at
         ``version`` or later the call is a no-op, and otherwise the
         marker commits atomically WITH the merged files — exactly
-        Delta's txnAppId/txnVersion protocol for foreachBatch sinks."""
+        Delta's txnAppId/txnVersion protocol for foreachBatch sinks.
+
+        ``cdf=True`` records the merge's change rows (update_preimage /
+        update_postimage for matched keys, insert for new keys) in the
+        same atomic commit, for :meth:`table_changes`."""
         if not self.exists():
             n = updates.count()
-            self.write(updates, mode="append", txn=txn)
+            self.write(updates, mode="append", txn=txn, cdf=cdf)
             return {"matched": 0, "inserted": n}
         read_version = self.latest_version()
         snap = self.snapshot(read_version)
@@ -487,15 +505,17 @@ class TxTable:
                     return True
 
             rewrite = [a for a in snap.files.values() if in_touched(a["partitionValues"])]
+            pre = None
             if rewrite:
                 # read() projects to the log schema, so pre-evolution
                 # files surface NULLs instead of schema-mismatched reads.
                 existing = self.read(
                     spark, version=read_version, partition_filter=in_touched
                 )
-                matched = existing.join(
+                pre = existing.join(
                     updates.select(*key_cols), list(key_cols), "left_semi"
-                ).count()
+                ).persist()
+                matched = pre.count()
                 kept = existing.join(
                     updates.select(*key_cols), list(key_cols), "left_anti"
                 )
@@ -516,7 +536,32 @@ class TxTable:
             actions += [{"remove": {"path": a["path"]}} for a in rewrite] + adds
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            if cdf:
+                matched_keys = (
+                    pre.select(*key_cols) if pre is not None else None
+                )
+                if matched_keys is not None:
+                    post = updates.join(matched_keys, list(key_cols), "left_semi")
+                    ins = updates.join(matched_keys, list(key_cols), "left_anti")
+                    changes = (
+                        pre.withColumn("_change_type", F.lit("update_preimage"))
+                        .unionByName(
+                            post.withColumn("_change_type", F.lit("update_postimage")),
+                            allowMissingColumns=True,
+                        )
+                        .unionByName(
+                            ins.withColumn("_change_type", F.lit("insert")),
+                            allowMissingColumns=True,
+                        )
+                    )
+                else:
+                    changes = updates.withColumn("_change_type", F.lit("insert"))
+                actions.append(
+                    {"cdf": {"path": self._stage_changes(changes), "operation": "upsert"}}
+                )
             self._commit(read_version, actions, "upsert")
+            if pre is not None:
+                pre.unpersist()
             return {"matched": matched, "inserted": n_updates - matched}
         finally:
             updates.unpersist()
@@ -549,9 +594,23 @@ class TxTable:
         live: set[str] = set()
         for v in range(max(0, latest - retain_versions), latest + 1):
             live |= set(self.snapshot(v).files)
+        # change-data files follow the same retention window: feeds for
+        # versions still readable stay, older ones age out with them
+        cdf_live: set[str] = set()
+        for v in range(max(0, latest - retain_versions), latest + 1):
+            for action in self._read_actions(v):
+                if "cdf" in action:
+                    cdf_live.add(action["cdf"]["path"])
         deleted = []
         for root, _dirs, names in os.walk(self.path, topdown=False):
             if LOG_DIR in root.split(os.sep):
+                continue
+            rel_root = os.path.relpath(root, self.path).replace(os.sep, "/")
+            if rel_root.startswith(CDF_DIR):
+                keep = any(rel_root.startswith(p) for p in cdf_live)
+                if not keep and rel_root != CDF_DIR:
+                    shutil.rmtree(root, ignore_errors=True)
+                    deleted.append(rel_root)
                 continue
             for name in names:
                 full = os.path.join(root, name)
@@ -562,6 +621,56 @@ class TxTable:
             if root != self.path and not os.listdir(root):
                 os.rmdir(root)
         return sorted(deleted)
+
+
+    # ---------------------------------------------------- change data feed
+
+    def _stage_changes(self, changes: DataFrame) -> str:
+        """Write a change batch (rows + ``_change_type``) under
+        ``_change_data/<uuid>/`` — invisible to table reads (readers
+        only trust the log's add actions) and published by the SAME
+        commit that publishes the data files, so the feed is exactly as
+        atomic as the table."""
+        rel = f"{CDF_DIR}/{uuid.uuid4().hex}"
+        changes.write.format("parquet").mode("overwrite").save(
+            os.path.join(self.path, rel)
+        )
+        return rel
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        from_version: int = 0,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Delta-style CDF read: every change row recorded in
+        [from_version, to_version] with ``_change_type``
+        (insert / update_preimage / update_postimage / delete) and
+        ``_commit_version`` columns. Commits made without ``cdf=True``
+        contribute nothing (their version is simply absent) — the
+        caller decides whether a gap is acceptable, same contract as
+        enabling Delta CDF mid-history."""
+        latest = self.latest_version()
+        if latest is None:
+            raise NoSuchVersion(f"{self.path}: no transaction log")
+        hi = latest if to_version is None else to_version
+        frames = []
+        for v in range(from_version, hi + 1):
+            for action in self._read_actions(v):
+                if "cdf" in action:
+                    df = spark.read.parquet(
+                        os.path.join(self.path, action["cdf"]["path"])
+                    )
+                    frames.append(df.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            raise NoSuchVersion(
+                f"{self.path}: no change data recorded in versions "
+                f"[{from_version}, {hi}] — write with cdf=True"
+            )
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
 
 
 def _merge_schemas(old: StructType, new: StructType) -> StructType:

@@ -221,3 +221,55 @@ def test_duplicate_update_keys_rejected_unless_ordered(spark, tmp_path):
     t.upsert_by_key(spark, dup, key_cols=("id",), order_col="seq")
     vals = {r.val for r in t.read(spark).filter(F.col("id") == 1).collect()}
     assert vals == {"new"}
+
+
+def test_change_data_feed(spark, tmp_path):
+    """CDF contract: appends record inserts, merges record
+    update_preimage/update_postimage/insert, the feed is versioned, and
+    vacuum ages change files out with their versions."""
+    from lakeflow.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "cdf_table"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, val double"
+    )
+    v0 = t.write(base, mode="append", cdf=True)
+    upd = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id int, name string, val double"
+    )
+    t.upsert_by_key(spark, upd, key_cols=("id",), cdf=True)
+    v1 = t.latest_version()
+
+    feed = {
+        (r.id, r._change_type, r._commit_version): (r.name, r.val)
+        for r in t.table_changes(spark).collect()
+    }
+    assert feed[(1, "insert", v0)] == ("a", 10.0)
+    assert feed[(2, "insert", v0)] == ("b", 20.0)
+    assert feed[(2, "update_preimage", v1)] == ("b", 20.0)
+    assert feed[(2, "update_postimage", v1)] == ("b2", 25.0)
+    assert feed[(3, "insert", v1)] == ("c", 30.0)
+    assert len(feed) == 5
+
+    # range read: only the merge's changes
+    only_v1 = t.table_changes(spark, from_version=v1).collect()
+    assert {r._change_type for r in only_v1} == {
+        "update_preimage", "update_postimage", "insert"
+    }
+    # table state unaffected by CDF bookkeeping
+    rows = {r.id: (r.name, r.val) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+    # age out: push the retained window past v0/v1 with plain commits,
+    # then vacuum — old change dirs die, the recent window survives
+    for i in range(4):
+        t.write(
+            spark.createDataFrame([(100 + i, "x", 1.0)], "id int, name string, val double"),
+            mode="append",
+            cdf=True,
+        )
+    removed = t.vacuum(retain_versions=2)
+    assert any(p.startswith("_change_data/") for p in removed)
+    latest = t.latest_version()
+    recent = t.table_changes(spark, from_version=latest - 1)
+    assert recent.count() >= 2
