@@ -94,6 +94,8 @@ EXTENDED_QUERIES = (
     "q_contamination",
     "q_repetition",
     "q_ngram_jaccard",
+    "q_degree_dist",
+    "q_triangles",
 )
 
 

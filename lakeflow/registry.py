@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from lakeflow import claims, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
-from lakeflow.ext import dedup, events, multimodal, profile, sampling, similarity, text
+from lakeflow.ext import dedup, events, graph, multimodal, profile, sampling, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -394,6 +394,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
+    "q_degree_dist": (graph.degree_distribution, graph.DEGREE_DIST_SQL),
+    "q_triangles": (graph.triangle_count, graph.TRIANGLES_SQL),
     # threshold 0.4 so the oracle check compares real pairs (the synthetic
     # embeddings are near-uniform; 0.95 matches nothing at test scale)
     "q_dedup_embedding": (
@@ -572,6 +574,8 @@ _CERT_FIRST: list[str] = [
     "q_pii_redact",
     "q_contamination",
     "q_repetition",
+    "q_degree_dist",
+    "q_triangles",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
     "q_anomaly_zscore",
