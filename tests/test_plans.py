@@ -386,3 +386,32 @@ def test_zorder_layout_tightens_all_dims(spark, sf_dir, tmp_path):
     assert avg_range_fraction(spath, "l_suppkey") > 0.85
     # layout change must not lose rows
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """A selective filter on one join side must inject a runtime bloom
+    filter (might_contain) into the other side's scan when broadcast is
+    off — rows that cannot match die before the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~priority-selected slice."""
+    saved = {}
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # thresholds scaled to test bytes; the mechanism is the default
+        # 10MB/10GB one
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        p = plan(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "might_contain" in p, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
