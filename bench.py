@@ -96,6 +96,7 @@ EXTENDED_QUERIES = (
     "q_ngram_jaccard",
     "q_degree_dist",
     "q_triangles",
+    "q_bm25",
 )
 
 

@@ -552,3 +552,94 @@ SELECT doc_id,
        round(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams), 6) AS dup_trigram_ratio
 FROM sh ORDER BY doc_id
 """
+
+
+BM25_TERMS = ("spark", "window", "vector")
+
+
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = 1.2, b: float = 0.75, top: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring over documents for a fixed query — the
+    relevance-selection operator a training pipeline uses to pull
+    domain-matched data out of a 100 TB corpus.
+
+    One pass computes per-doc term frequencies with array ``filter``
+    (no explode — the doc row count never inflates); a single scalar
+    aggregate row (corpus size, avg doc length, per-term doc
+    frequencies) broadcasts back via a 1-row cross join, exactly the
+    uncorrelated-scalar-subquery shape of q_scalar_subquery. Scoring is
+    then a pure map expression; TakeOrderedAndProject caps the output.
+    Scores round to 6dp BEFORE ranking so ordering is stable across
+    engines (libm ln() ulp differences sit far below 1e-6)."""
+    from lakeflow.ext.dedup import tokenized
+
+    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = tokenized(docs).select("doc_id", "tokens", F.size("tokens").alias("dl"))
+
+    def tf_of(term: str) -> F.Column:
+        # closure factory, NOT a default arg: a second lambda parameter
+        # would change the higher-order-function arity and bind the
+        # element INDEX instead of the captured term
+        return F.size(F.filter("tokens", lambda x: x == F.lit(term)))
+
+    for term in terms:
+        t = t.withColumn(f"tf_{term}", tf_of(term))
+    t = t.drop("tokens")
+    aggs = [F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")] + [
+        F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(f"df_{term}")
+        for term in terms
+    ]
+    stats = t.agg(*aggs)
+    scored = t.join(F.broadcast(stats))
+    score = None
+    for term in terms:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1.0
+        )
+        part = idf * (F.col(f"tf_{term}") * (k1 + 1)) / (
+            F.col(f"tf_{term}") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    any_tf = sum(F.col(f"tf_{term}") for term in terms)
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top)
+    )
+
+
+BM25_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), stats AS (
+    SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM tok
+), tf AS (
+    SELECT doc_id, len(tokens) AS dl,
+           len(list_filter(tokens, t -> t = 'spark')) AS tf_spark,
+           len(list_filter(tokens, t -> t = 'window')) AS tf_window,
+           len(list_filter(tokens, t -> t = 'vector')) AS tf_vector
+    FROM tok
+), df AS (
+    SELECT sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+           sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+           sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+    FROM tf
+)
+SELECT doc_id,
+       round(
+         ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       , 6) AS bm25
+FROM tf, stats, df
+WHERE tf_spark + tf_window + tf_vector > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""

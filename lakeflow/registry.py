@@ -394,6 +394,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
+    "q_bm25": (text.bm25_scores, text.BM25_SQL),
     "q_degree_dist": (graph.degree_distribution, graph.DEGREE_DIST_SQL),
     "q_triangles": (graph.triangle_count, graph.TRIANGLES_SQL),
     # threshold 0.4 so the oracle check compares real pairs (the synthetic
@@ -576,6 +577,7 @@ _CERT_FIRST: list[str] = [
     "q_repetition",
     "q_degree_dist",
     "q_triangles",
+    "q_bm25",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
     "q_anomaly_zscore",
