@@ -273,3 +273,44 @@ def test_change_data_feed(spark, tmp_path):
     latest = t.latest_version()
     recent = t.table_changes(spark, from_version=latest - 1)
     assert recent.count() >= 2
+
+
+def test_incremental_join_view_maintenance(spark, tmp_path):
+    """CDF-driven delta-join maintenance: after every batch of appends
+    to either source, the incrementally maintained view equals a full
+    join recompute — and re-running maintenance with no new commits is
+    a no-op (idempotent high-water marks)."""
+    from lakeflow.txlog import TxTable, maintain_join_view
+
+    L = TxTable(str(tmp_path / "orders_t"))
+    R = TxTable(str(tmp_path / "cust_t"))
+    V = TxTable(str(tmp_path / "view_t"))
+
+    def check():
+        got = sorted(map(tuple, V.read(spark).select("k", "o", "c").collect()))
+        want = sorted(
+            map(tuple, L.read(spark).join(R.read(spark), "k").select("k", "o", "c").collect())
+        )
+        assert got == want, (got, want)
+
+    L.write(spark.createDataFrame([(1, "o1"), (2, "o2")], "k int, o string"), cdf=True)
+    R.write(spark.createDataFrame([(1, "c1")], "k int, c string"), cdf=True)
+    r1 = maintain_join_view(spark, L, R, V, on=("k",))
+    assert r1["appended"] == 1
+    check()
+
+    # left-side delta joins new right; right-side delta joins OLD left
+    L.write(spark.createDataFrame([(3, "o3"), (1, "o1b")], "k int, o string"), cdf=True)
+    R.write(spark.createDataFrame([(2, "c2"), (3, "c3")], "k int, c string"), cdf=True)
+    r2 = maintain_join_view(spark, L, R, V, on=("k",))
+    check()
+    assert r2["appended"] == 3  # ΔL⋈R_new: (3,o3,c3),(1,o1b,c1); L_old⋈ΔR: (2,o2,c2)
+    # no-op re-run: nothing new to fold
+    r3 = maintain_join_view(spark, L, R, V, on=("k",))
+    assert r3["appended"] == 0
+    check()
+
+    # one-sided progress folds correctly too
+    R.write(spark.createDataFrame([(9, "c9"), (2, "c2b")], "k int, c string"), cdf=True)
+    maintain_join_view(spark, L, R, V, on=("k",))
+    check()
