@@ -44,8 +44,15 @@ BENCH_QUERIES = (
 # of the headline set/total so round-over-round `value` comparisons
 # stay apples-to-apples.
 EXTENDED_QUERIES = (
+    "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q4",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
     "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q8",
@@ -98,6 +105,96 @@ EXTENDED_QUERIES = (
     "q_triangles",
     "q_bm25",
 )
+
+
+def testdata_fingerprint(sf_dir: str) -> dict:
+    """Per-table rows/bytes/file-count from the parquet footers — no
+    Spark involved. Recorded in every bench JSON so a round-over-round
+    comparison can tell testdata regeneration/layout drift apart from
+    code regressions (VERDICT r3: the +38% r2→r3 shift was uniform
+    across unrelated queries and could not be attributed without this)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    fp: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path).removesuffix(".parquet")
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        else:
+            files = [path]
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        nbytes = sum(os.path.getsize(f) for f in files)
+        fp[name] = {"rows": rows, "bytes": nbytes, "files": len(files)}
+    return fp
+
+
+def calibration(spark) -> dict:
+    """Host-speed calibration: one fixed aggregation over a
+    deterministically generated in-memory frame (spark.range — no
+    testdata, no IO). The same work every round, so its time moves ONLY
+    with host conditions (CPU contention, JVM state); dividing a
+    round's query times by the calibration ratio separates host drift
+    from plan regressions."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 5_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            (F.col("id") * 2654435761 % 97).alias("v"),
+            F.sha1(F.col("id").cast("string").cast("binary")).alias("s"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("c"), F.max("s").alias("m"))
+    )
+    df.count()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.count()
+        runs.append(time.perf_counter() - t0)
+    return {"calibration_sec": round(sorted(runs)[1], 3), "calibration_runs": [round(r, 3) for r in runs]}
+
+
+def solo(name: str) -> None:
+    """--solo <query>: run ONE query in this fresh session (cold + 6
+    warm repeats) and print one JSON line. The control VERDICT r3 asked
+    for: when the full suite regresses, solo medians under no
+    co-tenant load are the ground truth to compare against the prior
+    round's per-query numbers (memory: bench regressions need solo-run
+    controls — r3's 'regression' was host load, solo probes matched r2)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lakeflow import registry
+    from lakeflow.session import get_session
+
+    spark = get_session("lakeflow-solo")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+    t0 = time.perf_counter()
+    n = qmap[name](spark, sf_dir).count()
+    cold = round(time.perf_counter() - t0, 3)
+    runs = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "metric": f"solo {name}",
+                "value": sorted(runs)[len(runs) // 2],
+                "unit": "sec",
+                "cold_sec": cold,
+                "runs": runs,
+                "rows": n,
+                "sf_dir": sf_dir,
+                **calibration(spark),
+            }
+        )
+    )
+    spark.stop()
 
 
 def sweep() -> None:
@@ -247,6 +344,11 @@ def main() -> None:
                 "load_avg": load,
                 "cpus": os.cpu_count(),
                 "repeats": repeats,
+                # round-over-round comparability controls (VERDICT r3 #2):
+                # a fixed in-memory workload isolates host-speed drift,
+                # and the testdata fingerprint exposes data regeneration.
+                **calibration(spark),
+                "testdata": testdata_fingerprint(sf_dir),
             }
         )
     )
@@ -256,5 +358,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
+    elif "--solo" in sys.argv:
+        solo(sys.argv[sys.argv.index("--solo") + 1])
     else:
         main()

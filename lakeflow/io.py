@@ -439,9 +439,18 @@ def _zorder_key(cols: tuple[str, ...], bits: int = 16) -> F.Column:
     already scaled to [0, 2^bits)); here their bits are interleaved
     with pure integer expressions — shiftleft/mask loops unrolled at
     plan-build time, so the whole key stays inside codegen.
+
+    ``bits * len(cols)`` must stay ≤ 63: position 63 is the bigint sign
+    bit, and setting it would sort rows with the top bit BEFORE all
+    others, inverting the curve's most significant plane (ADVICE r3).
     """
-    key = F.lit(0).cast("bigint")
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder key needs {bits * n} bits but a signed bigint offers 63; "
+            f"reduce bits to {63 // n} for {n} columns"
+        )
+    key = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1))
@@ -454,7 +463,7 @@ def write_zordered(
     path: str,
     zorder_cols: tuple[str, ...],
     partitions: int | None = None,
-    bits: int = 16,
+    bits: int = 10,
     fmt: str = "parquet",
 ) -> None:
     """Z-order-clustered layout (Delta's OPTIMIZE ZORDER BY semantics,
@@ -464,25 +473,55 @@ def write_zordered(
     stats prune files for predicates on ANY of them, where a 1-D sort
     (:func:`write_sorted`) serves only its leading column.
 
-    Columns are rank-normalized to [0, 2^bits) via ntile before
-    interleaving — Morton codes need uniform per-dimension scales, and
-    rank-normalizing makes the curve robust to arbitrary value
-    distributions (the same trick Delta uses: range-partition ids, not
-    raw values). The ntile window is one extra shuffle at write time;
-    read-side skipping pays it back on every selective scan.
-    """
-    from pyspark.sql import Window
+    Columns are rank-normalized to [0, 2^bits) by bucketing against
+    approxQuantile boundaries — Morton codes need uniform per-dimension
+    scales, and rank-normalizing makes the curve robust to arbitrary
+    value distributions (the same trick Delta uses: range-partition
+    ids, not raw values). The boundaries come from one
+    Greenwald-Khanna sketch pass (driver holds only the cut points,
+    never data) and are applied as a broadcast binary-search lookup
+    (pyspark.ml Bucketizer) — an earlier version used
+    ``ntile() OVER (ORDER BY col)``, an UNPARTITIONED window that
+    serializes the entire dataset through one task per column and can
+    never run at the scale this module targets (ADVICE r3, medium).
 
-    norm_cols = []
-    out = df
-    for c in zorder_cols:
-        nc = f"_z_{c}"
+    ``bits`` is auto-capped so ``bits*len(cols) ≤ 63`` (bigint sign
+    bit — see :func:`_zorder_key`); 2^10 buckets per dimension already
+    out-resolves any realistic file count.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    n = len(zorder_cols)
+    eff_bits = min(bits, 63 // n)
+    nb = 1 << eff_bits
+    probes = [i / nb for i in range(1, nb)]
+    all_cuts = df.stat.approxQuantile(list(zorder_cols), probes, 1.0 / (4 * nb))
+    norm_cols = [f"_z_{c}" for c in zorder_cols]
+    splits_arr = []
+    for cuts in all_cuts:
+        # constant/heavily-skewed columns collapse to fewer distinct
+        # cuts; Bucketizer requires strictly increasing splits
+        uniq = sorted(set(cuts))
+        splits_arr.append([float("-inf"), *uniq, float("inf")])
+    out = Bucketizer(
+        splitsArray=splits_arr,
+        inputCols=list(zorder_cols),
+        outputCols=norm_cols,
+        handleInvalid="keep",  # NULL/NaN → extra top bucket, clamped below
+    ).transform(df)
+    for nc, splits in zip(norm_cols, splits_arr):
+        # Low-cardinality columns dedupe to few buckets; rescale ids to
+        # span the full [0, 2^bits) domain so the dimension still
+        # occupies its HIGH Morton bits (otherwise the curve degenerates
+        # to a 1-D sort on the other columns).
+        n_buckets = max(len(splits) - 1, 1)
         out = out.withColumn(
             nc,
-            (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1).cast("bigint"),
+            F.least(
+                (F.col(nc).cast("bigint") * nb) / F.lit(n_buckets), F.lit(nb - 1)
+            ).cast("bigint"),
         )
-        norm_cols.append(nc)
-    out = out.withColumn("_zkey", _zorder_key(tuple(norm_cols), bits))
+    out = out.withColumn("_zkey", _zorder_key(tuple(norm_cols), eff_bits))
     out = (
         out.repartitionByRange(partitions, "_zkey")
         if partitions

@@ -339,6 +339,13 @@ STAR_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q14": (relational.tpch_q14, relational.TPCH_Q14_SQL),
     "q_tpch_q18": (relational.tpch_q18, relational.TPCH_Q18_SQL),
     "q_tpch_q22": (relational.tpch_q22, relational.TPCH_Q22_SQL),
+    "q_tpch_q2": (relational.tpch_q2, relational.TPCH_Q2_SQL),
+    "q_tpch_q9": (relational.tpch_q9, relational.TPCH_Q9_SQL),
+    "q_tpch_q11": (relational.tpch_q11, relational.TPCH_Q11_SQL),
+    "q_tpch_q12": (relational.tpch_q12, relational.TPCH_Q12_SQL),
+    "q_tpch_q15": (relational.tpch_q15, relational.TPCH_Q15_SQL),
+    "q_tpch_q16": (relational.tpch_q16, relational.TPCH_Q16_SQL),
+    "q_tpch_q19": (relational.tpch_q19, relational.TPCH_Q19_SQL),
     "q_fuzzy_join": (relational.fuzzy_match_parts, relational.FUZZY_MATCH_SQL),
     "q_join_broadcast": (relational.join_broadcast, relational.JOIN_BROADCAST_SQL),
     "q_join_sortmerge": (relational.join_sortmerge, relational.JOIN_SORTMERGE_SQL),
@@ -395,11 +402,30 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
     "q_bm25": (text.bm25_scores, text.BM25_SQL),
-    "q_degree_dist": (graph.degree_distribution, graph.DEGREE_DIST_SQL),
-    "q_triangles": (graph.triangle_count, graph.TRIANGLES_SQL),
-    # threshold 0.4 so the oracle check compares real pairs (the synthetic
+    # The registered graph/embedding-dedup surface rides the banded-LSH
+    # edge generator — the 100 TB plan (no corpus broadcast, no all-pairs
+    # join; VERDICT r3 findings #2/#3). LSH recall (~0.98/pair, tuned)
+    # makes counts approximate → rows-only here, with tolerance tests vs
+    # exact at test SF (tests/test_ext.py). The exact all-pairs twins are
+    # registered under *_exact strictly as small-SF oracle paths — they
+    # carry the DuckDB SQL and are NOT the plan to copy at scale.
+    "q_degree_dist": (graph.degree_distribution, None),  # LSH edges — rows-only
+    "q_triangles": (graph.triangle_count, None),  # LSH edges — rows-only
+    "q_degree_dist_exact": (
+        lambda spark, sf: graph.degree_distribution(spark, sf, edge_source="exact"),
+        graph.DEGREE_DIST_SQL,
+    ),
+    "q_triangles_exact": (
+        lambda spark, sf: graph.triangle_count(spark, sf, edge_source="exact"),
+        graph.TRIANGLES_SQL,
+    ),
+    # threshold 0.4 so real pairs exist at test scale (the synthetic
     # embeddings are near-uniform; 0.95 matches nothing at test scale)
     "q_dedup_embedding": (
+        lambda spark, sf: dedup.embedding_near_dups_lsh(spark, sf, threshold=0.4),
+        None,  # LSH blocking — rows-only; exact twin below carries the oracle
+    ),
+    "q_dedup_embedding_exact": (
         lambda spark, sf: dedup.embedding_near_dups(spark, sf, threshold=0.4),
         dedup.EMBEDDING_NEAR_DUPS_SQL,
     ),
@@ -558,7 +584,18 @@ _CERT_FIRST: list[str] = [
     # -- sentinels (green in r01) --------------------------------------
     "q_silver_pipeline",
     "q_tpch_q1",
-    # -- new this round: certify first ----------------------------------
+    # -- new this round (r4): certify first -----------------------------
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_degree_dist_exact",
+    "q_triangles_exact",
+    "q_dedup_embedding_exact",
+    # -- r3 certifications ----------------------------------------------
     "q_tpch_q21",
     "q_tpch_q20",
     "q_tpch_q6",
@@ -575,8 +612,6 @@ _CERT_FIRST: list[str] = [
     "q_pii_redact",
     "q_contamination",
     "q_repetition",
-    "q_degree_dist",
-    "q_triangles",
     "q_bm25",
     # -- round-1 unchecked, oracle-bearing: certify these ---------------
     "q_retention",
@@ -591,7 +626,6 @@ _CERT_FIRST: list[str] = [
     "q_lang_id",
     "q_doc_fingerprint",
     "q_dedup_exact",
-    "q_dedup_embedding",
     "q_dedup_clusters",
     "q_dedup_keep_best",
     "q_scd2_history",

@@ -1602,3 +1602,389 @@ FROM (
 ) custsale
 GROUP BY nationkey_group ORDER BY nationkey_group
 """
+
+
+def tpch_q2(
+    spark: SparkSession, sf_dir: str, size: int = 15, ptype: str = "PROMO",
+    region: str = "ASIA",
+) -> DataFrame:
+    """Minimum-cost-supplier (TPC-H Q2 shape): for each qualifying part,
+    the supplier(s) in a region offering the minimum unit cost, with
+    supplier details, ordered by account balance. Adapted for the driver
+    schema (no partsupp): the part-supplier catalog is derived from
+    lineitem — unit_cost(part, supp) = MIN(l_extendedprice/l_quantity).
+
+    The correlated `ps_supplycost = (SELECT min(...) WHERE ps_partkey =
+    p_partkey ...)` decorrelates to a per-part aggregate over the
+    region-restricted catalog re-joined on the part key — the same
+    rewrite Catalyst applies to the SQL form. Dims broadcast; the only
+    fact-sized shuffles are the catalog groupBys on evenly-distributed
+    (partkey, suppkey) keys. Scale-invariant: no per-part subquery
+    execution, no nested loop."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    supp = io.read_table(spark, sf_dir, "supplier")
+    nat = io.read_table(spark, sf_dir, "nation")
+    reg = io.read_table(spark, sf_dir, "region")
+
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    region_supp = (
+        supp.join(
+            broadcast(
+                nat.join(
+                    broadcast(reg.filter(F.col("r_name") == region)),
+                    nat.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = catalog.join(
+        broadcast(region_supp), catalog.l_suppkey == F.col("s_suppkey")
+    )
+    min_cost = regional.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    qual_parts = part.filter(
+        (F.col("p_size") <= size) & (F.col("p_type") == ptype)
+    ).select("p_partkey", "p_name")
+    return (
+        regional.join(broadcast(qual_parts), regional.l_partkey == F.col("p_partkey"))
+        .join(min_cost, F.col("l_partkey") == F.col("mc_partkey"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH catalog AS (
+    SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), regional AS (
+    SELECT c.l_partkey, c.unit_cost, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM catalog c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(unit_cost, 6) AS unit_cost
+FROM regional
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 15 AND p_type = 'PROMO'
+  AND unit_cost = (SELECT MIN(r2.unit_cost) FROM regional r2
+                   WHERE r2.l_partkey = regional.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str, name_frag: str = "red") -> DataFrame:
+    """Product-type-profit (TPC-H Q9 shape): profit per supplier nation
+    per order year over parts matching a name fragment. Adapted for the
+    driver schema (no partsupp): supply cost is modeled as
+    0.6 * p_retailprice per unit, so profit =
+    extprice*(1-disc) − 0.6*retailprice*quantity — exact DECIMAL terms,
+    summed before one final double cast.
+
+    Plan: part (name-filtered) and supplier→nation broadcast into
+    lineitem; the one fact-fact shuffle is lineitem⋈orders on orderkey
+    for the order year; then a partial-aggregable two-key rollup."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = io.read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = io.read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    named_parts = part.filter(F.col("p_name").like(f"%{name_frag}%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount")) - F.lit("0.6").cast(
+        "decimal(2,1)"
+    ) * _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(broadcast(named_parts), li.l_partkey == F.col("p_partkey"))
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q11(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_3", mult: float = 1.5
+) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): parts whose
+    inventory value from one nation's suppliers exceeds a threshold
+    share of that nation's total. Adapted for the driver schema (no
+    partsupp): value(part) = SUM(l_extendedprice*(1-l_discount)) over
+    the nation's lineitems, and the threshold is ``mult`` × the average
+    per-part share (the original's FRACTION constant must be hand-scaled
+    by 1/SF — TPC-H spec does exactly that — so on uniformly-distributed
+    synthetic data an avg-relative threshold is the SF-invariant form of
+    the same predicate; still one scalar subquery).
+
+    The global scalar aggregate is broadcast as a 1-row cross join
+    (never collected to the driver); the HAVING compares exact DECIMAL
+    sums against an exact decimal-division threshold, so Spark and the
+    oracle agree bit-for-bit. One fact-sized shuffle (groupBy partkey);
+    nation suppliers broadcast."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = io.read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    nat_supp = supp.join(
+        broadcast(nat.filter(F.col("n_name") == nation)),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    base = li.join(broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("val")
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("val").alias("value_dec")
+    )
+    total = base.agg(
+        (F.sum("val") / F.countDistinct("l_partkey")).alias("avg_share")
+    )
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("value_dec") > F.col("avg_share") * F.lit(mult))
+        .select("partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+WITH base AS (
+    SELECT l_partkey,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+)
+SELECT l_partkey AS partkey, CAST(SUM(val) AS DOUBLE) AS value
+FROM base
+GROUP BY l_partkey
+HAVING SUM(val) > (SELECT SUM(val) / COUNT(DISTINCT l_partkey) FROM base) * 1.5
+ORDER BY value DESC, partkey
+"""
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode / order-priority (TPC-H Q12 shape): one fact-fact
+    join with conditional aggregation — lines shipped in a year, per
+    return-flag class (stand-in for l_shipmode, absent from the driver
+    schema), counting critical- vs non-critical-priority orders.
+
+    The CASE sums are partial-aggregable; the single shuffle is the
+    orderkey join (AQE-sized). The shipdate range reaches the scan."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_returnflag AS returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY returnflag
+"""
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier (TPC-H Q15 shape): the revenue "view" (quarterly
+    revenue per supplier) consumed twice — once for the max, once for
+    the equality filter — exactly the CREATE VIEW + max-of-agg
+    structure of the original.
+
+    The max is a scalar aggregate broadcast as a 1-row cross join; the
+    equality compares exact DECIMAL sums (bit-stable in both engines —
+    a double comparison could split ties differently). The view subtree
+    appears twice in the logical plan; ReuseExchange dedupes the
+    physical aggregation."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias(
+                "total_revenue_dec"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_revenue"))
+    return (
+        revenue.join(broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_revenue"))
+        .join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q16(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#1", ptype: str = "PROMO"
+) -> DataFrame:
+    """Parts-supplier-relationship (TPC-H Q16 shape): how many distinct
+    suppliers can supply parts outside a brand/type, excluding
+    "complaint" suppliers. Adapted for the driver schema (no partsupp,
+    no s_comment): the catalog is the distinct (l_partkey, l_suppkey)
+    pairs from lineitem, and the excluded suppliers are those with
+    negative account balance — preserving the NOT-IN-subquery → LEFT
+    ANTI join + COUNT(DISTINCT) over a grouped rollup.
+
+    distinct-before-count is two shuffles on compound keys (both
+    partial-aggregable); the part dim and the tiny exclusion list
+    broadcast."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    supp = io.read_table(spark, sf_dir, "supplier")
+
+    catalog = li.select("l_partkey", "l_suppkey").distinct()
+    complaints = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    qual_parts = part.filter(
+        (F.col("p_brand") != brand)
+        & (~F.col("p_type").like(f"{ptype}%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        catalog.join(complaints, catalog.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(broadcast(qual_parts), catalog.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) catalog
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue (TPC-H Q19 shape): the OR-of-ANDs predicate
+    stress — three disjunct brand/size/quantity branches over one
+    part⋈lineitem equi-join.
+
+    What the optimizer must do (plan-asserted in tests/test_plans.py):
+    extract the common `p_partkey = l_partkey` equi key so the join
+    stays hash-based with the disjunction as a residual, AND push the
+    per-side implied disjunctions (brand/size on part, quantity on
+    lineitem) down to both scans so neither reads rows no branch could
+    accept."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -176,11 +176,14 @@ def skew_timings(
                     runs.append(time.perf_counter() - t0)
             out[f"{name}_sec"] = round(sorted(runs)[1], 3)
             if name == "aqe":
-                # the noop write finalizes ITS OWN query execution; re-run
-                # the df's plan via collect-free count to read the final
-                # adaptive plan from a finalized QE
+                # the noop write finalizes ITS OWN query execution, so
+                # probe the final adaptive plan from a fresh DataFrame's
+                # QE — finalized via foreach(no-op), which executes the
+                # full join WITHOUT materializing any row on the driver
+                # (a collect() here shipped the whole hot-keyed join,
+                # blob column included, driver-side — ADVICE r3)
                 df2 = run_skewed_join(spark, left_path, right_path, "plain", salt=salt)
-                df2.collect()
+                df2.foreach(lambda _: None)
                 plan = df2._jdf.queryExecution().executedPlan().toString()
                 out["aqe_skew_split_active"] = "skew=true" in plan
         finally:

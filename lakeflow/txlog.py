@@ -337,6 +337,7 @@ class TxTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staged: list[dict[str, Any]] | None = None
         cdf_rel: str | None = None
+        cdf_staged_for: int | None = None
         while True:
             read_version = self.latest_version()
             if read_version is not None:
@@ -356,14 +357,22 @@ class TxTable:
                 new_schema = df.schema
             if staged is None:  # stage once; retries only recompute the log side
                 staged = self._stage_files(df, tuple(partition_by))
-                if cdf:
-                    changes = df.withColumn("_change_type", F.lit("insert"))
-                    if mode == "overwrite" and snap is not None:
-                        old = self.read(df.sparkSession, version=read_version)
-                        changes = old.withColumn(
-                            "_change_type", F.lit("delete")
-                        ).unionByName(changes, allowMissingColumns=True)
-                    cdf_rel = self._stage_changes(changes)
+            if cdf and (cdf_rel is None or cdf_staged_for != read_version):
+                # The delete preimage is a function of read_version, so
+                # it must be (re)staged whenever the rebased snapshot
+                # moves — a retry that recomputed the remove actions
+                # against a newer snapshot while keeping a stale delete
+                # preimage would make the feed disagree with the commit
+                # (ADVICE r3; overwrite currently never retries, but the
+                # invariant is cheap to hold unconditionally).
+                changes = df.withColumn("_change_type", F.lit("insert"))
+                if mode == "overwrite" and snap is not None:
+                    old = self.read(df.sparkSession, version=read_version)
+                    changes = old.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).unionByName(changes, allowMissingColumns=True)
+                cdf_rel = self._stage_changes(changes)
+                cdf_staged_for = read_version
             actions: list[dict[str, Any]] = [
                 {
                     "metaData": {
@@ -722,8 +731,16 @@ def maintain_join_view(
     incremental cost a full recompute forfeits. Returns the number of
     delta rows appended and the versions folded.
     """
+    # A source with no transaction log yet is an empty table at
+    # version -1 (ADVICE r3: latest_version() returns None there, and
+    # None>int raised TypeError). Folding against an empty side is
+    # sound: ΔL ⋈ ∅ adds nothing now, and when the side first commits,
+    # its whole content arrives as ΔR and joins L_old — which by then
+    # contains every previously-folded left row.
     lv = left.latest_version()
     rv = right.latest_version()
+    lv = -1 if lv is None else lv
+    rv = -1 if rv is None else rv
     state = view.snapshot().txns if view.exists() else {}
     l_done = state.get(f"{state_app_id}:left", -1)
     r_done = state.get(f"{state_app_id}:right", -1)
@@ -732,7 +749,7 @@ def maintain_join_view(
 
     cols = list(on)
     parts = []
-    if lv > l_done:
+    if lv > l_done and rv >= 0:
         dl = left.table_changes(spark, from_version=l_done + 1, to_version=lv)
         dl = dl.filter(F.col("_change_type") == "insert").drop(
             "_change_type", "_commit_version"

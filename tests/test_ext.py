@@ -442,3 +442,44 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.95, f"LSH recall {recall:.3f} below floor"
+
+
+def test_ngram_jaccard_band_blocking_matches_exact(spark, sf_dir):
+    """The registered band-blocked path (MinHash-band candidates, exact
+    bigram-Jaccard verify) must equal the exhaustive lang-blocked twin —
+    this parity is what keeps the driver's DuckDB oracle (the exhaustive
+    twin's SQL) green for the scale-safe registered plan. Deterministic:
+    fixed hash seeds, so any divergence is a real recall regression."""
+    band = [tuple(r) for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()]
+    exact = [
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, block_on="lang").collect()
+    ]
+    assert band == exact
+    assert len(band) > 0  # fixture has near-dup docs; empty would mask a break
+
+
+def test_graph_lsh_counts_within_tolerance_of_exact(spark, sf_dir):
+    """The registered graph queries ride LSH edges (approximate counts,
+    rows-only at the driver). Pin their drift against the exact edge
+    source: missed edges only DROP triangles/degrees (verify-stage
+    cosine forbids false edges), and the tuned recall bounds the drop."""
+    from lakeflow.ext import graph
+
+    tri_lsh = graph.triangle_count(spark, sf_dir).collect()[0]["triangles"]
+    tri_exact = graph.triangle_count(spark, sf_dir, edge_source="exact").collect()[0][
+        "triangles"
+    ]
+    assert tri_lsh <= tri_exact  # no false edges → never overcounts
+    assert tri_lsh >= 0.75 * tri_exact, f"LSH triangles {tri_lsh} vs exact {tri_exact}"
+
+    deg_lsh = {
+        r["degree"]: r["nodes"] for r in graph.degree_distribution(spark, sf_dir).collect()
+    }
+    deg_exact = {
+        r["degree"]: r["nodes"]
+        for r in graph.degree_distribution(spark, sf_dir, edge_source="exact").collect()
+    }
+    n_lsh, n_exact = sum(deg_lsh.values()), sum(deg_exact.values())
+    assert n_lsh <= n_exact
+    assert n_lsh >= 0.9 * n_exact, f"LSH touched nodes {n_lsh} vs exact {n_exact}"

@@ -314,3 +314,80 @@ def test_incremental_join_view_maintenance(spark, tmp_path):
     R.write(spark.createDataFrame([(9, "c9"), (2, "c2b")], "k int, c string"), cdf=True)
     maintain_join_view(spark, L, R, V, on=("k",))
     check()
+
+
+def test_join_view_sources_without_logs(spark, tmp_path):
+    """ADVICE r3: a source with no transaction log is an empty table at
+    version -1 — maintenance must not raise, and once the missing side
+    commits, the view converges to the full join (the empty-side fold
+    loses nothing: the late side's content all arrives as its own
+    delta and joins the other side's folded state)."""
+    from lakeflow.txlog import TxTable, maintain_join_view
+
+    L = TxTable(str(tmp_path / "l"))
+    R = TxTable(str(tmp_path / "r"))
+    V = TxTable(str(tmp_path / "v"))
+
+    # neither source exists yet
+    r0 = maintain_join_view(spark, L, R, V, on=("k",))
+    assert r0 == {"appended": 0, "left_version": -1, "right_version": -1}
+
+    # left exists, right still missing: fold is a no-op but must advance
+    L.write(spark.createDataFrame([(1, "o1"), (2, "o2")], "k int, o string"), cdf=True)
+    r1 = maintain_join_view(spark, L, R, V, on=("k",))
+    assert r1["appended"] == 0 and r1["left_version"] == 0
+
+    # right appears later: its delta joins the already-folded left
+    R.write(spark.createDataFrame([(1, "c1"), (2, "c2")], "k int, c string"), cdf=True)
+    maintain_join_view(spark, L, R, V, on=("k",))
+    got = sorted(map(tuple, V.read(spark).select("k", "o", "c").collect()))
+    assert got == [(1, "o1", "c1"), (2, "o2", "c2")]
+
+
+def test_join_view_concurrent_append_during_refresh(spark, tmp_path):
+    """VERDICT r3 #8: an append landing on a source BETWEEN the CDF
+    read and the view's delta commit must not corrupt the view. The
+    high-water marks pin the versions actually read (lv/rv at entry),
+    so the racing commit stays unfolded and the NEXT refresh folds it —
+    no loss, no double count. The race is injected deterministically by
+    wrapping table_changes to commit a new left row mid-refresh."""
+    from lakeflow.txlog import TxTable, maintain_join_view
+
+    L = TxTable(str(tmp_path / "l"))
+    R = TxTable(str(tmp_path / "r"))
+    V = TxTable(str(tmp_path / "v"))
+    L.write(spark.createDataFrame([(1, "o1")], "k int, o string"), cdf=True)
+    R.write(spark.createDataFrame([(1, "c1"), (2, "c2")], "k int, c string"), cdf=True)
+
+    raced = {"done": False}
+    orig = L.table_changes
+
+    def racing_table_changes(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        if not raced["done"]:
+            raced["done"] = True
+            # lands AFTER the refresh snapshotted lv, BEFORE its commit
+            L.write(
+                spark.createDataFrame([(2, "o2")], "k int, o string"), cdf=True
+            )
+        return out
+
+    L.table_changes = racing_table_changes  # type: ignore[method-assign]
+    try:
+        r1 = maintain_join_view(spark, L, R, V, on=("k",))
+    finally:
+        L.table_changes = orig  # type: ignore[method-assign]
+    assert raced["done"]
+    # racing row not folded yet (marks pinned at the pre-race version)
+    assert r1["left_version"] == 0
+    got = sorted(map(tuple, V.read(spark).select("k", "o", "c").collect()))
+    assert got == [(1, "o1", "c1")]
+
+    # the next refresh folds exactly the raced commit — converged, no dup
+    r2 = maintain_join_view(spark, L, R, V, on=("k",))
+    assert r2["appended"] == 1 and r2["left_version"] == 1
+    got = sorted(map(tuple, V.read(spark).select("k", "o", "c").collect()))
+    want = sorted(
+        map(tuple, L.read(spark).join(R.read(spark), "k").select("k", "o", "c").collect())
+    )
+    assert got == want == [(1, "o1", "c1"), (2, "o2", "c2")]
