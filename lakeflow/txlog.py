@@ -9,10 +9,20 @@ The jars are unobtainable in this container (BASELINE.md §managed-format),
 so this module re-implements the protocol itself, Spark-first:
 
 - A table is a directory of immutable parquet data files plus a
-  ``_txlog/`` directory of ordered JSON commit files
+  ``_delta_log/`` directory of ordered JSON commit files
   (``00000000000000000000.json``, one per version), each holding
-  newline-delimited actions: ``metaData`` (schema, partition columns),
-  ``add`` (file path, size, partitionValues), ``remove``, ``commitInfo``.
+  newline-delimited actions in the published Delta protocol dialect
+  (delta-io PROTOCOL.md): ``protocol``, ``metaData`` (id / format /
+  schemaString / partitionColumns / configuration / createdTime),
+  ``add`` (path, partitionValues, size, modificationTime, dataChange),
+  ``remove`` (path, deletionTimestamp, dataChange), ``txn`` (appId,
+  version), ``cdc`` (change-data files), ``commitInfo``. Timestamps in
+  the log are epoch **milliseconds** (the spec's unit); the Python API
+  keeps epoch seconds. Checkpoints are parquet files
+  (``<v>.checkpoint.parquet``, one action per row in the spec's
+  add/remove/metaData/protocol/txn column layout) advertised by
+  ``_last_checkpoint`` — so a table this module writes is structurally
+  readable by external Delta readers the day format jars appear.
 - **Atomicity**: data files are staged and moved into the table dir
   FIRST (invisible to readers — only the log defines the table), then
   the commit file is published with ``os.link(tmp, commit)``, which is
@@ -53,10 +63,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-LOG_DIR = "_txlog"
-CDF_DIR = "_change_data"
+LOG_DIR = "_delta_log"  # the spec's log directory name
+CDF_DIR = "_change_data"  # the spec's CDF directory name
 CHECKPOINT_EVERY = 10
 _VLEN = 20  # zero-padded version width -> lexicographic == numeric order
+# Published protocol action: reader 1 / writer 2 is classic parquet Delta
+# with no table features — the widest-compat floor.
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+_LAST_CHECKPOINT = "_last_checkpoint"
+# internal op -> (spec history operation name, operationParameters)
+_OPERATIONS = {
+    "append": ("WRITE", {"mode": "Append"}),
+    "overwrite": ("WRITE", {"mode": "Overwrite"}),
+    "upsert": ("MERGE", {}),
+    "compact": ("OPTIMIZE", {}),
+}
 
 
 class ConcurrentModification(Exception):
@@ -74,8 +95,39 @@ def _commit_name(v: int) -> str:
     return f"{v:0{_VLEN}d}.json"
 
 
+def _remove_action(path: str) -> dict[str, Any]:
+    return {
+        "remove": {
+            "path": path,
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }
+    }
+
+
+def _meta_action(
+    snap: Snapshot | None, schema: StructType, partition_by: tuple[str, ...]
+) -> dict[str, Any]:
+    """Spec-shaped metaData action; the id and createdTime are minted on
+    the table's first commit and carried verbatim afterwards."""
+    return {
+        "metaData": {
+            "id": (snap.meta_id if snap and snap.meta_id else uuid.uuid4().hex),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": list(partition_by),
+            "configuration": {},
+            "createdTime": (
+                snap.created_ms
+                if snap and snap.created_ms is not None
+                else int(time.time() * 1000)
+            ),
+        }
+    }
+
+
 def _checkpoint_name(v: int) -> str:
-    return f"{v:0{_VLEN}d}.checkpoint.json"
+    return f"{v:0{_VLEN}d}.checkpoint.parquet"
 
 
 @dataclass
@@ -89,6 +141,10 @@ class Snapshot:
     # appId -> highest committed transaction version (Delta txn action):
     # the idempotence ledger for external retry loops (streaming batches)
     txns: dict[str, int]
+    # the table's stable metaData.id (spec: a GUID minted at creation and
+    # carried verbatim through every later metaData action)
+    meta_id: str | None = None
+    created_ms: int | None = None
 
     @property
     def schema(self) -> StructType | None:
@@ -134,52 +190,64 @@ class TxTable:
         if v > latest or v < 0:
             raise NoSuchVersion(f"{self.path}: version {v} (latest {latest})")
 
+        # Discover checkpoints by listing (not by trusting _last_checkpoint:
+        # that file is a hint for external readers and may be stale after a
+        # crash — the spec says readers must tolerate that).
         ckpts = [
             int(e[:_VLEN])
             for e in self._log_entries()
-            if e.endswith(".checkpoint.json") and int(e[:_VLEN]) <= v
+            if e.endswith(".checkpoint.parquet") and int(e[:_VLEN]) <= v
         ]
         files: dict[str, dict[str, Any]] = {}
         schema_json: str | None = None
         partition_by: tuple[str, ...] = ()
+        meta_id: str | None = None
         ts = 0.0
         txns: dict[str, int] = {}
         start = 0
         if ckpts:
             cv = max(ckpts)
-            with open(os.path.join(self.log_dir, _checkpoint_name(cv))) as fh:
-                state = json.load(fh)
-            files = {a["path"]: a for a in state["add"]}
-            schema_json = state.get("schemaJson")
-            partition_by = tuple(state.get("partitionBy", []))
-            ts = state.get("timestamp", 0.0)
-            txns = dict(state.get("txn", {}))
+            actions = _read_checkpoint(os.path.join(self.log_dir, _checkpoint_name(cv)))
             start = cv + 1
+        else:
+            actions = []
         for cur in range(start, v + 1):
-            for action in self._read_actions(cur):
-                if "metaData" in action:
-                    schema_json = action["metaData"].get("schemaJson", schema_json)
-                    partition_by = tuple(action["metaData"].get("partitionBy", partition_by))
-                elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-                elif "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp", ts)
-                elif "txn" in action:
-                    t = action["txn"]
-                    txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
-        return Snapshot(v, schema_json, partition_by, files, ts, txns)
+            actions = actions + self._read_actions(cur)
+        created_ms: int | None = None
+        for action in actions:
+            if action.get("metaData") is not None:
+                md = action["metaData"]
+                schema_json = md.get("schemaString", schema_json)
+                partition_by = tuple(md.get("partitionColumns") or partition_by)
+                meta_id = md.get("id", meta_id)
+                created_ms = md.get("createdTime", created_ms)
+            elif action.get("add") is not None:
+                files[action["add"]["path"]] = action["add"]
+            elif action.get("remove") is not None:
+                files.pop(action["remove"]["path"], None)
+            elif action.get("commitInfo") is not None:
+                ts = action["commitInfo"].get("timestamp", ts * 1000.0) / 1000.0
+            elif action.get("txn") is not None:
+                t = action["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+            # protocol / cdc actions carry no snapshot state
+        return Snapshot(
+            v, schema_json, partition_by, files, ts, txns, meta_id, created_ms
+        )
 
     def history(self) -> list[dict[str, Any]]:
         """Commit metadata, newest first — Delta's DESCRIBE HISTORY."""
         latest = self.latest_version()
         out = []
         for v in range((latest if latest is not None else -1), -1, -1):
-            info = next(
-                (a["commitInfo"] for a in self._read_actions(v) if "commitInfo" in a),
-                {},
+            info = dict(
+                next(
+                    (a["commitInfo"] for a in self._read_actions(v) if "commitInfo" in a),
+                    {},
+                )
             )
+            if "timestamp" in info:  # log stores ms (spec); API speaks seconds
+                info["timestamp"] = info["timestamp"] / 1000.0
             out.append({"version": v, **info})
         return out
 
@@ -238,10 +306,12 @@ class TxTable:
         actions don't depend on the snapshot (blind appends) catch it,
         rebase on the new latest, and retry."""
         attempt = (read_version if read_version is not None else -1) + 1
+        op, params = _OPERATIONS.get(operation, (operation, {}))
         info = {
             "commitInfo": {
-                "operation": operation,
-                "timestamp": time.time(),
+                "operation": op,
+                "operationParameters": params,
+                "timestamp": int(time.time() * 1000),
                 "readVersion": read_version,
             }
         }
@@ -255,22 +325,39 @@ class TxTable:
         return attempt
 
     def _write_checkpoint(self, version: int) -> None:
+        """Spec-shaped parquet checkpoint: one action per row, columns
+        ``protocol`` / ``metaData`` / ``txn`` / ``add`` / ``remove``, plus
+        the ``_last_checkpoint`` pointer file external readers use to skip
+        the log prefix. Written driver-side with pyarrow (the state is
+        O(live files) metadata, never rows)."""
         snap = self.snapshot(version)
-        state = {
-            "version": version,
-            "schemaJson": snap.schema_json,
-            "partitionBy": list(snap.partition_by),
-            "timestamp": snap.timestamp,
-            "add": sorted(snap.files.values(), key=lambda a: a["path"]),
-            "txn": snap.txns,
-        }
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        rows: list[dict[str, Any]] = [{"protocol": dict(PROTOCOL)}]
+        rows.append(
+            {
+                "metaData": {
+                    "id": snap.meta_id or uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema_json or "",
+                    "partitionColumns": list(snap.partition_by),
+                    "configuration": {},
+                    "createdTime": (
+                        snap.created_ms
+                        if snap.created_ms is not None
+                        else int(snap.timestamp * 1000)
+                    ),
+                }
+            }
+        )
+        rows += [{"txn": {"appId": a, "version": v}} for a, v in sorted(snap.txns.items())]
+        rows += [{"add": dict(a)} for a in sorted(snap.files.values(), key=lambda a: a["path"])]
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        _write_checkpoint_parquet(tmp, rows)
         # Checkpoints are derived data — last writer wins is fine.
         os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
+        ptr = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(ptr, "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        os.replace(ptr, os.path.join(self.log_dir, _LAST_CHECKPOINT))
 
     # ------------------------------------------------------------- data plane
 
@@ -307,8 +394,10 @@ class TxTable:
                     {
                         "add": {
                             "path": rel.replace(os.sep, "/"),
-                            "size": os.path.getsize(dst),
                             "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(os.path.getmtime(dst) * 1000),
+                            "dataChange": True,
                         }
                     }
                 )
@@ -336,7 +425,7 @@ class TxTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staged: list[dict[str, Any]] | None = None
-        cdf_rel: str | None = None
+        cdf_files: list[tuple[str, int]] | None = None
         cdf_staged_for: int | None = None
         while True:
             read_version = self.latest_version()
@@ -357,7 +446,7 @@ class TxTable:
                 new_schema = df.schema
             if staged is None:  # stage once; retries only recompute the log side
                 staged = self._stage_files(df, tuple(partition_by))
-            if cdf and (cdf_rel is None or cdf_staged_for != read_version):
+            if cdf and (cdf_files is None or cdf_staged_for != read_version):
                 # The delete preimage is a function of read_version, so
                 # it must be (re)staged whenever the rebased snapshot
                 # moves — a retry that recomputed the remove actions
@@ -371,26 +460,32 @@ class TxTable:
                     changes = old.withColumn(
                         "_change_type", F.lit("delete")
                     ).unionByName(changes, allowMissingColumns=True)
-                cdf_rel = self._stage_changes(changes)
+                cdf_files = self._stage_changes(changes)
                 cdf_staged_for = read_version
-            actions: list[dict[str, Any]] = [
-                {
-                    "metaData": {
-                        "schemaJson": new_schema.json(),
-                        "partitionBy": list(partition_by),
-                    }
-                }
-            ]
+            actions: list[dict[str, Any]] = []
+            if read_version is None:
+                actions.append({"protocol": dict(PROTOCOL)})
+            actions.append(_meta_action(snap, new_schema, tuple(partition_by)))
             if mode == "overwrite" and snap is not None:
-                actions += [{"remove": {"path": p}} for p in snap.files]
+                actions += [_remove_action(p) for p in snap.files]
             actions += staged
             if txn is not None:
                 marks = [txn] if isinstance(txn, tuple) else list(txn)
                 actions += [
                     {"txn": {"appId": a, "version": v}} for a, v in marks
                 ]
-            if cdf and cdf_rel is not None:
-                actions.append({"cdf": {"path": cdf_rel, "operation": mode}})
+            if cdf and cdf_files is not None:
+                actions += [
+                    {
+                        "cdc": {
+                            "path": p,
+                            "partitionValues": {},
+                            "size": sz,
+                            "dataChange": False,
+                        }
+                    }
+                    for p, sz in cdf_files
+                ]
             try:
                 return self._commit(read_version, actions, mode)
             except ConcurrentModification:
@@ -538,14 +633,9 @@ class TxTable:
             new_schema = _merge_schemas(snap.schema, updates.schema)
             adds = self._stage_files(merged, part_by)
             actions: list[dict[str, Any]] = [
-                {
-                    "metaData": {
-                        "schemaJson": new_schema.json(),
-                        "partitionBy": list(part_by),
-                    }
-                }
+                _meta_action(snap, new_schema, part_by)
             ]
-            actions += [{"remove": {"path": a["path"]}} for a in rewrite] + adds
+            actions += [_remove_action(a["path"]) for a in rewrite] + adds
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
             if cdf:
@@ -568,9 +658,17 @@ class TxTable:
                     )
                 else:
                     changes = updates.withColumn("_change_type", F.lit("insert"))
-                actions.append(
-                    {"cdf": {"path": self._stage_changes(changes), "operation": "upsert"}}
-                )
+                actions += [
+                    {
+                        "cdc": {
+                            "path": p,
+                            "partitionValues": {},
+                            "size": sz,
+                            "dataChange": False,
+                        }
+                    }
+                    for p, sz in self._stage_changes(changes)
+                ]
             self._commit(read_version, actions, "upsert")
             if pre is not None:
                 pre.unpersist()
@@ -590,7 +688,7 @@ class TxTable:
         n_out = max(1, -(-total // target_file_bytes))
         df = self.read(spark, version=read_version)
         adds = self._stage_files(df.repartition(n_out), snap.partition_by)
-        actions = [{"remove": {"path": a["path"]}} for a in before] + adds
+        actions = [_remove_action(a["path"]) for a in before] + adds
         self._commit(read_version, actions, "compact")
         return len(before), len(adds)
 
@@ -611,8 +709,9 @@ class TxTable:
         cdf_live: set[str] = set()
         for v in range(max(0, latest - retain_versions), latest + 1):
             for action in self._read_actions(v):
-                if "cdf" in action:
-                    cdf_live.add(action["cdf"]["path"])
+                if "cdc" in action:
+                    # keep the whole batch directory the cdc file lives in
+                    cdf_live.add(action["cdc"]["path"].rsplit("/", 1)[0])
         deleted = []
         for root, _dirs, names in os.walk(self.path, topdown=False):
             if LOG_DIR in root.split(os.sep):
@@ -637,17 +736,23 @@ class TxTable:
 
     # ---------------------------------------------------- change data feed
 
-    def _stage_changes(self, changes: DataFrame) -> str:
+    def _stage_changes(self, changes: DataFrame) -> list[tuple[str, int]]:
         """Write a change batch (rows + ``_change_type``) under
         ``_change_data/<uuid>/`` — invisible to table reads (readers
         only trust the log's add actions) and published by the SAME
         commit that publishes the data files, so the feed is exactly as
-        atomic as the table."""
+        atomic as the table. Returns one (rel path, size) per data file,
+        for the spec's per-file ``cdc`` actions."""
         rel = f"{CDF_DIR}/{uuid.uuid4().hex}"
-        changes.write.format("parquet").mode("overwrite").save(
-            os.path.join(self.path, rel)
-        )
-        return rel
+        root = os.path.join(self.path, rel)
+        changes.write.format("parquet").mode("overwrite").save(root)
+        out = []
+        for name in sorted(os.listdir(root)):
+            if name.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, name)
+            out.append((f"{rel}/{name}", os.path.getsize(full)))
+        return out
 
     def table_changes(
         self,
@@ -668,12 +773,14 @@ class TxTable:
         hi = latest if to_version is None else to_version
         frames = []
         for v in range(from_version, hi + 1):
-            for action in self._read_actions(v):
-                if "cdf" in action:
-                    df = spark.read.parquet(
-                        os.path.join(self.path, action["cdf"]["path"])
-                    )
-                    frames.append(df.withColumn("_commit_version", F.lit(v)))
+            paths = [
+                os.path.join(self.path, action["cdc"]["path"])
+                for action in self._read_actions(v)
+                if "cdc" in action
+            ]
+            if paths:
+                df = spark.read.parquet(*paths)
+                frames.append(df.withColumn("_commit_version", F.lit(v)))
         if not frames:
             raise NoSuchVersion(
                 f"{self.path}: no change data recorded in versions "
@@ -683,6 +790,89 @@ class TxTable:
         for df in frames[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
+
+
+def _pa_checkpoint_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string()), ("options", str_map)])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field("txn", pa.struct([("appId", pa.string()), ("version", pa.int64())])),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _write_checkpoint_parquet(path: str, rows: list[dict[str, Any]]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=_pa_checkpoint_schema()), path)
+
+
+def _read_checkpoint(path: str) -> list[dict[str, Any]]:
+    """Parquet checkpoint rows back to action dicts. pyarrow surfaces map
+    columns as lists of (k, v) tuples; convert the spec's three map fields
+    back to plain dicts so replay sees the same shapes as commit JSON."""
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for row in pq.read_table(path).to_pylist():
+        action: dict[str, Any] = {}
+        for kind, body in row.items():
+            if body is None:
+                continue
+            body = dict(body)
+            for mk in ("partitionValues", "configuration"):
+                if isinstance(body.get(mk), list):
+                    body[mk] = dict(body[mk])
+            fmt = body.get("format")
+            if isinstance(fmt, dict) and isinstance(fmt.get("options"), list):
+                body["format"] = {**fmt, "options": dict(fmt["options"])}
+            action[kind] = body
+        out.append(action)
+    return out
 
 
 def _merge_schemas(old: StructType, new: StructType) -> StructType:

@@ -49,7 +49,9 @@ def test_time_travel_versions(spark, tmp_path):
     assert _rows(t.read(spark)) == _rows(_mk(spark, [9]))
     hist = t.history()
     assert [h["version"] for h in hist] == [2, 1, 0]
-    assert hist[0]["operation"] == "overwrite"
+    # history speaks the public Delta dialect: WRITE + mode parameter
+    assert hist[0]["operation"] == "WRITE"
+    assert hist[0]["operationParameters"] == {"mode": "Overwrite"}
     with pytest.raises(NoSuchVersion):
         t.read(spark, version=7)
 
@@ -173,7 +175,7 @@ def test_checkpoint_replay_equivalence(spark, tmp_path):
     t = TxTable(str(tmp_path / "t"))
     for i in range(CHECKPOINT_EVERY + 3):
         t.write(_mk(spark, [i]))
-    ckpts = [e for e in os.listdir(t.log_dir) if e.endswith(".checkpoint.json")]
+    ckpts = [e for e in os.listdir(t.log_dir) if e.endswith(".checkpoint.parquet")]
     assert ckpts, "a checkpoint should exist after CHECKPOINT_EVERY commits"
     # snapshot built via checkpoint == full replay (delete ckpt, compare)
     via_ckpt = t.snapshot()
