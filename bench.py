@@ -104,6 +104,9 @@ EXTENDED_QUERIES = (
     "q_degree_dist",
     "q_triangles",
     "q_bm25",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_mix_plan",
 )
 
 
@@ -212,7 +215,13 @@ def sweep() -> None:
     from lakeflow import registry
     from lakeflow.session import get_session
 
-    sfs = [0.001, 0.01, 0.1]
+    # sf1 is generated locally by tools/gen_sf.py (the driver ships only
+    # up to sf0.1); point SPARK_GRAFT_SF_BASE at its parent (which holds
+    # symlinks back to /root/testdata for the small SFs) and add 1 here.
+    sfs = [
+        float(s)
+        for s in os.environ.get("SPARK_GRAFT_SWEEP_SFS", "0.001,0.01,0.1").split(",")
+    ]
     base = os.environ.get("SPARK_GRAFT_SF_BASE", "/root/testdata")
     spark = get_session("lakeflow-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -220,7 +229,7 @@ def sweep() -> None:
 
     times: dict[str, dict[float, float]] = {q: {} for q in BENCH_QUERIES}
     for sf in sfs:
-        sf_dir = os.path.join(base, f"sf{sf}")
+        sf_dir = os.path.join(base, f"sf{sf:g}")
         for name in BENCH_QUERIES:
             qmap[name](spark, sf_dir).count()  # warm (JIT + persisted tiers)
             runs = []
@@ -241,7 +250,7 @@ def sweep() -> None:
             (a - mx) ** 2 for a in lx
         )
         out[name] = {
-            **{f"sf{sf}": by_sf[sf] for sf in sfs},
+            **{f"sf{sf:g}": by_sf[sf] for sf in sfs},
             "slope": round(slope, 3),
             "superlinear": slope > 1.15,
         }

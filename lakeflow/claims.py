@@ -16,11 +16,15 @@ included.
 
 Determinism rules (both dialects MUST stay in lock-step):
 - cents = round(l_extendedprice*100)::bigint (prices are 2dp → exact)
-- key   = (((l_orderkey*8 + l_linenumber)*100000 + l_partkey)*1000
-          + l_suppkey)*10000 + cents%10000
+- key   = (l_orderkey*8 + l_linenumber)*1_000_000_000
+          + (l_partkey*1009 + l_suppkey*9176 + cents) % 1_000_000_000
   (the synthetic lineitem does NOT keep (orderkey, linenumber) unique,
-  so the key mixes in partkey/suppkey/cents — verified unique at every
-  shipped SF, and ≤ 1.3e18 so it fits int64)
+  so the key mixes partkey/suppkey/cents into a fixed 1e9 slot —
+  verified collision-free at sf0.001/0.01/0.1 AND the locally generated
+  sf1. The previous positional-slot formula (partkey×1e5, suppkey×1e3
+  slots ×1e4) overflowed int64 under ANSI mode at sf1 and its slots
+  collide once partkey ≥ 1e5 — this form stays < 1.3e16 at sf1 and fits
+  int64 up to orderkey ≈ 1.1e9, i.e. ~sf700.)
 - claim_amount values are INTEGER-valued doubles → SUM/AVG are exact in
   IEEE double regardless of aggregation order → hash-stable across
   engines.
@@ -49,11 +53,9 @@ def claims_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty bronze-shaped claims derived from lineitem (Spark side)."""
     li = io.read_table(spark, sf_dir, "lineitem")
     cents0 = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    key0 = (
-        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 100000 + F.col("l_partkey"))
-        * 1000
-        + F.col("l_suppkey")
-    ) * 10000 + cents0 % 10000
+    key0 = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1_000_000_000 + (
+        F.col("l_partkey") * 1009 + F.col("l_suppkey") * 9176 + cents0
+    ) % 1_000_000_000
     df = li.select(
         key0.alias("key"),
         cents0.alias("cents"),
@@ -150,8 +152,9 @@ def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CTE = """
 WITH _cr AS (
     SELECT
-        (((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 1000 + l_suppkey) * 10000
-            + CAST(round(l_extendedprice * 100) AS BIGINT) % 10000 AS key,
+        (l_orderkey * 8 + l_linenumber) * 1000000000
+            + (l_partkey * 1009 + l_suppkey * 9176
+               + CAST(round(l_extendedprice * 100) AS BIGINT)) % 1000000000 AS key,
         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
         l_partkey,
         l_suppkey,

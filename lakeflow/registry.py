@@ -21,7 +21,17 @@ from pyspark.sql import functions as F
 from lakeflow import claims, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
-from lakeflow.ext import dedup, events, graph, multimodal, profile, sampling, similarity, text
+from lakeflow.ext import (
+    dedup,
+    events,
+    graph,
+    multimodal,
+    packing,
+    profile,
+    sampling,
+    similarity,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -402,6 +412,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
     "q_bm25": (text.bm25_scores, text.BM25_SQL),
+    # batch-assembly stage (chunk → pack → mix): ext/packing.py
+    "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
+    "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
+    "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),
     # The registered graph/embedding-dedup surface rides the banded-LSH
     # edge generator — the 100 TB plan (no corpus broadcast, no all-pairs
     # join; VERDICT r3 findings #2/#3). LSH recall (~0.98/pair, tuned)
@@ -595,6 +609,9 @@ _CERT_FIRST: list[str] = [
     "q_degree_dist_exact",
     "q_triangles_exact",
     "q_dedup_embedding_exact",
+    "q_chunk_docs",
+    "q_pack_sequences",
+    "q_mix_plan",
     # -- r3 certifications ----------------------------------------------
     "q_tpch_q21",
     "q_tpch_q20",

@@ -483,3 +483,57 @@ def test_graph_lsh_counts_within_tolerance_of_exact(spark, sf_dir):
     n_lsh, n_exact = sum(deg_lsh.values()), sum(deg_exact.values())
     assert n_lsh <= n_exact
     assert n_lsh >= 0.9 * n_exact, f"LSH touched nodes {n_lsh} vs exact {n_exact}"
+
+
+# ----------------------------------------------------------------- packing
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark, tmp_path):
+    from lakeflow.ext import packing
+
+    words = [f"w{i}" for i in range(150)]
+    _write_docs_table(
+        spark, tmp_path, [(1, " ".join(words), "en", "s", 1), (2, "short text", "en", "s", 1)]
+    )
+    rows = packing.chunk_documents(spark, str(tmp_path), chunk_size=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: 150 words -> starts 0,48,96,144 -> 4 chunks
+    c1 = by_doc[1]
+    assert sorted(c1) == [0, 1, 2, 3]
+    assert c1[0].chunk_text.split() == words[0:64]
+    assert c1[1].chunk_text.split() == words[48:112]  # 16-token overlap
+    assert c1[3].chunk_text.split() == words[144:150] and c1[3].n_tokens == 6
+    # short doc -> exactly one whole-doc chunk
+    assert by_doc[2][0].chunk_text == "short text" and len(by_doc[2]) == 1
+
+
+def test_pack_sequences_bins_respect_budget(spark, tmp_path):
+    from lakeflow.ext import packing
+
+    # 10-token docs, budget 32 -> bins of 4,4,2 docs per source ordering
+    rows = [(i, " ".join(["tok"] * 10), "en", f"src{i % 2}", 1) for i in range(10)]
+    _write_docs_table(spark, tmp_path, rows)
+    out = packing.pack_sequences(spark, str(tmp_path), budget=32).collect()
+    by_key = {(r.source, r.bin_id): r for r in out}
+    for (src, b) in [("src0", 0), ("src1", 0)]:
+        assert by_key[(src, b)].n_docs == 4 and by_key[(src, b)].bin_tokens == 40
+    for (src, b) in [("src0", 1), ("src1", 1)]:
+        assert by_key[(src, b)].n_docs == 1 and by_key[(src, b)].bin_tokens == 10
+    # a bin never exceeds budget except via its final doc's overflow
+    assert all(r.bin_tokens - 10 < 32 for r in out)
+
+
+def test_mix_plan_targets_and_rates(spark, tmp_path):
+    from lakeflow.ext import packing
+
+    rows = [(i, " ".join(["t"] * 100), ("en" if i < 8 else "de"), "s", 1) for i in range(10)]
+    _write_docs_table(spark, tmp_path, rows)
+    out = {r.lang: r for r in packing.mix_plan(
+        spark, str(tmp_path), budget=1000, weights={"en": 0.5, "de": 0.5}
+    ).collect()}
+    # en: 800 tokens vs target 500 -> downsample; de: 200 vs 500 -> 3 epochs
+    assert out["en"].actual_tokens == 800 and out["en"].target_tokens == 500.0
+    assert abs(out["en"].sample_rate - 0.625) < 1e-12 and out["en"].epochs_needed == 1
+    assert out["de"].sample_rate == 1.0 and out["de"].epochs_needed == 3
