@@ -471,19 +471,23 @@ EVAL_NGRAMS = (
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: documents whose normalized text
     contains any eval-set n-gram (word-boundary-safe via space
-    padding). Pure map stage — each doc is checked against the tiny
-    eval inventory locally; no join, no shuffle. At real eval-suite
+    padding). Pure map stage over the materialized normalized tier
+    (dedup.normalized_docs) — each doc is checked against the tiny eval
+    inventory locally; no join, no shuffle. Reading the STORED norm
+    column matters: filtering on a column derived inline from the regex
+    chain re-evaluates the chain once per pushed-predicate consumer
+    (sf1: 6.6 s inline vs 0.35 s via the tier). At real eval-suite
     sizes (millions of shingles) this becomes a broadcast semi join on
     exploded document shingles — same verdict, one shuffle."""
-    from lakeflow.ext.dedup import _norm_text
+    from lakeflow.ext.dedup import normalized_docs
 
-    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    padded = F.concat(F.lit(" "), _norm_text(), F.lit(" "))
+    nd = normalized_docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("norm"), F.lit(" "))
     hits = sum(
         F.when(padded.contains(f" {ng} "), 1).otherwise(0) for ng in EVAL_NGRAMS
     )
     return (
-        docs.select("doc_id", hits.cast("int").alias("eval_hits"))
+        nd.select("doc_id", hits.cast("int").alias("eval_hits"))
         .filter(F.col("eval_hits") > 0)
         .orderBy("doc_id")
     )
@@ -565,34 +569,40 @@ def bm25_scores(
     relevance-selection operator a training pipeline uses to pull
     domain-matched data out of a 100 TB corpus.
 
-    One pass computes per-doc term frequencies with array ``filter``
-    (no explode — the doc row count never inflates); a single scalar
-    aggregate row (corpus size, avg doc length, per-term doc
-    frequencies) broadcasts back via a 1-row cross join, exactly the
-    uncorrelated-scalar-subquery shape of q_scalar_subquery. Scoring is
-    then a pure map expression; TakeOrderedAndProject caps the output.
-    Scores round to 6dp BEFORE ranking so ordering is stable across
-    engines (libm ln() ulp differences sit far below 1e-6)."""
-    from lakeflow.ext.dedup import tokenized
+    The inverted-index shape, all codegen: explode tokens, keep ONLY
+    query-term hits (`isin` — codegen'd, unlike higher-order array
+    lambdas, which Spark evaluates interpreted and which made the
+    previous array-`filter` formulation 8× slower at sf1), then one
+    grouped conditional-count pass yields per-doc TFs for docs with ≥1
+    hit — exactly the docs that can score. Corpus stats (size, avgdl)
+    and per-term DFs form a single scalar row broadcast back via a
+    1-row cross join, the uncorrelated-scalar-subquery shape of
+    q_scalar_subquery. Scoring is a pure map expression;
+    TakeOrderedAndProject caps the output. The shuffle carries only
+    matching tokens (∝ query-term hits, not corpus tokens). Scores
+    round to 6dp BEFORE ranking so ordering is stable across engines
+    (libm ln() ulp differences sit far below 1e-6)."""
+    from lakeflow.ext.dedup import normalized_docs
 
-    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    t = tokenized(docs).select("doc_id", "tokens", F.size("tokens").alias("dl"))
-
-    def tf_of(term: str) -> F.Column:
-        # closure factory, NOT a default arg: a second lambda parameter
-        # would change the higher-order-function arity and bind the
-        # element INDEX instead of the captured term
-        return F.size(F.filter("tokens", lambda x: x == F.lit(term)))
-
-    for term in terms:
-        t = t.withColumn(f"tf_{term}", tf_of(term))
-    t = t.drop("tokens")
-    aggs = [F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")] + [
-        F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(f"df_{term}")
-        for term in terms
-    ]
-    stats = t.agg(*aggs)
-    scored = t.join(F.broadcast(stats))
+    nd = normalized_docs(spark, sf_dir)
+    t0 = nd.select(
+        "doc_id", F.split("norm", " ").alias("tokens")
+    ).select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    stats0 = t0.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tok = t0.select("doc_id", "dl", F.explode("tokens").alias("tok")).filter(
+        F.col("tok").isin(*terms)
+    )
+    tf = tok.groupBy("doc_id", "dl").agg(
+        *[
+            F.count(F.when(F.col("tok") == term, True)).alias(f"tf_{term}")
+            for term in terms
+        ]
+    )
+    dfs = tf.agg(
+        *[F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}") for term in terms]
+    )
+    stats = stats0.join(dfs)  # 1 row × 1 row
+    scored = tf.join(F.broadcast(stats))
     score = None
     for term in terms:
         idf = F.log(
@@ -604,10 +614,8 @@ def bm25_scores(
             F.col(f"tf_{term}") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
         )
         score = part if score is None else score + part
-    any_tf = sum(F.col(f"tf_{term}") for term in terms)
     return (
-        scored.filter(any_tf > 0)
-        .select("doc_id", F.round(score, 6).alias("bm25"))
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top)
     )

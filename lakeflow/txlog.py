@@ -893,6 +893,92 @@ def _merge_schemas(old: StructType, new: StructType) -> StructType:
     return StructType(fields)
 
 
+def maintain_agg_view(
+    spark: SparkSession,
+    source: TxTable,
+    view: TxTable,
+    group_by: tuple[str, ...],
+    aggs: dict[str, tuple[str, str]],
+    state_app_id: str = "agg_view",
+) -> dict[str, int]:
+    """Incremental maintenance of a grouped ADDITIVE-aggregate view
+    (SUM / COUNT) over one transaction-logged append source — the
+    delta-aggregation IVM rule, dual of :func:`maintain_join_view`:
+
+        V_new[g]  =  V_old[g]  ⊕  agg(Δ)[g]
+
+    ``aggs`` maps output column → ("sum"|"count", input column).
+    Additive aggregates merge by addition, so a refresh reads ONLY the
+    source's change feed since the last folded version, aggregates the
+    delta (shuffle ∝ |Δ|, never |source|), joins the touched groups of
+    the old view, and publishes the merged rows through
+    :meth:`TxTable.upsert_by_key` — atomically WITH the folded-version
+    txn marker, so maintenance is idempotent and crash-safe. AVG =
+    maintain sum + count, divide at read; MIN/MAX are NOT additive
+    (deletes would need full regroup) and are deliberately unsupported.
+
+    Sources must append with ``cdf=True``: commits without a change
+    feed are invisible to the delta read and would be silently skipped
+    (same contract as ``maintain_join_view`` / Delta CDF mid-history).
+    A concurrent append landing mid-refresh stays unfolded (the marker
+    pins the version read at entry) and folds on the next refresh; a
+    concurrent writer on the VIEW raises ConcurrentModification —
+    re-run the refresh.
+    """
+    for out, (kind, _col) in aggs.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(f"{out}: only additive aggregates (sum/count), got {kind!r}")
+    sv = source.latest_version()
+    sv = -1 if sv is None else sv
+    done = view.snapshot().txns.get(f"{state_app_id}:src", -1) if view.exists() else -1
+    if sv <= done:
+        return {"merged_groups": 0, "source_version": sv}
+    try:
+        delta = source.table_changes(spark, from_version=done + 1, to_version=sv)
+        delta = delta.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+    except NoSuchVersion:
+        delta = None
+
+    keys = list(group_by)
+    if delta is not None:
+        gexprs = [
+            (F.sum(col) if kind == "sum" else F.count(col)).alias(out)
+            for out, (kind, col) in aggs.items()
+        ]
+        d = delta.groupBy(*keys).agg(*gexprs)
+        if view.exists():
+            old = view.read(spark).select(
+                *keys, *[F.col(out).alias(f"_old_{out}") for out in aggs]
+            )
+            d = d.join(old, keys, "left")
+            for out in aggs:
+                d = d.withColumn(
+                    out, F.col(out) + F.coalesce(F.col(f"_old_{out}"), F.lit(0))
+                ).drop(f"_old_{out}")
+        d = d.persist()
+        try:
+            n = d.count()
+            if n:
+                view.upsert_by_key(
+                    spark, d, key_cols=tuple(keys), txn=(f"{state_app_id}:src", sv)
+                )
+                return {"merged_groups": n, "source_version": sv}
+        finally:
+            d.unpersist()
+    # empty delta (or CDF-less range): advance the marker with a
+    # data-less commit so the no-op isn't re-examined every refresh
+    empty = (
+        view.read(spark).limit(0)
+        if view.exists()
+        else spark.createDataFrame([], "dummy int")
+    )
+    if view.exists():
+        view.write(empty, mode="append", txn=(f"{state_app_id}:src", sv))
+    return {"merged_groups": 0, "source_version": sv}
+
+
 def maintain_join_view(
     spark: SparkSession,
     left: TxTable,

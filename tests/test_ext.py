@@ -537,3 +537,19 @@ def test_mix_plan_targets_and_rates(spark, tmp_path):
     assert out["en"].actual_tokens == 800 and out["en"].target_tokens == 500.0
     assert abs(out["en"].sample_rate - 0.625) < 1e-12 and out["en"].epochs_needed == 1
     assert out["de"].sample_rate == 1.0 and out["de"].epochs_needed == 3
+
+
+def test_bands_for_threshold_recall_floor():
+    """Auto-tuned banding must keep ≥95% hit probability at exactly the
+    threshold, and must lengthen rows (fewer bands) as the threshold
+    rises — that midpoint shift is what prunes candidates at scale."""
+    from lakeflow.ext.dedup import _bands_for_threshold
+
+    def recall(t, r, b):
+        return 1 - (1 - t**r) ** b
+
+    for t in (0.2, 0.3, 0.5, 0.8, 0.9):
+        b = _bands_for_threshold(t, 64)
+        assert recall(t, 64 // b, b) >= 0.95
+    assert _bands_for_threshold(0.3, 64) == 32  # registered default: unchanged
+    assert _bands_for_threshold(0.8, 64) < _bands_for_threshold(0.3, 64)

@@ -464,3 +464,39 @@ def test_tpch_q19_disjunction_prunes_both_scans(spark, sf_dir):
     assert "p_brand" in join_residual  # residual disjunction on the join
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking must stay an embarrassingly parallel generate stage: no
+    Exchange of any kind — at 100 TB a shuffle here would move the whole
+    corpus for no reason."""
+    from lakeflow.ext import packing
+
+    p = plan(packing.chunk_documents(spark, sf_dir))
+    # the cached source relation's build plan (below InMemoryTableScan)
+    # legitimately contains the fan-out repartition; the CHUNKING plan
+    # above it must be exchange-free
+    above_cache = p.split("InMemoryTableScan")[0]
+    assert "Exchange" not in above_cache
+    assert "Generate" in above_cache  # posexplode survived to the physical plan
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark, sf_dir):
+    """Packing shuffles ONCE on the shard key; the per-bin aggregation
+    must reuse that partitioning (hash(source) satisfies the (source,
+    bin_id) clustering), and nothing may global-sort the corpus — the
+    single-task trap the round-3 ADVICE flagged in write_zordered."""
+    from lakeflow.ext import packing
+
+    df = packing.pack_sequences(spark, sf_dir)
+    p = plan(df)
+    body = p.split("InMemoryTableScan")[0]  # the plan above the cached source
+    shuffles = [
+        ln for ln in body.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, f"expected one hash exchange, got: {shuffles}"
+    # the cumulative window must be partitioned (on source), never an
+    # unpartitioned global window — that would serialize the corpus
+    # through one task, exactly the write_zordered trap from ADVICE r3
+    win_lines = [ln for ln in body.splitlines() if "Window " in ln]
+    assert win_lines and all("[source" in ln for ln in win_lines), win_lines

@@ -393,3 +393,53 @@ def test_join_view_concurrent_append_during_refresh(spark, tmp_path):
         map(tuple, L.read(spark).join(R.read(spark), "k").select("k", "o", "c").collect())
     )
     assert got == want == [(1, "o1", "c1"), (2, "o2", "c2")]
+
+
+def test_incremental_agg_view_maintenance(spark, tmp_path):
+    """Delta-aggregation IVM: after every source batch the maintained
+    SUM/COUNT view equals a full groupBy recompute; refresh reads only
+    the delta; re-running with no new commits is a marker-advance no-op."""
+    from lakeflow.txlog import TxTable, maintain_agg_view
+
+    S = TxTable(str(tmp_path / "src"))
+    V = TxTable(str(tmp_path / "agg"))
+    aggs = {"total": ("sum", "amt"), "n": ("count", "amt")}
+
+    def check():
+        got = sorted(map(tuple, V.read(spark).select("g", "total", "n").collect()))
+        want = sorted(
+            map(
+                tuple,
+                S.read(spark)
+                .groupBy("g")
+                .agg(F.sum("amt").alias("total"), F.count("amt").alias("n"))
+                .collect(),
+            )
+        )
+        assert got == want, (got, want)
+
+    S.write(
+        spark.createDataFrame([("a", 10), ("a", 5), ("b", 1)], "g string, amt bigint"),
+        cdf=True,
+    )
+    r1 = maintain_agg_view(spark, S, V, ("g",), aggs)
+    assert r1["merged_groups"] == 2
+    check()
+
+    # two more batches fold in one refresh; only touched groups merge
+    S.write(spark.createDataFrame([("a", 100), ("c", 7)], "g string, amt bigint"), cdf=True)
+    S.write(spark.createDataFrame([("b", 2)], "g string, amt bigint"), cdf=True)
+    r2 = maintain_agg_view(spark, S, V, ("g",), aggs)
+    assert r2["merged_groups"] == 3
+    check()
+
+    # no-op re-run advances nothing and stays correct
+    r3 = maintain_agg_view(spark, S, V, ("g",), aggs)
+    assert r3["merged_groups"] == 0
+    check()
+
+    # MIN/MAX are not additive and must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="additive"):
+        maintain_agg_view(spark, S, V, ("g",), {"m": ("max", "amt")})
