@@ -47,6 +47,7 @@ EXTENDED_QUERIES = (
     "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q4",
+    "q_tpch_q5",
     "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q12",
