@@ -33,9 +33,12 @@ def _norm_text(col: str = "text") -> F.Column:
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — exact dedup groups on normalized-text fingerprint; emits one
     row per distinct content with the deterministic survivor (min id)."""
-    docs = io.read_table(spark, sf_dir, "documents")
+    # the normalized tier: md5 on the stored norm column, no regex re-run
+    # (no null texts exist at any SF — the tier's isNotNull filter is a
+    # no-op; verified, and pinned by the oracle row counts)
+    docs = normalized_docs(spark, sf_dir)
     return (
-        docs.select(F.md5(_norm_text()).alias("fingerprint"), "doc_id")
+        docs.select(F.md5("norm").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
         .orderBy("fingerprint")
@@ -94,10 +97,12 @@ def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokenized(docs: DataFrame, *keep: str) -> DataFrame:
     """doc_id (+ ``keep`` passthrough cols) + normalized token array,
     staged as its own projection so downstream lambdas see a cheap
-    attribute reference (see _shingles perf note)."""
-    return docs.select(
-        "doc_id", *keep, F.split(_norm_text(), r"\s+").alias("tokens")
-    )
+    attribute reference (see _shingles perf note). When ``docs`` comes
+    from :func:`normalized_docs` the stored ``norm`` column is split
+    instead of re-running the regex chain (identical result: ``norm``
+    IS ``_norm_text``'s output)."""
+    src = F.col("norm") if "norm" in docs.columns else _norm_text()
+    return docs.select("doc_id", *keep, F.split(src, r"\s+").alias("tokens"))
 
 
 _MH_PRIME = 2038074743  # 31-bit prime — same modulus Spark ML's MinHashLSH uses
@@ -217,7 +222,7 @@ def near_dup_pairs(
     self-join on (band, band_signature) → dedupe candidate pairs →
     verify with exact Jaccard on shingle sets → threshold.
     """
-    docs = io.read_table(spark, sf_dir, "documents")
+    docs = normalized_docs(spark, sf_dir)
     # The signature stage (shingle + K hashes per shingle) is the
     # expensive map work — materialize it once so the three consumers
     # below (band keys, and both sides of the verify join) don't each
@@ -316,7 +321,7 @@ def ngram_jaccard_pairs(
     """
     if bands is None:
         bands = _bands_for_threshold(threshold, num_hashes)
-    docs = io.read_table(spark, sf_dir, "documents")
+    docs = normalized_docs(spark, sf_dir)
     jacc = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")
     )
@@ -442,7 +447,7 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
     Pure expression pipeline: explode tokens → murmur hash → per-bit ±1
     vote via bitwise ops → aggregate votes → reassemble bit vector.
     """
-    docs = io.read_table(spark, sf_dir, "documents")
+    docs = normalized_docs(spark, sf_dir)
     tok = tokenized(docs).select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
     )
@@ -919,12 +924,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second pass. (A row_number window would sort every group; the
     struct-max is the map-side-combinable form.)
     """
-    docs = io.read_table(spark, sf_dir, "documents")
+    docs = normalized_docs(spark, sf_dir)
     best = F.max(
         F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
     ).alias("b")
     return (
-        docs.select(F.md5(_norm_text()).alias("fingerprint"), "doc_id", "n_chars")
+        docs.select(F.md5("norm").alias("fingerprint"), "doc_id", "n_chars")
         .groupBy("fingerprint")
         .agg(best, F.count("*").alias("copies"))
         .select(

@@ -173,13 +173,10 @@ FROM scored
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed)."""
-    docs = io.read_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), r"\s+", " "
-        )
-    )
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    from lakeflow.ext.dedup import normalized_docs
+
+    docs = normalized_docs(spark, sf_dir)
+    return docs.select("doc_id", F.md5("norm").alias("fingerprint"))
 
 
 FINGERPRINT_SQL = r"""
@@ -516,9 +513,9 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram ratio (1 - distinct/total) — the FineWeb-style
     quality signals that catch boilerplate and degenerate generations.
     Array-function-only (no explode → no row blow-up, no shuffle)."""
-    from lakeflow.ext.dedup import tokenized
+    from lakeflow.ext.dedup import normalized_docs, tokenized
 
-    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = normalized_docs(spark, sf_dir)
     t = tokenized(docs)
     idx = F.sequence(F.lit(0), F.greatest(F.size("tokens") - 3, F.lit(0)))
     tri = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, 3)))
