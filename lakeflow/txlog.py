@@ -77,6 +77,8 @@ _OPERATIONS = {
     "overwrite": ("WRITE", {"mode": "Overwrite"}),
     "upsert": ("MERGE", {}),
     "compact": ("OPTIMIZE", {}),
+    "delete": ("DELETE", {}),
+    "update": ("UPDATE", {}),
 }
 
 
@@ -675,6 +677,128 @@ class TxTable:
             return {"matched": matched, "inserted": n_updates - matched}
         finally:
             updates.unpersist()
+
+    def _rewrite_matching_files(
+        self,
+        spark: SparkSession,
+        predicate,
+        rewrite_row: Callable[[DataFrame], DataFrame],
+        operation: str,
+        cdf_changes: Callable[[DataFrame], DataFrame] | None,
+    ) -> dict[str, int]:
+        """Shared core of DELETE / UPDATE: locate the files that contain
+        at least one matching row (file-level targeting via the parquet
+        ``_metadata.file_path`` column — the same copy-on-write pruning
+        Delta does), rewrite ONLY those files through ``rewrite_row``,
+        and publish removes + adds (+ optional CDF batch) in one atomic
+        commit. Untouched files carry over by reference — zero IO.
+        Raises ConcurrentModification if another writer lands first."""
+        read_version = self.latest_version()
+        if read_version is None:
+            raise NoSuchVersion(f"{self.path}: no transaction log")
+        snap = self.snapshot(read_version)
+        if not snap.files:
+            return {"matched": 0, "rewritten_files": 0}
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        df = self.read(spark, version=read_version)
+        touched_abs = [
+            r[0]
+            for r in df.filter(pred)
+            .select(F.col("_metadata.file_path"))
+            .distinct()
+            .collect()
+        ]
+        # file_path is a file: URI over the absolute path; normalize to
+        # the log's table-relative form
+        root = os.path.abspath(self.path)
+        touched = {
+            os.path.relpath(
+                p.removeprefix("file://").removeprefix("file:"), root
+            ).replace(os.sep, "/")
+            for p in touched_abs
+        }
+        rewrite = [a for a in snap.files.values() if a["path"] in touched]
+        if not rewrite:
+            return {"matched": 0, "rewritten_files": 0}
+        # re-read only the touched files, with the log schema
+        paths = [os.path.join(self.path, a["path"]) for a in rewrite]
+        reader = spark.read.option("basePath", self.path)
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        sub = reader.parquet(*paths)
+        matched = sub.filter(pred).count()
+        new_rows = rewrite_row(sub)
+        adds = self._stage_files(new_rows, snap.partition_by)
+        actions: list[dict[str, Any]] = (
+            [_remove_action(a["path"]) for a in rewrite] + adds
+        )
+        if cdf_changes is not None:
+            actions += [
+                {
+                    "cdc": {
+                        "path": p,
+                        "partitionValues": {},
+                        "size": sz,
+                        "dataChange": False,
+                    }
+                }
+                for p, sz in self._stage_changes(cdf_changes(sub))
+            ]
+        self._commit(read_version, actions, operation)
+        return {"matched": matched, "rewritten_files": len(rewrite)}
+
+    def delete_where(
+        self, spark: SparkSession, predicate, cdf: bool = False
+    ) -> dict[str, int]:
+        """Atomic DELETE (Delta's copy-on-write DELETE semantics): files
+        holding matching rows are rewritten without them; everything
+        publishes in one commit, so readers see all of the delete or
+        none. ``cdf=True`` records the deleted rows as ``delete``
+        change rows in the same commit."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._rewrite_matching_files(
+            spark,
+            pred,
+            lambda sub: sub.filter(~pred),
+            "delete",
+            (lambda sub: sub.filter(pred).withColumn("_change_type", F.lit("delete")))
+            if cdf
+            else None,
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        set_exprs: dict[str, Any],
+        cdf: bool = False,
+    ) -> dict[str, int]:
+        """Atomic UPDATE ... SET: rows matching ``predicate`` get each
+        column in ``set_exprs`` replaced (values are Columns or SQL
+        strings); non-matching rows in touched files are rewritten
+        verbatim, untouched files carry over by reference. ``cdf=True``
+        records update_preimage/update_postimage rows atomically."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sets = {
+            c: (F.expr(v) if isinstance(v, str) else v) for c, v in set_exprs.items()
+        }
+
+        def apply_update(sub: DataFrame) -> DataFrame:
+            out = sub
+            for c, v in sets.items():
+                out = out.withColumn(c, F.when(pred, v).otherwise(F.col(c)))
+            return out
+
+        def changes(sub: DataFrame) -> DataFrame:
+            pre = sub.filter(pred).withColumn("_change_type", F.lit("update_preimage"))
+            post = apply_update(sub).filter(pred).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            return pre.unionByName(post)
+
+        return self._rewrite_matching_files(
+            spark, pred, apply_update, "update", changes if cdf else None
+        )
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> tuple[int, int]:
         """OPTIMIZE: rewrite the live set into ~target-sized files and

@@ -443,3 +443,71 @@ def test_incremental_agg_view_maintenance(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="additive"):
         maintain_agg_view(spark, S, V, ("g",), {"m": ("max", "amt")})
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE is copy-on-write with file-level targeting: only files
+    containing matching rows rewrite; the rest carry by reference. The
+    delete is atomic (time travel to the pre-delete version still works)
+    and its CDF batch records the deleted rows."""
+    from lakeflow.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    # three separate commits -> three disjoint file sets
+    for lo in (0, 10, 20):
+        t.write(_mk(spark, range(lo, lo + 3)))
+    before = t.snapshot()
+    pre_version = t.latest_version()
+    res = t.delete_where(spark, F.col("id") < 3, cdf=True)
+    assert res["matched"] == 3
+    after = t.snapshot()
+    untouched = {p for p, a in before.files.items()}
+    # files from the later two commits must survive by reference
+    survivors = untouched & set(after.files)
+    assert len(survivors) >= len(before.files) - res["rewritten_files"]
+    assert sorted(r.id for r in t.read(spark).collect()) == [10, 11, 12, 20, 21, 22]
+    # pre-delete version still readable
+    assert len(t.read(spark, version=pre_version).collect()) == 9
+    feed = t.table_changes(spark, from_version=pre_version + 1)
+    assert sorted(r.id for r in feed.collect()) == [0, 1, 2]
+    assert {r._change_type for r in feed.collect()} == {"delete"}
+    # history speaks the spec dialect
+    assert t.history()[0]["operation"] == "DELETE"
+
+
+def test_update_where_sets_columns_and_records_cdf(spark, tmp_path):
+    from lakeflow.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_mk(spark, [1, 2, 3]))
+    res = t.update_where(
+        spark, "id >= 2", {"val": F.concat(F.col("val"), F.lit("!"))}, cdf=True
+    )
+    assert res["matched"] == 2
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got == {1: "v1", 2: "v2!", 3: "v3!"}
+    feed = t.table_changes(spark, from_version=t.latest_version())
+    kinds = {(r.id, r._change_type): r.val for r in feed.collect()}
+    assert kinds[(2, "update_preimage")] == "v2"
+    assert kinds[(2, "update_postimage")] == "v2!"
+    assert t.history()[0]["operation"] == "UPDATE"
+    # no-match predicate is a clean no-op (no new version)
+    v = t.latest_version()
+    assert t.delete_where(spark, "id > 99") == {"matched": 0, "rewritten_files": 0}
+    assert t.latest_version() == v
+
+
+def test_delete_where_partitioned_table(spark, tmp_path):
+    from lakeflow.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [Row(id=i, part=("a" if i % 2 else "b"), val=f"v{i}") for i in range(8)]
+    )
+    t.write(df, partition_by=("part",))
+    res = t.delete_where(spark, "part = 'a' AND id < 4")
+    assert res["matched"] == 2  # ids 1, 3
+    left = sorted(r.id for r in t.read(spark).collect())
+    assert left == [0, 2, 4, 5, 6, 7]
+    # partition column survives the rewrite (Hive layout round-trip)
+    assert {r.part for r in t.read(spark).filter(F.col("id") == 5).collect()} == {"a"}
