@@ -441,17 +441,37 @@ ORDER BY doc_a, doc_b
 """
 
 
-def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
+def _md5h32(col: F.Column | str) -> F.Column:
+    """Portable 32-bit token hash: first 8 hex digits of md5, as bigint.
+
+    Bit-for-bit reproducible in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``) — the
+    cross-engine-verifiable alternative to engine-native murmur3/xxhash.
+    ~10× the cost of F.hash, so it's the ORACLE hash, not the 100 TB
+    default.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(
+    spark: SparkSession, sf_dir: str, bits: int = 32, portable: bool = False
+) -> DataFrame:
     """SimHash document signatures: sign-aggregate token hashes per bit.
 
-    Pure expression pipeline: explode tokens → murmur hash → per-bit ±1
+    Pure expression pipeline: explode tokens → hash → per-bit ±1
     vote via bitwise ops → aggregate votes → reassemble bit vector.
+    ``portable=True`` swaps murmur3 for the md5-derived 32-bit hash
+    (:func:`_md5h32`) so the signature is engine-independent and the
+    query can carry a DuckDB oracle; production keeps the cheap
+    engine-native hash (signatures only ever compare within one run).
     """
     docs = normalized_docs(spark, sf_dir)
     tok = tokenized(docs).select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("tok")
     )
-    tok = tok.withColumn("h", F.hash("tok").cast("bigint"))
+    h = _md5h32("tok") if portable else F.hash("tok").cast("bigint")
+    tok = tok.withColumn("h", h)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -464,6 +484,35 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`simhash` on the md5 portable hash, which
+    lets DuckDB reproduce the exact 32-bit signature (SIMHASH_SQL)."""
+    return simhash(spark, sf_dir, portable=True)
+
+
+SIMHASH_SQL = """
+WITH norm AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), tok AS (
+    SELECT doc_id, unnest(list_distinct(tokens)) AS tok FROM norm
+), h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok
+), votes AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h, range(0, 32) t(i)
+    GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def embedding_near_dups(

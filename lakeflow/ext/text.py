@@ -186,7 +186,9 @@ FROM documents
 """
 
 
-def winnow_frame(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+def winnow_frame(
+    docs: DataFrame, k: int = 8, window: int = 4, portable: bool = False
+) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash family): hash every
     character k-gram of the normalized text, then keep the minimum hash
     of each sliding window of ``window`` consecutive k-grams — the
@@ -198,7 +200,10 @@ def winnow_frame(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
     captured expressions per element, so norm/gh are materialized
     projections, kept multi-referenced so CollapseProject can't inline
     them back). Hash values are murmur3 (engine-specific) → rows-only;
-    the containment property is unit-tested.
+    the containment property is unit-tested. ``portable=True`` swaps in
+    the md5-derived 32-bit hash (dedup._md5h32) so DuckDB can reproduce
+    the exact fingerprints (WINNOW_SQL oracle) — ~10× the hash cost, so
+    it's the verification hash, not the 100 TB default.
 
     CALLER TRAP: don't FILTER directly on the derived columns
     (e.g. ``.filter("n_fingerprints <= 0")``). PushDownPredicates
@@ -218,10 +223,13 @@ def winnow_frame(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
     # k-gram rolling hashes (Column.substr takes Column positions;
     # "norm" is a cheap attribute ref inside the lambda)
     n_grams = F.length("norm") - k + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.hash(F.col("norm").substr(i, F.lit(k))),
-    )
+    if portable:
+        from lakeflow.ext.dedup import _md5h32
+
+        gram_hash = lambda i: _md5h32(F.col("norm").substr(i, F.lit(k)))  # noqa: E731
+    else:
+        gram_hash = lambda i: F.hash(F.col("norm").substr(i, F.lit(k)))  # noqa: E731
+    grams = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     hashed = staged.select("doc_id", "norm", grams.alias("gh"))
     # windowed minima over the STAGED gh column (array_min over slices)
     mins = F.array_distinct(
@@ -247,6 +255,74 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Query-registry wrapper of :func:`winnow_frame` over documents."""
     return winnow_frame(io.read_table(spark, sf_dir, "documents"), k, window)
+
+
+def winnow_fingerprints_portable(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Oracle-checkable winnowing: portable md5 gram hash, fingerprints
+    as scalar (doc_id, n_grams, fingerprint) rows so the driver's
+    value-hash compare sees only scalar columns.
+
+    Row-wise plan, NOT an explode over :func:`winnow_frame`'s arrays:
+    collapsing a Generate into the array pipeline re-inlines the gh
+    construction into every window term (the O(len²) trap in
+    winnow_frame's docstring — measured: explode(fingerprints) hangs at
+    sf0.001 where this runs in seconds). Here each gram hash is computed
+    exactly once, posexploded, and the window minimum is a rows-between
+    running min — one shuffle on doc_id, memory bounded per ROW rather
+    than per document, which is also the safer shape for 100 TB corpora
+    with long documents.
+    """
+    from pyspark.sql import Window
+    from lakeflow.ext.dedup import _md5h32
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+    staged = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= k + window - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - k + 1),
+        lambda i: _md5h32(F.col("norm").substr(i, F.lit(k))),
+    )
+    hashed = staged.select(
+        "doc_id", (F.length("norm") - k + 1).alias("n_grams"), grams.alias("gh")
+    )
+    rows = hashed.select("doc_id", "n_grams", F.posexplode("gh"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        rows.withColumn("fp", F.min("col").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .select("doc_id", "n_grams", F.col("fp").alias("fingerprint"))
+        .distinct()
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+WINNOW_SQL = """
+WITH staged AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT doc_id, length(norm) - 8 + 1 AS n_grams,
+           list_transform(range(1, length(norm) - 8 + 2),
+                          i -> CAST('0x' || substr(md5(substr(norm, CAST(i AS INTEGER), 8)), 1, 8) AS BIGINT)) AS gh
+    FROM staged WHERE length(norm) >= 8 + 4 - 1
+), mins AS (
+    SELECT doc_id, n_grams,
+           list_distinct(list_transform(range(1, len(gh) - 4 + 2),
+                                        j -> list_min(gh[j:j+3]))) AS fps
+    FROM grams
+)
+SELECT doc_id, n_grams, unnest(fps) AS fingerprint
+FROM mins ORDER BY doc_id, fingerprint
+"""
 
 
 def tfidf_top_terms(

@@ -403,10 +403,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),
     "q_lang_id": (text.lang_id, text.LANG_ID_SQL),
     "q_doc_fingerprint": (text.fingerprint, text.FINGERPRINT_SQL),
-    "q_winnow_fingerprints": (text.winnow_fingerprints, None),  # murmur3 values — rows-only
+    # portable md5 gram hash + exploded scalar rows → DuckDB-reproducible
+    "q_winnow_fingerprints": (text.winnow_fingerprints_portable, text.WINNOW_SQL),
     "q_dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
-    "q_dedup_simhash": (dedup.simhash, None),  # rows-only
+    # portable md5 token hash → exact 32-bit signature reproducible in DuckDB
+    "q_dedup_simhash": (dedup.simhash_portable, dedup.SIMHASH_SQL),
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
@@ -469,7 +471,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
-    "q_knn_pandas": (similarity.knn_bruteforce_pandas, None),  # Arrow path — rows-only
+    # Arrow/numpy float64 sums round to the same 6dp as the JVM fold and
+    # DuckDB on this data — certified against the brute-force oracle
+    "q_knn_pandas": (similarity.knn_bruteforce_pandas, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_ivf": (similarity.knn_ivf, None),  # approximate — rows-only
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
