@@ -316,3 +316,68 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def winsorize(
+    spark: SparkSession, sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-group winsorized aggregates: clamp o_totalprice to the
+    group's exact [p05, p95] (PERCENTILE_DISC — actual data values) and
+    report raw vs winsorized means. The outlier-robust twin of
+    q_percentile_multi that a feature pipeline runs before scaling.
+
+    Two-pass exact shape: pass 1 reduces to one bounds row per group
+    (~#groups rows, broadcast back onto the fact scan); pass 2 clamps
+    and aggregates. No window over the fact table, no per-group sort on
+    pass 2 — the bounds relation is the only small state, so the plan
+    survives a 100× fact scale-up. Means go through DECIMAL(14,2) sums
+    with one final double division (order-independent, hash-stable).
+    """
+    from pyspark.sql.functions import broadcast
+
+    orders = io.read_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p_lo"),
+        F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p_hi"),
+    )
+    j = orders.join(broadcast(bounds), "o_orderpriority")
+    dec = "decimal(14,2)"
+    wins = F.least(F.greatest(F.col("o_totalprice"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double") / F.count("*"), 6
+            ).alias("mean_raw"),
+            F.round(F.sum(wins.cast(dec)).cast("double") / F.count("*"), 6).alias(
+                "mean_wins"
+            ),
+            F.min("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bounds AS (
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.05) AS p_lo,
+           quantile_disc(o_totalprice, 0.95) AS p_hi
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS mean_raw,
+       round(CAST(sum(CAST(least(greatest(o.o_totalprice, b.p_lo), b.p_hi) AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS mean_wins,
+       min(b.p_lo) AS p_lo,
+       max(b.p_hi) AS p_hi
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -22,6 +22,7 @@ from lakeflow import claims, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
 from lakeflow.ext import (
+    bpe,
     dedup,
     events,
     graph,
@@ -463,11 +464,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_sample_weighted": (sampling.weighted_sample, sampling.WEIGHTED_SAMPLE_SQL),
     "q_sample_capped": (sampling.capped_sample, sampling.CAPPED_SAMPLE_SQL),
     "q_char_pairs": (text.char_pair_freqs, text.CHAR_PAIR_SQL),
+    # iterative corpus algorithm: R rounds of argmax-pair + corpus-wide
+    # merge; oracle is the loop UNROLLED into chained DuckDB CTEs
+    "q_bpe_merges": (bpe.bpe_merges, bpe.BPE_MERGES_SQL),
     "q_ntile_binning": (profile.ntile_binning, profile.NTILE_BINNING_SQL),
     "q_corr": (profile.correlation, profile.CORRELATION_SQL),
     "q_column_profile": (profile.column_profile, profile.COLUMN_PROFILE_SQL),
     "q_mad": (profile.mad_by_group, profile.MAD_SQL),
     "q_percentile_multi": (profile.percentile_multi, profile.PERCENTILE_MULTI_SQL),
+    "q_winsorize": (profile.winsorize, profile.WINSORIZE_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
@@ -603,6 +608,11 @@ _CERT_FIRST: list[str] = [
     "q_silver_pipeline",
     "q_tpch_q1",
     # -- new this round (r4): certify first -----------------------------
+    "q_bpe_merges",
+    "q_winsorize",
+    "q_dedup_simhash",
+    "q_winnow_fingerprints",
+    "q_knn_pandas",
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",

@@ -553,3 +553,59 @@ def test_bands_for_threshold_recall_floor():
         assert recall(t, 64 // b, b) >= 0.95
     assert _bands_for_threshold(0.3, 64) == 32  # registered default: unchanged
     assert _bands_for_threshold(0.8, 64) < _bands_for_threshold(0.3, 64)
+
+
+# ----------------------------------------------------------------- bpe
+
+
+def test_bpe_merges_hand_checkable_corpus(spark, tmp_path):
+    from lakeflow.ext import bpe
+
+    # corpus: 'abab' x3, 'ab' x2 -> round 1 must merge ('a','b') with
+    # freq 3*2 + 2*1 = 8; round 2 merges ('ab','ab') from the x3 word.
+    _write_docs_table(
+        spark,
+        tmp_path,
+        [(1, "abab abab abab ab ab", "en", "s", 20), (2, "xy", "en", "s", 2)],
+    )
+    rows = bpe.bpe_merges(spark, str(tmp_path), rounds=3).collect()
+    got = [(r.round, r.left_sym, r.right_sym, r.merged, r.freq) for r in rows]
+    assert got[0] == (1, "a", "b", "ab", 8)
+    assert got[1] == (2, "ab", "ab", "abab", 3)
+    # round 3: remaining pairs all freq 1 -> lexicographic tie-break
+    assert got[2][0] == 3 and got[2][4] == 1 and got[2][1] <= got[2][2]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark, tmp_path):
+    from lakeflow.ext import bpe
+
+    # 'aaa': round 1 pair ('a','a') freq 2; the replace scan merges the
+    # FIRST two a's only -> round 2 sees ('aa','a').
+    _write_docs_table(spark, tmp_path, [(1, "aaa", "en", "s", 3)])
+    rows = bpe.bpe_merges(spark, str(tmp_path), rounds=2).collect()
+    got = [(r.round, r.left_sym, r.right_sym, r.freq) for r in rows]
+    assert got[0] == (1, "a", "a", 2)
+    assert got[1] == (2, "aa", "a", 1)
+
+
+def test_bpe_stops_when_corpus_exhausted(spark, tmp_path):
+    from lakeflow.ext import bpe
+
+    _write_docs_table(spark, tmp_path, [(1, "ab ab", "en", "s", 5)])
+    rows = bpe.bpe_merges(spark, str(tmp_path), rounds=10).collect()
+    # 'ab' -> one merge, then single-symbol words: loop must stop early
+    assert [(r.round, r.merged) for r in rows] == [(1, "ab")]
+
+
+# ----------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clamps_outlier_into_group_bounds(spark, sf_dir):
+    from lakeflow.ext import profile
+
+    rows = profile.winsorize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.p_lo <= r.p_hi
+        # winsorized mean lies within the clamp bounds; raw mean need not
+        assert r.p_lo <= r.mean_wins <= r.p_hi
