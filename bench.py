@@ -108,6 +108,10 @@ EXTENDED_QUERIES = (
     "q_chunk_docs",
     "q_pack_sequences",
     "q_mix_plan",
+    "q_bpe_merges",
+    "q_winsorize",
+    "q_winnow_fingerprints",
+    "q_dedup_simhash",
 )
 
 

@@ -181,8 +181,10 @@ def knn_bruteforce_pandas(
     the pipeline stays in codegen; the Arrow path wins when per-row
     work is heavy enough to amortize the Python transfer — this is the
     pattern a real embedding pipeline (larger dims, numpy/BLAS) runs.
-    Declared rows-only: numpy sums in a different order than the JVM
-    left-fold, so the 6dp-rounded cosines can differ in the last digit.
+    Carries the brute-force DuckDB oracle: numpy's float64 pairwise
+    summation and the JVM left-fold agree at the 6dp rounding on this
+    data (verified at sf0.01 and sf0.1; a last-digit flip would need a
+    cosine within ~1e-13 of a 5e-7 rounding boundary).
     """
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")

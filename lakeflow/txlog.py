@@ -79,6 +79,8 @@ _OPERATIONS = {
     "compact": ("OPTIMIZE", {}),
     "delete": ("DELETE", {}),
     "update": ("UPDATE", {}),
+    "restore": ("RESTORE", {}),
+    "clone": ("CLONE", {"isShallow": "true"}),
 }
 
 
@@ -514,21 +516,66 @@ class TxTable:
         adds = list(snap.files.values())
         if partition_filter is not None:
             adds = [a for a in adds if partition_filter(a.get("partitionValues", {}))]
-        paths = [os.path.join(self.path, a["path"]) for a in adds]
-        if not paths:
+        if not adds:
             schema = snap.schema
             return spark.createDataFrame([], schema if schema else "dummy INT")
-        # basePath re-infers Hive partition columns from the file paths,
-        # so partitioned files (whose data omits the partition column)
-        # read back whole. The log's schema is passed explicitly: no
-        # footer-sampling inference job, and pre-evolution files surface
-        # NULL for later-added columns (per-file column resolution) —
-        # exactly Delta's read path, where the log owns the schema.
+        return self._read_adds(spark, snap, adds)
+
+    def _read_adds(
+        self, spark: SparkSession, snap: Snapshot, adds: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Materialize a DataFrame over a list of add actions.
+
+        Table-relative paths read under ``basePath`` so Hive partition
+        columns re-infer from the directory layout; ABSOLUTE paths
+        (shallow-clone references into another table's root, where
+        basePath cannot be a prefix) read log-driven instead — grouped
+        by their ``partitionValues`` and the partition columns restored
+        from the LOG, which is how a spec Delta reader resolves
+        partition columns anyway. The log's schema is passed explicitly:
+        no footer-sampling inference job, and pre-evolution files
+        surface NULL for later-added columns (per-file column
+        resolution) — exactly Delta's read path, where the log owns the
+        schema."""
         schema = snap.schema
-        reader = spark.read.option("basePath", self.path)
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        internal = [a for a in adds if not os.path.isabs(a["path"])]
+        external = [a for a in adds if os.path.isabs(a["path"])]
+        dfs: list[DataFrame] = []
+        if internal:
+            reader = spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(schema)
+            dfs.append(
+                reader.parquet(
+                    *[os.path.join(self.path, a["path"]) for a in internal]
+                )
+            )
+        if external:
+            pcols = tuple(snap.partition_by)
+            data_schema = (
+                StructType([f for f in schema.fields if f.name not in pcols])
+                if schema is not None and pcols
+                else schema
+            )
+            groups: dict[tuple, list[str]] = {}
+            for a in external:
+                key = tuple(sorted((a.get("partitionValues") or {}).items()))
+                groups.setdefault(key, []).append(a["path"])
+            for key, paths in groups.items():
+                rd = spark.read
+                if data_schema is not None:
+                    rd = rd.schema(data_schema)
+                d = rd.parquet(*paths)
+                for c, val in key:
+                    typ = schema[c].dataType if schema is not None else "string"
+                    d = d.withColumn(c, F.lit(val).cast(typ))
+                if schema is not None:
+                    d = d.select(*[f.name for f in schema.fields])
+                dfs.append(d)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     # --------------------------------------------------- maintenance commits
 
@@ -708,24 +755,22 @@ class TxTable:
             .distinct()
             .collect()
         ]
-        # file_path is a file: URI over the absolute path; normalize to
-        # the log's table-relative form
-        root = os.path.abspath(self.path)
+        # file_path is a file: URI over the absolute path; compare in
+        # absolute space so shallow-clone references (absolute add
+        # paths outside the table root) match too
         touched = {
-            os.path.relpath(
-                p.removeprefix("file://").removeprefix("file:"), root
-            ).replace(os.sep, "/")
+            os.path.abspath(p.removeprefix("file://").removeprefix("file:"))
             for p in touched_abs
         }
-        rewrite = [a for a in snap.files.values() if a["path"] in touched]
+        rewrite = [
+            a
+            for a in snap.files.values()
+            if os.path.abspath(os.path.join(self.path, a["path"])) in touched
+        ]
         if not rewrite:
             return {"matched": 0, "rewritten_files": 0}
         # re-read only the touched files, with the log schema
-        paths = [os.path.join(self.path, a["path"]) for a in rewrite]
-        reader = spark.read.option("basePath", self.path)
-        if snap.schema is not None:
-            reader = reader.schema(snap.schema)
-        sub = reader.parquet(*paths)
+        sub = self._read_adds(spark, snap, rewrite)
         matched = sub.filter(pred).count()
         new_rows = rewrite_row(sub)
         adds = self._stage_files(new_rows, snap.partition_by)
@@ -856,6 +901,75 @@ class TxTable:
             if root != self.path and not os.listdir(root):
                 os.rmdir(root)
         return sorted(deleted)
+
+    def restore(
+        self, version: int | None = None, asof_timestamp: float | None = None
+    ) -> int:
+        """Delta's RESTORE TABLE ... [VERSION|TIMESTAMP] AS OF: commit a
+        NEW version whose live file set and schema equal the target
+        snapshot's. Nothing is deleted and history is preserved — the
+        restore is itself a commit, so time travel across it (including
+        back to the pre-restore state) keeps working, and a concurrent
+        writer either lands before the restore (and is rolled back by
+        it) or after (and wins); the CAS loop guarantees one total
+        order. Data files the target still references carry over by
+        reference — zero IO. Returns the committed version."""
+        if asof_timestamp is not None:
+            version = self.version_at(asof_timestamp)
+        if version is None:
+            raise ValueError("restore needs version or asof_timestamp")
+        target = self.snapshot(version)
+        while True:
+            latest = self.latest_version()
+            cur = self.snapshot(latest)
+            actions: list[dict[str, Any]] = []
+            if (
+                target.schema_json != cur.schema_json
+                or target.partition_by != cur.partition_by
+            ):
+                actions.append(
+                    _meta_action(cur, target.schema, target.partition_by)
+                )
+            actions += [
+                {"add": {**a, "dataChange": True}}
+                for p, a in target.files.items()
+                if p not in cur.files
+            ]
+            actions += [
+                _remove_action(p) for p in cur.files if p not in target.files
+            ]
+            try:
+                return self._commit(latest, actions, "restore")
+            except ConcurrentModification:
+                continue
+
+    def shallow_clone(self, target_path: str, version: int | None = None) -> "TxTable":
+        """Delta SHALLOW CLONE: create a new table at ``target_path``
+        whose first commit references this table's data files at
+        ``version`` (default latest) by ABSOLUTE path — metadata only,
+        no data copied, O(#files) regardless of table size. The clone
+        gets its own table id and an independent log: writes, DELETE/
+        UPDATE, compaction, and vacuum on the clone never touch source
+        files (vacuum walks only the clone root; copy-on-write rewrites
+        replace references with clone-local files). Caveat shared with
+        Delta: VACUUM on the SOURCE can age out files the clone still
+        references."""
+        snap = self.snapshot(version)
+        clone = TxTable(target_path)
+        if clone.exists():
+            raise ValueError(f"{target_path}: already a transaction-logged table")
+        os.makedirs(clone.log_dir, exist_ok=True)
+        src_root = os.path.abspath(self.path)
+        actions: list[dict[str, Any]] = [{"protocol": dict(PROTOCOL)}]
+        # fresh id/createdTime (snap=None) — a clone is a NEW table over
+        # shared data files, not a copy of the source's identity
+        actions.append(_meta_action(None, snap.schema, snap.partition_by))
+        actions += [
+            {"add": {**a, "path": os.path.join(src_root, a["path"]), "dataChange": True}}
+            for a in snap.files.values()
+        ]
+        clone._commit(None, actions, "clone")
+        return clone
 
 
     # ---------------------------------------------------- change data feed

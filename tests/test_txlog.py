@@ -511,3 +511,92 @@ def test_delete_where_partitioned_table(spark, tmp_path):
     assert left == [0, 2, 4, 5, 6, 7]
     # partition column survives the rewrite (Hive layout round-trip)
     assert {r.part for r in t.read(spark).filter(F.col("id") == 5).collect()} == {"a"}
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_mk(spark, [1, 2]))                       # v0
+    t.write(_mk(spark, [3]))                          # v1
+    t.write(_mk(spark, [9, 9]), mode="overwrite")     # v2
+    v = t.restore(1)                                  # back to {1,2,3}
+    assert v == 3
+    assert _rows(t.read(spark)) == _rows(_mk(spark, [1, 2, 3]))
+    # history preserved: the overwritten state is still time-travelable
+    assert _rows(t.read(spark, version=2)) == _rows(_mk(spark, [9, 9]))
+    assert _rows(t.read(spark, version=1)) == _rows(_mk(spark, [1, 2, 3]))
+    # restore is a first-class operation in history
+    ops = [h["operation"] for h in t.history()]
+    assert "RESTORE" in ops
+    # a restore to the current state commits cleanly (no-op diff)
+    t.restore(3)
+    assert _rows(t.read(spark)) == _rows(_mk(spark, [1, 2, 3]))
+
+
+def test_restore_schema_evolution_rollback(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_mk(spark, [1]))                          # v0: (id, val)
+    t.write(_mk(spark, [2], extra="x"))               # v1: + extra
+    assert "extra" in t.read(spark).columns
+    t.restore(0)
+    assert t.read(spark).columns == ["id", "val"]
+    assert _rows(t.read(spark)) == _rows(_mk(spark, [1]))
+
+
+def test_shallow_clone_reads_source_files_without_copy(spark, tmp_path):
+    src = TxTable(str(tmp_path / "src"))
+    src.write(_mk(spark, [1, 2, 3]))
+    src.write(_mk(spark, [4]))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    assert _rows(clone.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4]))
+    # metadata-only: no parquet under the clone root
+    data_files = [
+        f
+        for root, _d, names in os.walk(tmp_path / "clone")
+        for f in names
+        if f.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert data_files == []
+    # independent logs: writes to the clone don't touch the source
+    clone.write(_mk(spark, [5]))
+    assert _rows(clone.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4, 5]))
+    assert _rows(src.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4]))
+    # ...and appends to the source don't appear in the clone
+    src.write(_mk(spark, [6]))
+    assert _rows(clone.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4, 5]))
+
+
+def test_shallow_clone_copy_on_write_protects_source(spark, tmp_path):
+    src = TxTable(str(tmp_path / "src"))
+    src.write(_mk(spark, [1, 2, 3, 4]))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    # DELETE on the clone rewrites the touched reference clone-locally
+    res = clone.delete_where(spark, "id <= 2")
+    assert res["matched"] == 2
+    assert _rows(clone.read(spark)) == _rows(_mk(spark, [3, 4]))
+    assert _rows(src.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4]))
+    # vacuum on the clone must not delete source data files
+    clone.vacuum(retain_versions=0)
+    assert _rows(src.read(spark)) == _rows(_mk(spark, [1, 2, 3, 4]))
+
+
+def test_shallow_clone_partitioned_source(spark, tmp_path):
+    src = TxTable(str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}", part=("a" if i % 2 else "b")) for i in range(1, 7)]
+    )
+    src.write(df, partition_by=("part",))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    # partition columns restore from the LOG's partitionValues
+    assert _rows(clone.read(spark)) == _rows(df)
+    assert (
+        clone.read(spark).filter(F.col("part") == "a").count()
+        == df.filter("part = 'a'").count()
+    )
+
+
+def test_shallow_clone_time_travel_version(spark, tmp_path):
+    src = TxTable(str(tmp_path / "src"))
+    src.write(_mk(spark, [1]))
+    src.write(_mk(spark, [2]))
+    clone = src.shallow_clone(str(tmp_path / "clone"), version=0)
+    assert _rows(clone.read(spark)) == _rows(_mk(spark, [1]))
