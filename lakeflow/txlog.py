@@ -52,6 +52,7 @@ scan over the surviving files.
 from __future__ import annotations
 
 import json
+import re
 import os
 import shutil
 import time
@@ -132,6 +133,137 @@ def _meta_action(
 
 def _checkpoint_name(v: int) -> str:
     return f"{v:0{_VLEN}d}.checkpoint.parquet"
+
+
+def _stats_value(v: Any) -> Any:
+    """Parquet-footer statistic → JSON-encodable Delta stats value."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _Dec):
+        return str(v)
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str) -> str | None:
+    """Delta-spec per-file stats JSON (numRecords / minValues /
+    maxValues / nullCount) from the parquet FOOTER — no data read, no
+    extra Spark job; row-group statistics are already there. Nested
+    columns are skipped (top-level skipping covers the pruning
+    predicates the reader supports)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for ci in range(md.num_columns):
+        col = md.schema.column(ci)
+        name = col.path
+        if "." in name:
+            continue
+        mn = mx = None
+        nc = 0
+        have = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None:
+                have = False
+                break
+            nc += st.null_count or 0
+            if not st.has_min_max:
+                have = False
+                break
+            if mn is None or st.min < mn:
+                mn = st.min
+            if mx is None or st.max > mx:
+                mx = st.max
+        nulls[name] = nc
+        if have and mn is not None:
+            jmn, jmx = _stats_value(mn), _stats_value(mx)
+            if jmn is not None and jmx is not None:
+                mins[name] = jmn
+                maxs[name] = jmx
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+_CONJUNCT_RE = re.compile(r"\s*(\w+)\s*(<=|>=|!=|=|<|>)\s*(.+?)\s*$")
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, Any]] | None:
+    """Parse `col op literal [AND ...]` into pruning conjuncts; None if
+    any piece is out of the supported fragment (pruning then degrades
+    to scanning every file — correctness never depends on it)."""
+    out: list[tuple[str, str, Any]] = []
+    for part in re.split(r"(?i)\s+and\s+", where.strip()):
+        m = _CONJUNCT_RE.fullmatch(part)
+        if m is None:
+            return None
+        col, op, lit = m.groups()
+        val: Any
+        if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+            val = lit[1:-1]
+        else:
+            try:
+                val = float(lit) if ("." in lit or "e" in lit.lower()) else int(lit)
+            except ValueError:
+                return None
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(stats_json: str | None, conjuncts: list[tuple[str, str, Any]]) -> bool:
+    """Conservative range check of one file's stats against pruning
+    conjuncts: False only when a conjunct is provably unsatisfiable for
+    every row in the file."""
+    if not stats_json:
+        return True
+    try:
+        s = json.loads(stats_json)
+    except (TypeError, ValueError):
+        return True
+    mins, maxs = s.get("minValues", {}), s.get("maxValues", {})
+    for col, op, val in conjuncts:
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if numeric != (isinstance(mn, (int, float)) and not isinstance(mn, bool)):
+            continue  # type mismatch — don't prune
+        if op == "=":
+            ok = mn <= val <= mx
+        elif op == "<":
+            ok = mn < val
+        elif op == "<=":
+            ok = mn <= val
+        elif op == ">":
+            ok = mx > val
+        elif op == ">=":
+            ok = mx >= val
+        else:  # !=
+            ok = not (mn == mx == val)
+        if not ok:
+            return False
+    return True
 
 
 @dataclass
@@ -394,17 +526,17 @@ class TxTable:
                 dst = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": part_values,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": int(os.path.getmtime(dst) * 1000),
-                            "dataChange": True,
-                        }
-                    }
-                )
+                add: dict[str, Any] = {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                }
+                stats = _file_stats(dst)
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append({"add": add})
         shutil.rmtree(staging)
         return adds
 
@@ -505,21 +637,36 @@ class TxTable:
         version: int | None = None,
         asof_timestamp: float | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-travelled. ``partition_filter``
         prunes add actions by their partitionValues BEFORE Spark sees a
         file list — log-side partition pruning, so a pruned 100 TB read
-        plans over only the surviving files."""
+        plans over only the surviving files.
+
+        ``where`` (e.g. ``"amount > 100 AND status = 'OPEN'"``) is
+        Delta-style DATA SKIPPING: files whose footer min/max stats
+        prove no row can match are dropped from the plan entirely, then
+        the predicate is ALSO applied row-level — pruning is a pure
+        optimization, never a correctness dependency, and predicates
+        outside the supported `col op literal AND ...` fragment simply
+        skip the pruning step."""
         if asof_timestamp is not None:
             version = self.version_at(asof_timestamp)
         snap = self.snapshot(version)
         adds = list(snap.files.values())
         if partition_filter is not None:
             adds = [a for a in adds if partition_filter(a.get("partitionValues", {}))]
+        if where is not None:
+            conjuncts = _parse_conjuncts(where)
+            if conjuncts is not None:
+                adds = [a for a in adds if _file_may_match(a.get("stats"), conjuncts)]
         if not adds:
             schema = snap.schema
-            return spark.createDataFrame([], schema if schema else "dummy INT")
-        return self._read_adds(spark, snap, adds)
+            df = spark.createDataFrame([], schema if schema else "dummy INT")
+            return df.filter(where) if where is not None else df
+        df = self._read_adds(spark, snap, adds)
+        return df.filter(where) if where is not None else df
 
     def _read_adds(
         self, spark: SparkSession, snap: Snapshot, adds: list[dict[str, Any]]
@@ -1065,6 +1212,7 @@ def _pa_checkpoint_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),

@@ -600,3 +600,76 @@ def test_shallow_clone_time_travel_version(spark, tmp_path):
     src.write(_mk(spark, [2]))
     clone = src.shallow_clone(str(tmp_path / "clone"), version=0)
     assert _rows(clone.read(spark)) == _rows(_mk(spark, [1]))
+
+
+def test_file_stats_recorded_on_write(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([Row(id=i, name=f"n{i}") for i in range(1, 11)]))
+    adds = list(t.snapshot().files.values())
+    assert adds and all("stats" in a for a in adds)
+    s = json.loads(adds[0]["stats"])
+    assert s["numRecords"] >= 1
+    assert set(s["nullCount"]) == {"id", "name"}
+    # aggregated across files, the stats cover the written range
+    all_stats = [json.loads(a["stats"]) for a in adds]
+    assert min(x["minValues"]["id"] for x in all_stats) == 1
+    assert max(x["maxValues"]["id"] for x in all_stats) == 10
+
+
+def test_data_skipping_prunes_files_and_stays_correct(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    # three appends with disjoint id ranges -> disjoint per-file stats
+    for lo in (0, 100, 200):
+        t.write(
+            spark.createDataFrame(
+                [Row(id=lo + i, val=f"v{lo + i}") for i in range(10)]
+            ).coalesce(1)
+        )
+    total_files = len(t.snapshot().files)
+    assert total_files >= 3
+    df = t.read(spark, where="id >= 200")
+    assert sorted(r.id for r in df.collect()) == list(range(200, 210))
+    # the plan only scans the surviving file(s)
+    assert len(df.inputFiles()) < total_files
+    assert len(df.inputFiles()) == 1
+    # equality and string predicates
+    df2 = t.read(spark, where="id = 105")
+    assert [r.val for r in df2.collect()] == ["v105"]
+    assert len(df2.inputFiles()) == 1
+    df3 = t.read(spark, where="val = 'v0' AND id < 50")
+    assert [r.id for r in df3.collect()] == [0]
+    assert len(df3.inputFiles()) == 1
+    # unsupported predicate shape -> no pruning, still correct
+    df4 = t.read(spark, where="id % 100 = 5")
+    assert sorted(r.id for r in df4.collect()) == [5, 105, 205]
+    assert len(df4.inputFiles()) == total_files
+
+
+def test_data_skipping_survives_checkpoint_and_unparseable_types(spark, tmp_path):
+    from lakeflow.txlog import _file_may_match, _parse_conjuncts
+
+    t = TxTable(str(tmp_path / "t"))
+    for lo in range(0, CHECKPOINT_EVERY * 100 + 1, 100):
+        t.write(
+            spark.createDataFrame(
+                [Row(id=lo + i) for i in range(10)]
+            ).coalesce(1)
+        )
+    # a checkpoint has been written; stats must survive replay through it
+    assert any(
+        e.endswith(".checkpoint.parquet") for e in os.listdir(t.log_dir)
+    )
+    df = t.read(spark, where="id >= %d" % (CHECKPOINT_EVERY * 100))
+    assert df.count() == 10
+    assert len(df.inputFiles()) == 1
+    # evaluator unit behavior
+    assert _parse_conjuncts("a > 1 AND b = 'x'") == [("a", ">", 1), ("b", "=", "x")]
+    assert _parse_conjuncts("a in (1,2)") is None
+    c = _parse_conjuncts("id != 5")
+    assert _file_may_match(json.dumps(
+        {"minValues": {"id": 5}, "maxValues": {"id": 5}}), c) is False
+    # type mismatch between literal and stats never prunes
+    c2 = _parse_conjuncts("id > 100")
+    assert _file_may_match(json.dumps(
+        {"minValues": {"id": "a"}, "maxValues": {"id": "z"}}), c2) is True
+    assert _file_may_match(None, c2) is True
