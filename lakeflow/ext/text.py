@@ -268,11 +268,14 @@ def winnow_fingerprints_portable(
     collapsing a Generate into the array pipeline re-inlines the gh
     construction into every window term (the O(len²) trap in
     winnow_frame's docstring — measured: explode(fingerprints) hangs at
-    sf0.001 where this runs in seconds). Here each gram hash is computed
-    exactly once, posexploded, and the window minimum is a rows-between
-    running min — one shuffle on doc_id, memory bounded per ROW rather
-    than per document, which is also the safer shape for 100 TB corpora
-    with long documents.
+    sf0.001 where this runs in seconds). The explode happens BEFORE the
+    hashing — gram POSITIONS fan out, then md5 runs as a plain
+    post-explode projection inside whole-stage codegen (md5 inside an
+    array lambda is interpreted per element: measured ~10× slower).
+    Each gram hash is computed exactly once, the window minimum is a
+    rows-between running min — one shuffle on doc_id, memory bounded
+    per ROW rather than per document, which is also the safer shape for
+    100 TB corpora with long documents.
     """
     from pyspark.sql import Window
     from lakeflow.ext.dedup import _md5h32
@@ -286,18 +289,24 @@ def winnow_fingerprints_portable(
     staged = docs.select("doc_id", norm.alias("norm")).filter(
         F.length("norm") >= k + window - 1
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("norm") - k + 1),
-        lambda i: _md5h32(F.col("norm").substr(i, F.lit(k))),
+    # (doc_id, n_grams, norm, gram position 1..n_grams) — `col` is the
+    # 1-based gram start from the exploded sequence
+    rows = staged.select(
+        "doc_id",
+        (F.length("norm") - k + 1).alias("n_grams"),
+        "norm",
+        F.posexplode(F.sequence(F.lit(1), F.length("norm") - k + 1)),
     )
-    hashed = staged.select(
-        "doc_id", (F.length("norm") - k + 1).alias("n_grams"), grams.alias("gh")
+    hashed = rows.select(
+        "doc_id",
+        "n_grams",
+        F.col("col").alias("gpos"),
+        _md5h32(F.expr(f"substring(norm, col, {k})")).alias("h"),
     )
-    rows = hashed.select("doc_id", "n_grams", F.posexplode("gh"))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    w = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, window - 1)
     return (
-        rows.withColumn("fp", F.min("col").over(w))
-        .filter(F.col("pos") <= F.col("n_grams") - window)
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("gpos") <= F.col("n_grams") - window + 1)
         .select("doc_id", "n_grams", F.col("fp").alias("fingerprint"))
         .distinct()
         .orderBy("doc_id", "fingerprint")
