@@ -458,20 +458,18 @@ def _zorder_key(cols: tuple[str, ...], bits: int = 16) -> F.Column:
     return key
 
 
-def write_zordered(
+def zorder_layout(
     df: DataFrame,
-    path: str,
     zorder_cols: tuple[str, ...],
     partitions: int | None = None,
     bits: int = 10,
-    fmt: str = "parquet",
-) -> None:
-    """Z-order-clustered layout (Delta's OPTIMIZE ZORDER BY semantics,
-    jar-free): range-partition + sort on the Morton interleaving of the
-    given numeric columns, so every output file covers a tight
-    hyper-rectangle in ALL listed dimensions at once — min/max footer
-    stats prune files for predicates on ANY of them, where a 1-D sort
-    (:func:`write_sorted`) serves only its leading column.
+) -> DataFrame:
+    """Cluster ``df`` on the Morton (Z-order) interleaving of the given
+    numeric columns: range-partition + sort-within-partitions on the
+    key, helper columns dropped. The reusable core of
+    :func:`write_zordered`, also consumed by ``TxTable.compact(
+    zorder_by=...)`` so OPTIMIZE ZORDER composes with the log's
+    footer-stats data skipping.
 
     Columns are rank-normalized to [0, 2^bits) by bucketing against
     approxQuantile boundaries — Morton codes need uniform per-dimension
@@ -527,9 +525,24 @@ def write_zordered(
         if partitions
         else out.repartitionByRange("_zkey")
     )
+    return out.sortWithinPartitions("_zkey").drop("_zkey", *norm_cols)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, ...],
+    partitions: int | None = None,
+    bits: int = 10,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` Z-order-clustered (see :func:`zorder_layout`) —
+    every output file covers a tight hyper-rectangle in ALL listed
+    dimensions at once, so min/max footer stats prune files for
+    predicates on ANY of them, where a 1-D sort (:func:`write_sorted`)
+    serves only its leading column."""
     (
-        out.sortWithinPartitions("_zkey")
-        .drop("_zkey", *norm_cols)
+        zorder_layout(df, zorder_cols, partitions, bits)
         .write.format(fmt)
         .mode("overwrite")
         .save(path)

@@ -992,18 +992,37 @@ class TxTable:
             spark, pred, apply_update, "update", changes if cdf else None
         )
 
-    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> tuple[int, int]:
-        """OPTIMIZE: rewrite the live set into ~target-sized files and
-        swap the file list in one atomic commit. Readers mid-compaction
-        keep the old snapshot; time travel to it keeps working until
-        vacuum. Raises ConcurrentModification on a racing writer."""
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: tuple[str, ...] = (),
+    ) -> tuple[int, int]:
+        """OPTIMIZE [ZORDER BY]: rewrite the live set into ~target-sized
+        files and swap the file list in one atomic commit. Readers
+        mid-compaction keep the old snapshot; time travel to it keeps
+        working until vacuum. Raises ConcurrentModification on a racing
+        writer.
+
+        ``zorder_by`` clusters the rewrite on the Morton interleaving of
+        the given columns (io.zorder_layout), so each output file covers
+        a tight hyper-rectangle in every listed dimension — composed
+        with the footer stats every staged file records, ``read(where=
+        ...)`` then prunes on ANY of those columns, which is the whole
+        point of Delta's OPTIMIZE ZORDER."""
         read_version = self.latest_version()
         snap = self.snapshot(read_version)
         before = list(snap.files.values())
         total = sum(a["size"] for a in before)
         n_out = max(1, -(-total // target_file_bytes))
         df = self.read(spark, version=read_version)
-        adds = self._stage_files(df.repartition(n_out), snap.partition_by)
+        if zorder_by:
+            from lakeflow.io import zorder_layout
+
+            out = zorder_layout(df, tuple(zorder_by), partitions=n_out)
+        else:
+            out = df.repartition(n_out)
+        adds = self._stage_files(out, snap.partition_by)
         actions = [_remove_action(a["path"]) for a in before] + adds
         self._commit(read_version, actions, "compact")
         return len(before), len(adds)

@@ -673,3 +673,33 @@ def test_data_skipping_survives_checkpoint_and_unparseable_types(spark, tmp_path
     assert _file_may_match(json.dumps(
         {"minValues": {"id": "a"}, "maxValues": {"id": "z"}}), c2) is True
     assert _file_may_match(None, c2) is True
+
+
+def test_compact_zorder_enables_multi_column_skipping(spark, tmp_path):
+    import random
+
+    t = TxTable(str(tmp_path / "t"))
+    # scattered appends: every file spans ~the full range of BOTH
+    # columns, so stats can prune nothing
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(4000)]
+    for c in range(4):
+        chunk = pts[c * 1000 : (c + 1) * 1000]
+        t.write(
+            spark.createDataFrame(chunk, "id long, x long, y long").coalesce(1)
+        )
+    pre_x = t.read(spark, where="x >= 900")
+    assert len(pre_x.inputFiles()) == 4  # nothing prunable
+    nb, na = t.compact(spark, target_file_bytes=8 << 10, zorder_by=("x", "y"))
+    assert nb == 4 and na >= 4
+    exp_x = sorted(r.id for r in spark.createDataFrame(
+        [p for p in pts if p[1] >= 900], "id long, x long, y long").collect())
+    post_x = t.read(spark, where="x >= 900")
+    assert sorted(r.id for r in post_x.collect()) == exp_x
+    post_y = t.read(spark, where="y < 100")
+    exp_y = sorted(r.id for r in spark.createDataFrame(
+        [p for p in pts if p[2] < 100], "id long, x long, y long").collect())
+    assert sorted(r.id for r in post_y.collect()) == exp_y
+    # the z-ordered layout prunes on BOTH dimensions
+    assert len(post_x.inputFiles()) < na
+    assert len(post_y.inputFiles()) < na
