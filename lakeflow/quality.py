@@ -226,3 +226,67 @@ def dq_report_table(spark: SparkSession, df: DataFrame, suite: dict) -> DataFram
         rows,
         "check_id int, expectation_type string, column_name string, success boolean",
     ).orderBy("check_id")
+
+
+_FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: one row per edge with the child row count and the number of
+    orphans (child keys with no parent) — the cross-TABLE data-quality
+    dimension the single-table D1-D11 suite can't express.
+
+    Scale shape: each edge is `child → groupBy(key) → anti-join parent
+    keys` — the child shuffles once on its FK to count per-key, the
+    DISTINCT key relation (bounded by key cardinality, not child rows)
+    anti-joins the parent's key projection, and dimension parents
+    broadcast. No edge materializes more than (distinct keys) rows
+    post-aggregation, so a 100 TB fact table costs one map-side-combined
+    shuffle per edge.
+    """
+    from lakeflow import io
+
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = io.read_table(spark, sf_dir, child)
+        p = io.read_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        per_key = c.groupBy(F.col(ck).alias("_ck")).agg(
+            F.count("*").alias("_n")
+        )
+        orphan_rows = per_key.join(
+            p, per_key["_ck"] == p["_pk"], "left_anti"
+        ).agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("orphan_rows"),
+            F.count("*").cast("bigint").alias("orphan_keys"),
+        )
+        totals = c.agg(F.count("*").cast("bigint").alias("child_rows"))
+        edge = orphan_rows.crossJoin(totals).select(
+            F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk"),
+            "child_rows",
+            "orphan_rows",
+            "orphan_keys",
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("fk")
+
+
+FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{ck} -> {parent}.{pk}' AS fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
+       CAST(coalesce(sum(_n), 0) AS BIGINT) AS orphan_rows,
+       CAST(count(*) AS BIGINT) AS orphan_keys
+FROM (
+    SELECT {ck} AS _ck, count(*) AS _n FROM {child} GROUP BY {ck}
+) c WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c._ck)"""
+    for child, ck, parent, pk in _FK_EDGES
+) + "\nORDER BY fk"

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakeflow import claims, relational, transform, views
+from lakeflow import claims, quality, relational, transform, views
 from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
 from lakeflow.ext import (
@@ -580,6 +580,8 @@ def _bronze_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dq_report": (_dq_report, DQ_REPORT_SQL),
+    # cross-table referential-integrity audit (anti-join per FK edge)
+    "q_fk_integrity": (quality.fk_integrity, quality.FK_INTEGRITY_SQL),
     "q_bronze_metadata": (_bronze_metadata, None),
     "q_user_stats_stateful": (_user_stats_stateful, None),
 }
@@ -610,6 +612,7 @@ _CERT_FIRST: list[str] = [
     # -- new this round (r4): certify first -----------------------------
     "q_bpe_merges",
     "q_winsorize",
+    "q_fk_integrity",
     "q_dedup_simhash",
     "q_winnow_fingerprints",
     "q_knn_pandas",

@@ -1009,23 +1009,58 @@ class TxTable:
         a tight hyper-rectangle in every listed dimension — composed
         with the footer stats every staged file records, ``read(where=
         ...)`` then prunes on ANY of those columns, which is the whole
-        point of Delta's OPTIMIZE ZORDER."""
-        read_version = self.latest_version()
-        snap = self.snapshot(read_version)
-        before = list(snap.files.values())
-        total = sum(a["size"] for a in before)
-        n_out = max(1, -(-total // target_file_bytes))
-        df = self.read(spark, version=read_version)
-        if zorder_by:
-            from lakeflow.io import zorder_layout
+        point of Delta's OPTIMIZE ZORDER.
 
-            out = zorder_layout(df, tuple(zorder_by), partitions=n_out)
-        else:
-            out = df.repartition(n_out)
-        adds = self._stage_files(out, snap.partition_by)
-        actions = [_remove_action(a["path"]) for a in before] + adds
-        self._commit(read_version, actions, "compact")
-        return len(before), len(adds)
+        Concurrency follows Delta's OPTIMIZE conflict rules: losing the
+        CAS race to commits that only ADD files (blind appends, txn
+        markers) does NOT conflict — the rewrite is rebased and
+        recommitted as-is, leaving the newly appended files live but
+        uncompacted this round. A winner that REMOVED one of the files
+        being rewritten (DELETE/UPDATE/another OPTIMIZE) or changed
+        metadata invalidates the staged rewrite: compaction restarts
+        from the new snapshot (the orphaned staged files are invisible
+        to readers and reaped by vacuum)."""
+        while True:
+            read_version = self.latest_version()
+            snap = self.snapshot(read_version)
+            before = list(snap.files.values())
+            before_paths = set(snap.files)
+            total = sum(a["size"] for a in before)
+            n_out = max(1, -(-total // target_file_bytes))
+            df = self.read(spark, version=read_version)
+            if zorder_by:
+                from lakeflow.io import zorder_layout
+
+                out = zorder_layout(df, tuple(zorder_by), partitions=n_out)
+            else:
+                out = df.repartition(n_out)
+            adds = self._stage_files(out, snap.partition_by)
+            actions = [_remove_action(a["path"]) for a in before] + adds
+            base = read_version
+            while True:
+                try:
+                    self._commit(base, actions, "compact")
+                    return len(before), len(adds)
+                except ConcurrentModification:
+                    new_latest = self.latest_version()
+                    conflict = False
+                    for v in range(base + 1, new_latest + 1):
+                        for a in self._read_actions(v):
+                            rm = a.get("remove")
+                            if rm is not None and rm["path"] in before_paths:
+                                conflict = True
+                            md = a.get("metaData")
+                            if md is not None and (
+                                # every write carries metaData; only a
+                                # CHANGE to schema/partitioning conflicts
+                                md.get("schemaString") != snap.schema_json
+                                or tuple(md.get("partitionColumns") or ())
+                                != snap.partition_by
+                            ):
+                                conflict = True
+                    if conflict:
+                        break  # restage from the new snapshot
+                    base = new_latest  # append-only winners: rebase
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Delete data files referenced by NO snapshot newer than

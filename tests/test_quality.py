@@ -131,3 +131,35 @@ def test_dateutil_parseable_accepts_common_non_iso(spark):
     # only "not a date" violates; NULL and the five real layouts pass
     assert res[0].success is False
     assert "violations=1" in res[0].observed
+
+
+def test_fk_integrity_detects_orphans(spark, tmp_path):
+    from lakeflow import quality
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+
+    w("region", [(1, "r")], "r_regionkey long, r_name string")
+    w("nation", [(1, "n", 1)], "n_nationkey long, n_name string, n_regionkey long")
+    w("customer", [(1, 1), (2, 1)], "c_custkey long, c_nationkey long")
+    w("supplier", [(1, 1)], "s_suppkey long, s_nationkey long")
+    w("part", [(1,)], "p_partkey long")
+    # order 20 -> customer 99 is an orphan
+    w("orders", [(10, 1), (20, 99)], "o_orderkey long, o_custkey long")
+    # two lineitem rows point at missing order 30 (1 key, 2 rows);
+    # one points at missing part 7
+    w(
+        "lineitem",
+        [(10, 1, 1), (30, 1, 1), (30, 7, 1), (10, 7, 1)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    out = {r.fk: r for r in quality.fk_integrity(spark, str(tmp_path)).collect()}
+    assert out["orders.o_custkey -> customer.c_custkey"].orphan_rows == 1
+    assert out["orders.o_custkey -> customer.c_custkey"].orphan_keys == 1
+    lo = out["lineitem.l_orderkey -> orders.o_orderkey"]
+    assert (lo.orphan_rows, lo.orphan_keys, lo.child_rows) == (2, 1, 4)
+    lp = out["lineitem.l_partkey -> part.p_partkey"]
+    assert (lp.orphan_rows, lp.orphan_keys) == (2, 1)
+    assert out["nation.n_regionkey -> region.r_regionkey"].orphan_rows == 0

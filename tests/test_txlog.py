@@ -703,3 +703,57 @@ def test_compact_zorder_enables_multi_column_skipping(spark, tmp_path):
     # the z-ordered layout prunes on BOTH dimensions
     assert len(post_x.inputFiles()) < na
     assert len(post_y.inputFiles()) < na
+
+
+def test_compact_rebases_over_concurrent_blind_append(spark, tmp_path, monkeypatch):
+    t = TxTable(str(tmp_path / "t"))
+    for lo in (0, 10):
+        t.write(
+            spark.createDataFrame([Row(id=lo + i) for i in range(10)]).coalesce(1)
+        )
+    orig_commit = TxTable._commit
+    fired = {"done": False}
+
+    def racing(self, rv, actions, op):
+        if op == "compact" and not fired["done"]:
+            fired["done"] = True
+            TxTable(self.path).write(
+                spark.createDataFrame([Row(id=100)]).coalesce(1)
+            )
+        return orig_commit(self, rv, actions, op)
+
+    monkeypatch.setattr(TxTable, "_commit", racing)
+    nb, na = t.compact(spark, target_file_bytes=1 << 30)
+    assert (nb, na) == (2, 1)
+    # appended row survives uncompacted; compacted data intact
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(10)) + list(
+        range(10, 20)
+    ) + [100]
+    ops = [h["operation"] for h in t.history()]
+    # the append won the race: it sits between the writes and OPTIMIZE
+    assert ops[:2] == ["OPTIMIZE", "WRITE"]
+
+
+def test_compact_restages_when_concurrent_delete_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    t = TxTable(str(tmp_path / "t"))
+    for lo in (0, 10):
+        t.write(
+            spark.createDataFrame([Row(id=lo + i) for i in range(10)]).coalesce(1)
+        )
+    orig_commit = TxTable._commit
+    fired = {"done": False}
+
+    def racing(self, rv, actions, op):
+        if op == "compact" and not fired["done"]:
+            fired["done"] = True
+            # a concurrent DELETE removes one of the files being rewritten
+            TxTable(self.path).delete_where(spark, "id >= 15")
+        return orig_commit(self, rv, actions, op)
+
+    monkeypatch.setattr(TxTable, "_commit", racing)
+    t.compact(spark, target_file_bytes=1 << 30)
+    # the compaction restarted from the post-delete snapshot: deleted
+    # rows stay deleted — the stale rewrite did NOT resurrect them
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(15))
