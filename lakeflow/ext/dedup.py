@@ -121,7 +121,11 @@ def _mh_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3, keep: tuple[str, ...] = ()
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    keep: tuple[str, ...] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """doc_id (+ ``keep`` passthrough cols) + shingle set + K minhashes.
 
@@ -152,7 +156,18 @@ def minhash_signatures(
         "doc_id", *keep, _shingles(F.col("tokens"), shingle_n).alias("shingles")
     )
 
-    hashed = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    # portable=True swaps xxhash64 for the md5-derived hash (_md5h32) so
+    # every downstream value — families, minima, band keys — is exact
+    # integer arithmetic any md5-bearing engine reproduces; production
+    # keeps xxhash64 (one cheap pass per shingle's bytes).
+    if portable:
+        hashed = F.transform(
+            "shingles", lambda s: F.pmod(_md5h32(s), F.lit(_MH_PRIME))
+        )
+    else:
+        hashed = F.transform(
+            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+        )
     hp = sh.select("doc_id", *keep, "shingles", hashed.alias("hp"))
     # One array_min per hash family, all referencing the SAME hp column
     # (16 references → CollapseProject keeps hp materialized instead of
@@ -167,7 +182,9 @@ def minhash_signatures(
     return hp.select("doc_id", *keep, "shingles", minhashes.alias("minhash"))
 
 
-def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
     """LSH banding candidate generation shared by every MinHash consumer:
     explode the K-vector into B band signatures, self-join on the compact
     (band, band_sig) key, emit distinct ordered (doc_a, doc_b) pairs.
@@ -176,23 +193,25 @@ def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     shingle arrays and passthrough columns never ship through the B×
     explode. Candidates ∝ Σ_bucket |bucket|², never O(n²)."""
     rows_per_band = num_hashes // bands
+
+    def band_sig(b: F.Column) -> F.Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # portable: join on the raw value string (engine-neutral);
+        # default: murmur-compact it so the shuffle key is 4 bytes
+        return joined if portable else F.hash(joined)
+
     keys = sig.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_sig"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_sig(b).alias("band_sig")),
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.band_sig")
@@ -215,6 +234,7 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """X2 — MinHash+LSH near-duplicate pairs with exact-Jaccard verify.
 
@@ -228,9 +248,9 @@ def near_dup_pairs(
     # below (band keys, and both sides of the verify join) don't each
     # recompute it. Same medallion rationale as the silver persist:
     # at 100 TB this stage would be written out as its own table.
-    sig = minhash_signatures(docs, num_hashes).persist()
+    sig = minhash_signatures(docs, num_hashes, portable=portable).persist()
 
-    cand = _band_candidates(sig, num_hashes, bands)
+    cand = _band_candidates(sig, num_hashes, bands, portable=portable)
 
     # Verify: fetch shingle sets for the (few) surviving candidates.
     sh = sig.select("doc_id", "shingles")
@@ -247,6 +267,70 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def near_dup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`near_dup_pairs` on the md5 portable
+    shingle hash — the whole MinHash→banding→verify pipeline becomes
+    deterministic integer arithmetic DuckDB replays exactly
+    (NEAR_DUP_SQL), so even the LSH *candidate generation* is
+    oracle-checked, not just the verified survivors."""
+    return near_dup_pairs(spark, sf_dir, portable=True)
+
+
+def _near_dup_oracle_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5, shingle_n: int = 3
+) -> str:
+    """DuckDB twin of the portable near-dup pipeline, with the seeded
+    universal-hash coefficients baked in as literals."""
+    coeffs = _mh_coeffs(num_hashes)
+    r = num_hashes // bands
+    fams = ", ".join(
+        f"list_min(list_transform(hp, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in coeffs
+    )
+    bsig = " || ',' || ".join(
+        f"CAST(mh[band * {r} + {i + 1}] AS VARCHAR)" for i in range(r)
+    )
+    return f"""
+WITH norm AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - {shingle_n}, 0) + 2),
+                              i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
+    FROM norm
+), hp AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_MH_PRIME}) AS hp
+    FROM sh
+), sig AS (
+    SELECT doc_id, shingles, [{fams}] AS mh FROM hp
+), keys AS (
+    SELECT doc_id, band, {bsig} AS bsig
+    FROM sig, range(0, {bands}) t(band)
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+NEAR_DUP_SQL = _near_dup_oracle_sql()
 
 
 def _bands_for_threshold(

@@ -152,8 +152,11 @@ def knn_lsh(
     spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100, bits: int = 4
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    sign-LSH bucket. Recall is checked against knn_bruteforce in tests;
-    declared rows-only (approximation, not SQL-oracle-expressible)."""
+    sign-LSH bucket. Recall is checked against knn_bruteforce in tests.
+    The bucketing is hyperplane-free (sign bits of the leading dims) and
+    therefore fully deterministic — KNN_LSH_SQL replays the exact
+    bucket assignment, candidate set, and ranking in DuckDB, so this
+    APPROXIMATE query still carries an exact oracle."""
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     ).select("vec_id", "v", _norm("v").alias("nv"))
@@ -169,6 +172,37 @@ def knn_lsh(
     return _topk(
         pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
+
+
+KNN_LSH_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), b AS (
+    SELECT vec_id, v,
+           (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+    FROM v
+), q AS (
+    SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0
+), scored AS (
+    SELECT q.q_id, b.vec_id,
+           round(
+             list_aggregate(list_transform(list_zip(q.qv, b.v), p -> p[1] * p[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.qv, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))),
+             6) AS cosine
+    FROM q JOIN b USING (bucket)
+    WHERE b.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+ORDER BY q_id, rnk
+"""
 
 
 def knn_bruteforce_pandas(

@@ -407,7 +407,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # portable md5 gram hash + exploded scalar rows → DuckDB-reproducible
     "q_winnow_fingerprints": (text.winnow_fingerprints_portable, text.WINNOW_SQL),
     "q_dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
-    "q_dedup_near": (dedup.near_dup_pairs, None),  # LSH — rows-only
+    # portable md5 shingle hash: the full MinHash->banding->verify
+    # pipeline (including LSH candidate generation) replays in DuckDB
+    "q_dedup_near": (dedup.near_dup_pairs_portable, dedup.NEAR_DUP_SQL),
     # portable md5 token hash → exact 32-bit signature reproducible in DuckDB
     "q_dedup_simhash": (dedup.simhash_portable, dedup.SIMHASH_SQL),
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
@@ -475,7 +477,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_winsorize": (profile.winsorize, profile.WINSORIZE_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
-    "q_knn_lsh": (similarity.knn_lsh, None),  # approximate — rows-only
+    # approximate, but the sign-bucket assignment is deterministic — the
+    # oracle replays buckets, candidates, and ranking exactly
+    "q_knn_lsh": (similarity.knn_lsh, similarity.KNN_LSH_SQL),
     # Arrow/numpy float64 sums round to the same 6dp as the JVM fold and
     # DuckDB on this data — certified against the brute-force oracle
     "q_knn_pandas": (similarity.knn_bruteforce_pandas, similarity.KNN_BRUTEFORCE_SQL),
@@ -613,6 +617,8 @@ _CERT_FIRST: list[str] = [
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",
+    "q_dedup_near",
+    "q_knn_lsh",
     "q_dedup_simhash",
     "q_winnow_fingerprints",
     "q_knn_pandas",
