@@ -208,3 +208,72 @@ SELECT lang, docs, actual_tokens,
 FROM t
 ORDER BY lang
 """
+
+
+N_SHARDS = 16
+
+
+def shard_manifest(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic training-shard plan: every document is assigned a
+    shard by md5(doc_id) — reproducible in any engine, stable under
+    re-runs and repartitioning — and the manifest reports per-shard
+    document/token/char totals plus the skew ratio a reader needs to
+    plan balanced consumption.
+
+    This is the SHUFFLE step of a training-data export (the writer
+    would `repartition(n_shards, shard_id)` and write one file set per
+    shard): hash sharding decorrelates adjacent documents (a
+    source-ordered corpus otherwise puts one crawl's pages in one
+    shard), and doing it by CONTENT KEY rather than Spark's task RNG
+    keeps the shard membership byte-stable across cluster sizes — the
+    property that makes training runs resumable and data ablations
+    diffable. One map-side-combined shuffle on shard_id; output rows =
+    n_shards.
+    """
+    docs = io.read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    shard = F.pmod(F.conv(hx, 16, 10).cast("bigint"), F.lit(n_shards))
+    toks = F.size(F.split(F.col("text"), TOKEN_SPLIT))
+    per = (
+        docs.select(shard.alias("shard_id"), toks.alias("n_tok"), F.length("text").alias("n_chr"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum("n_chr").cast("bigint").alias("chars"),
+        )
+    )
+    mean_docs = per.agg(F.avg("docs").alias("_m"))
+    return (
+        per.crossJoin(mean_docs)
+        .select(
+            "shard_id",
+            "docs",
+            "tokens",
+            "chars",
+            F.round(F.col("docs") / F.col("_m"), 6).alias("balance"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+SHARD_MANIFEST_SQL = rf"""
+WITH d AS (
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % {N_SHARDS} AS shard_id,
+           len(string_split_regex(text, '{TOKEN_SPLIT}')) AS n_tok,
+           length(text) AS n_chr
+    FROM documents WHERE text IS NOT NULL
+), per AS (
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(n_chr) AS BIGINT) AS chars
+    FROM d GROUP BY shard_id
+)
+SELECT shard_id, docs, tokens, chars,
+       round(docs / (SELECT avg(docs) FROM per), 6) AS balance
+FROM per ORDER BY shard_id
+"""

@@ -417,7 +417,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
     "q_bm25": (text.bm25_scores, text.BM25_SQL),
-    # batch-assembly stage (chunk → pack → mix): ext/packing.py
+    # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
+    "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
     "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),
@@ -619,6 +620,7 @@ _CERT_FIRST: list[str] = [
     "q_fk_integrity",
     "q_dedup_near",
     "q_knn_lsh",
+    "q_shard_manifest",
     "q_dedup_simhash",
     "q_winnow_fingerprints",
     "q_knn_pandas",

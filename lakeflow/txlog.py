@@ -82,7 +82,32 @@ _OPERATIONS = {
     "update": ("UPDATE", {}),
     "restore": ("RESTORE", {}),
     "clone": ("CLONE", {"isShallow": "true"}),
+    "addConstraint": ("ADD CONSTRAINT", {}),
+    "dropConstraint": ("DROP CONSTRAINT", {}),
 }
+
+
+def _check_constraints(df: DataFrame, cons: dict[str, str]) -> None:
+    """One aggregate pass counting violations of every CHECK constraint
+    (SQL semantics: a row violates only when the expression is FALSE —
+    NULL satisfies). Raises ConstraintViolation naming each failed
+    constraint with its violation count."""
+    if not cons:
+        return
+    names = sorted(cons)
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(n)
+        for n in names
+    ]
+    row = df.agg(*aggs).first()
+    bad = {n: int(row[n]) for n in names if row[n]}
+    if bad:
+        detail = ", ".join(f"{n} ({cons[n]!r}): {c} rows" for n, c in bad.items())
+        raise ConstraintViolation(f"CHECK constraint(s) violated — {detail}")
 
 
 class ConcurrentModification(Exception):
@@ -94,6 +119,11 @@ class ConcurrentModification(Exception):
 
 class NoSuchVersion(Exception):
     pass
+
+
+class ConstraintViolation(Exception):
+    """A write batch contains rows failing a table CHECK constraint —
+    the commit is refused and nothing (data or log) is published."""
 
 
 def _commit_name(v: int) -> str:
@@ -111,17 +141,24 @@ def _remove_action(path: str) -> dict[str, Any]:
 
 
 def _meta_action(
-    snap: Snapshot | None, schema: StructType, partition_by: tuple[str, ...]
+    snap: Snapshot | None,
+    schema: StructType,
+    partition_by: tuple[str, ...],
+    configuration: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Spec-shaped metaData action; the id and createdTime are minted on
-    the table's first commit and carried verbatim afterwards."""
+    the table's first commit and carried verbatim afterwards, as is the
+    configuration map (constraints live there) unless explicitly
+    replaced."""
+    if configuration is None:
+        configuration = dict(snap.configuration) if snap else {}
     return {
         "metaData": {
             "id": (snap.meta_id if snap and snap.meta_id else uuid.uuid4().hex),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
             "partitionColumns": list(partition_by),
-            "configuration": {},
+            "configuration": configuration,
             "createdTime": (
                 snap.created_ms
                 if snap and snap.created_ms is not None
@@ -281,6 +318,18 @@ class Snapshot:
     # carried verbatim through every later metaData action)
     meta_id: str | None = None
     created_ms: int | None = None
+    # metaData.configuration — carries delta.constraints.<name> entries
+    configuration: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """name -> CHECK expression, from delta.constraints.* config."""
+        pre = "delta.constraints."
+        return {
+            k[len(pre):]: v
+            for k, v in self.configuration.items()
+            if k.startswith(pre)
+        }
 
     @property
     def schema(self) -> StructType | None:
@@ -340,6 +389,7 @@ class TxTable:
         meta_id: str | None = None
         ts = 0.0
         txns: dict[str, int] = {}
+        configuration: dict[str, str] = {}
         start = 0
         if ckpts:
             cv = max(ckpts)
@@ -357,6 +407,7 @@ class TxTable:
                 partition_by = tuple(md.get("partitionColumns") or partition_by)
                 meta_id = md.get("id", meta_id)
                 created_ms = md.get("createdTime", created_ms)
+                configuration = dict(md.get("configuration") or {})
             elif action.get("add") is not None:
                 files[action["add"]["path"]] = action["add"]
             elif action.get("remove") is not None:
@@ -368,7 +419,15 @@ class TxTable:
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
             # protocol / cdc actions carry no snapshot state
         return Snapshot(
-            v, schema_json, partition_by, files, ts, txns, meta_id, created_ms
+            v,
+            schema_json,
+            partition_by,
+            files,
+            ts,
+            txns,
+            meta_id,
+            created_ms,
+            configuration,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -475,7 +534,7 @@ class TxTable:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema_json or "",
                     "partitionColumns": list(snap.partition_by),
-                    "configuration": {},
+                    "configuration": dict(snap.configuration),
                     "createdTime": (
                         snap.created_ms
                         if snap.created_ms is not None
@@ -581,6 +640,8 @@ class TxTable:
                 snap = None
                 new_schema = df.schema
             if staged is None:  # stage once; retries only recompute the log side
+                if snap is not None:
+                    _check_constraints(df, snap.constraints)
                 staged = self._stage_files(df, tuple(partition_by))
             if cdf and (cdf_files is None or cdf_staged_for != read_version):
                 # The delete preimage is a function of read_version, so
@@ -827,6 +888,7 @@ class TxTable:
                 matched = 0
                 merged = updates
             new_schema = _merge_schemas(snap.schema, updates.schema)
+            _check_constraints(updates, snap.constraints)
             adds = self._stage_files(merged, part_by)
             actions: list[dict[str, Any]] = [
                 _meta_action(snap, new_schema, part_by)
@@ -920,6 +982,8 @@ class TxTable:
         sub = self._read_adds(spark, snap, rewrite)
         matched = sub.filter(pred).count()
         new_rows = rewrite_row(sub)
+        if operation == "update":  # UPDATE can introduce violations; DELETE can't
+            _check_constraints(new_rows, snap.constraints)
         adds = self._stage_files(new_rows, snap.partition_by)
         actions: list[dict[str, Any]] = (
             [_remove_action(a["path"]) for a in rewrite] + adds
@@ -1102,6 +1166,46 @@ class TxTable:
             if root != self.path and not os.listdir(root):
                 os.rmdir(root)
         return sorted(deleted)
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta's CHECK constraints, stored
+        as ``delta.constraints.<name>`` in metaData.configuration): the
+        EXISTING data is scanned first and must satisfy ``expr`` (SQL
+        CHECK semantics — NULL passes), then the constraint commits as a
+        metadata change; every subsequent write/merge/update batch is
+        validated in one aggregate pass before anything publishes."""
+        key = f"delta.constraints.{name}"
+        while True:
+            latest = self.latest_version()
+            snap = self.snapshot(latest)
+            if key in snap.configuration:
+                raise ValueError(f"constraint {name!r} already exists")
+            _check_constraints(self.read(spark, version=latest), {name: expr})
+            config = {**snap.configuration, key: expr}
+            actions = [
+                _meta_action(snap, snap.schema, snap.partition_by, config)
+            ]
+            try:
+                return self._commit(latest, actions, "addConstraint")
+            except ConcurrentModification:
+                continue
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT."""
+        key = f"delta.constraints.{name}"
+        while True:
+            latest = self.latest_version()
+            snap = self.snapshot(latest)
+            if key not in snap.configuration:
+                raise ValueError(f"no constraint {name!r}")
+            config = {k: v for k, v in snap.configuration.items() if k != key}
+            actions = [
+                _meta_action(snap, snap.schema, snap.partition_by, config)
+            ]
+            try:
+                return self._commit(latest, actions, "dropConstraint")
+            except ConcurrentModification:
+                continue
 
     def restore(
         self, version: int | None = None, asof_timestamp: float | None = None

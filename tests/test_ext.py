@@ -609,3 +609,60 @@ def test_winsorize_clamps_outlier_into_group_bounds(spark, sf_dir):
         assert r.p_lo <= r.p_hi
         # winsorized mean lies within the clamp bounds; raw mean need not
         assert r.p_lo <= r.mean_wins <= r.p_hi
+
+
+def _bpe_reference(word_freqs, rounds):
+    """Pure-Python reference of the engine's BPE semantics: greedy
+    left-to-right non-overlapping merge application, argmax pair by
+    (freq desc, pair asc)."""
+    from collections import Counter
+
+    state = [([*w], f) for w, f in word_freqs]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for syms, f in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), f = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, f))
+        nxt = []
+        for syms, fr in state:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, fr))
+        state = nxt
+    return merges
+
+
+def test_bpe_matches_pure_python_reference_on_random_corpora(spark, tmp_path):
+    import random
+
+    from lakeflow.ext import bpe
+
+    rng = random.Random(123)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        corpus = " ".join(words)
+        d = tmp_path / f"trial{trial}"
+        d.mkdir()
+        _write_docs_table(spark, d, [(1, corpus, "en", "s", len(corpus))])
+        from collections import Counter
+
+        expected = _bpe_reference(sorted(Counter(words).items()), rounds=5)
+        got = [
+            (r.round, r.left_sym, r.right_sym, r.merged, r.freq)
+            for r in bpe.bpe_merges(spark, str(d), rounds=5).collect()
+        ]
+        assert got == expected, f"corpus={corpus!r}"

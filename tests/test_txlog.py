@@ -757,3 +757,47 @@ def test_compact_restages_when_concurrent_delete_conflicts(
     # the compaction restarted from the post-delete snapshot: deleted
     # rows stay deleted — the stale rewrite did NOT resurrect them
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(15))
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    from lakeflow.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([Row(id=1, amount=10.0), Row(id=2, amount=None)]))
+    t.add_constraint(spark, "amount_positive", "amount > 0")  # NULL passes
+    v = t.latest_version()
+    # compliant append fine; violating append refused atomically
+    t.write(spark.createDataFrame([Row(id=3, amount=5.0)]))
+    with pytest.raises(ConstraintViolation, match="amount_positive"):
+        t.write(spark.createDataFrame([Row(id=4, amount=-1.0)]))
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    # merge path
+    with pytest.raises(ConstraintViolation):
+        t.upsert_by_key(
+            spark, spark.createDataFrame([Row(id=1, amount=-9.0)]), ("id",)
+        )
+    # UPDATE path; DELETE never re-validates
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, "id = 1", {"amount": "-5.0"})
+    t.delete_where(spark, "id = 3")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # constraint survives the log (fresh handle) and checkpoint config
+    t2 = TxTable(str(tmp_path / "t"))
+    assert t2.snapshot().constraints == {"amount_positive": "amount > 0"}
+    # drop, then the violating write lands
+    t2.drop_constraint("amount_positive")
+    t2.write(spark.createDataFrame([Row(id=9, amount=-1.0)]))
+    assert 9 in {r.id for r in t2.read(spark).collect()}
+    ops = [h["operation"] for h in t2.history()]
+    assert "ADD CONSTRAINT" in ops and "DROP CONSTRAINT" in ops
+    assert v is not None
+
+
+def test_add_constraint_rejects_nonconforming_existing_data(spark, tmp_path):
+    from lakeflow.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([Row(id=1, amount=-3.0)]))
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "amount_positive", "amount > 0")
+    assert t.snapshot().constraints == {}
