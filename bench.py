@@ -112,6 +112,8 @@ EXTENDED_QUERIES = (
     "q_winsorize",
     "q_winnow_fingerprints",
     "q_dedup_simhash",
+    "q_fk_integrity",
+    "q_shard_manifest",
 )
 
 
