@@ -381,3 +381,109 @@ FROM orders o JOIN bounds b USING (o_orderpriority)
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+PSI_PIVOT = "1998-01-01"
+PSI_EPS = 1e-6
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of o_totalprice between a reference
+    period (orders before PSI_PIVOT) and the current period — the
+    standard drift monitor a feature/data pipeline runs between
+    snapshots. Bins are the REFERENCE period's exact deciles
+    (PERCENTILE_DISC — the q_percentile_multi/q_winsorize pattern), so
+    the reference shares are ~10% by construction and the PSI terms
+    measure how the current period redistributes across them.
+
+    Shape: one decile-bounds aggregate on the reference slice (9 values,
+    broadcast), one map-side bucket assignment (9 comparisons — a pure
+    projection), one groupBy(bin) counting both periods at once, one
+    total-window. Nothing scales with rows after the first aggregate.
+    Proportions are epsilon-smoothed (PSI_EPS) so empty current bins
+    stay finite — identical arithmetic in the DuckDB oracle, and ln()
+    agrees across engines at the 6dp rounding (the q_tfidf precedent).
+    """
+    orders = io.read_table(spark, sf_dir, "orders")
+    pivot = F.lit(PSI_PIVOT).cast("timestamp")
+    ref = orders.filter(F.col("o_orderdate") < pivot)
+    cuts_row = ref.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    j = orders.crossJoin(F.broadcast(cuts_row))
+    bin_id = sum(
+        F.when(F.col("o_totalprice") > F.col(f"c{q}"), 1).otherwise(0)
+        for q in range(1, 10)
+    )
+    binned = j.select(
+        bin_id.alias("bin_id"),
+        (F.col("o_orderdate") < pivot).alias("is_ref"),
+    )
+    per = binned.groupBy("bin_id").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cnt_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cnt_cur"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    # windows and the arithmetic over them live in SEPARATE selects —
+    # sum(term) OVER () where term itself contains window expressions
+    # would nest windows, which Spark (rightly) rejects
+    shares = per.select(
+        "bin_id",
+        "cnt_ref",
+        "cnt_cur",
+        ((F.col("cnt_ref") / F.sum("cnt_ref").over(w)) + F.lit(PSI_EPS)).alias("sr"),
+        ((F.col("cnt_cur") / F.sum("cnt_cur").over(w)) + F.lit(PSI_EPS)).alias("sc"),
+    )
+    terms = shares.select(
+        "bin_id",
+        "cnt_ref",
+        "cnt_cur",
+        ((F.col("sc") - F.col("sr")) * F.log(F.col("sc") / F.col("sr"))).alias("term"),
+    )
+    return (
+        terms.select(
+            "bin_id",
+            "cnt_ref",
+            "cnt_cur",
+            F.round("term", 6).alias("psi_term"),
+            F.round(F.sum("term").over(w), 6).alias("psi_total"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+DRIFT_PSI_SQL = f"""
+WITH ref AS (
+    SELECT o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '{PSI_PIVOT}'
+), cuts AS (
+    SELECT {", ".join(f"quantile_disc(o_totalprice, {q / 10}) AS c{q}" for q in range(1, 10))}
+    FROM ref
+), binned AS (
+    SELECT {" + ".join(f"CASE WHEN o.o_totalprice > c.c{q} THEN 1 ELSE 0 END" for q in range(1, 10))} AS bin_id,
+           o.o_orderdate < TIMESTAMP '{PSI_PIVOT}' AS is_ref
+    FROM orders o, cuts c
+), per AS (
+    SELECT bin_id,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+           CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+    FROM binned GROUP BY bin_id
+), terms AS (
+    SELECT bin_id, cnt_ref, cnt_cur,
+           ((cnt_cur / (sum(cnt_cur) OVER ())::DOUBLE + {PSI_EPS})
+            - (cnt_ref / (sum(cnt_ref) OVER ())::DOUBLE + {PSI_EPS}))
+           * ln((cnt_cur / (sum(cnt_cur) OVER ())::DOUBLE + {PSI_EPS})
+                / (cnt_ref / (sum(cnt_ref) OVER ())::DOUBLE + {PSI_EPS})) AS term
+    FROM per
+)
+SELECT bin_id, cnt_ref, cnt_cur,
+       round(term, 6) AS psi_term,
+       round(sum(term) OVER (), 6) AS psi_total
+FROM terms ORDER BY bin_id
+"""

@@ -476,6 +476,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_mad": (profile.mad_by_group, profile.MAD_SQL),
     "q_percentile_multi": (profile.percentile_multi, profile.PERCENTILE_MULTI_SQL),
     "q_winsorize": (profile.winsorize, profile.WINSORIZE_SQL),
+    "q_drift_psi": (profile.drift_psi, profile.DRIFT_PSI_SQL),
     "q_embed_norms": (similarity.embed_norms, similarity.EMBED_NORMS_SQL),
     "q_knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     # approximate, but the sign-bucket assignment is deterministic — the
@@ -621,6 +622,7 @@ _CERT_FIRST: list[str] = [
     "q_dedup_near",
     "q_knn_lsh",
     "q_shard_manifest",
+    "q_drift_psi",
     "q_dedup_simhash",
     "q_winnow_fingerprints",
     "q_knn_pandas",
