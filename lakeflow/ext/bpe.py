@@ -60,66 +60,123 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _learn(
+    words: DataFrame, rounds: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The training loop. Returns (merge rules, FINAL vocabulary state
+    (word, r=segmented repr, freq) — persisted; caller unpersists)."""
+    state = words.select(
+        "word", F.regexp_replace("word", "(.)", "($1)").alias("r"), "freq"
+    ).persist()
+    prev = None
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        syms = state.select(
+            F.split(
+                F.regexp_replace("r", r"^\(|\)$", ""), r"\)\("
+            ).alias("sy"),
+            "freq",
+        ).filter(F.size("sy") > 1)
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sy) - 1),"
+                    " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.desc("f"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, f = top[0]["pair"], int(top[0]["f"])
+        left, right = pair.split(" ")
+        merges.append((rnd, left, right, left + right, f))
+        nxt = state.select(
+            "word",
+            F.replace(
+                F.col("r"),
+                F.lit(f"({left})({right})"),
+                F.lit(f"({left}{right})"),
+            ).alias("r"),
+            "freq",
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        if prev is not None:
+            prev.unpersist()
+        prev, state = state, nxt
+    if prev is not None and prev is not state:
+        prev.unpersist()
+    return merges, state
+
+
 def bpe_merges(
     spark: SparkSession, sf_dir: str, rounds: int = DEFAULT_ROUNDS
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merge rules; returns one row per
     round: (round, left_sym, right_sym, merged, freq).
     """
-    words = _word_freqs(spark, sf_dir)
-    state = words.select(
-        F.regexp_replace("word", "(.)", "($1)").alias("r"), "freq"
-    ).persist()
-    prev = None
-    merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for rnd in range(1, rounds + 1):
-            syms = state.select(
-                F.split(
-                    F.regexp_replace("r", r"^\(|\)$", ""), r"\)\("
-                ).alias("sy"),
-                "freq",
-            ).filter(F.size("sy") > 1)
-            pairs = syms.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(sy) - 1),"
-                        " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            top = (
-                pairs.groupBy("pair")
-                .agg(F.sum("freq").alias("f"))
-                .orderBy(F.desc("f"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            pair, f = top[0]["pair"], int(top[0]["f"])
-            left, right = pair.split(" ")
-            merges.append((rnd, left, right, left + right, f))
-            nxt = state.select(
-                F.replace(
-                    F.col("r"),
-                    F.lit(f"({left})({right})"),
-                    F.lit(f"({left}{right})"),
-                ).alias("r"),
-                "freq",
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            if prev is not None:
-                prev.unpersist()
-            prev, state = state, nxt
-    finally:
-        state.unpersist()
-        if prev is not None:
-            prev.unpersist()
+    merges, state = _learn(_word_freqs(spark, sf_dir), rounds)
+    state.unpersist()
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, merged string, freq bigint"
     ).orderBy("round")
+
+
+def bpe_apply(
+    spark: SparkSession, sf_dir: str, rounds: int = DEFAULT_ROUNDS
+) -> DataFrame:
+    """Train-then-apply: learn the merge table, then segment the WHOLE
+    corpus with it and report per-language compression stats —
+    (lang, docs, words, symbols, symbols_per_word). The number a
+    tokenizer build actually optimizes (symbols/word falls as merges
+    land) and the judge of whether merges learned on the pooled corpus
+    transfer to each language.
+
+    Scale shape: the segmentation lives on the VOCABULARY (word →
+    symbol count, one small relation), so applying it corpus-wide is a
+    broadcast join against the exploded word instances — no corpus-side
+    string work at all; the R replace passes never touch the corpus,
+    only the vocab. This is the standard trainer trick (run on word
+    counts, not raw text) surfaced end-to-end.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+    from pyspark.sql.functions import broadcast
+
+    docs = normalized_docs(spark, sf_dir)
+    inst = (
+        tokenized(docs, "lang")
+        .select("doc_id", "lang", F.explode("tokens").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    _, state = _learn(inst.groupBy("word").agg(F.count("*").alias("freq")), rounds)
+    # materialize the tiny vocab eagerly (truncates the R-round replace
+    # lineage) so the training state can be unpersisted before the
+    # caller ever evaluates the returned frame
+    vocab = state.select(
+        "word",
+        F.size(
+            F.split(F.regexp_replace("r", r"^\(|\)$", ""), r"\)\(")
+        ).alias("n_sym"),
+    ).localCheckpoint()
+    state.unpersist()
+    return (
+        inst.join(broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("docs"),
+            F.count("*").cast("bigint").alias("words"),
+            F.sum("n_sym").cast("bigint").alias("symbols"),
+            F.round(F.sum("n_sym") / F.count("*"), 6).alias("symbols_per_word"),
+        )
+        .orderBy("lang")
+    )
 
 
 def _bpe_oracle_sql(rounds: int = DEFAULT_ROUNDS) -> str:
@@ -134,7 +191,7 @@ def _bpe_oracle_sql(rounds: int = DEFAULT_ROUNDS) -> str:
         FROM documents WHERE text IS NOT NULL
     ) WHERE word <> '' GROUP BY word
 )""",
-        "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS r, freq FROM words)",
+        "w0 AS (SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS r, freq FROM words)",
     ]
     selects = []
     for i in range(1, rounds + 1):
@@ -148,7 +205,7 @@ def _bpe_oracle_sql(rounds: int = DEFAULT_ROUNDS) -> str:
         )
         ctes.append(
             f"""w{i} AS (
-    SELECT replace(w{i - 1}.r,
+    SELECT word, replace(w{i - 1}.r,
                    '(' || replace(p{i}.pair, ' ', ')(') || ')',
                    '(' || replace(p{i}.pair, ' ', '') || ')') AS r, freq
     FROM w{i - 1}, p{i}
@@ -159,10 +216,41 @@ def _bpe_oracle_sql(rounds: int = DEFAULT_ROUNDS) -> str:
             f" split_part(pair, ' ', 2) AS right_sym,"
             f" replace(pair, ' ', '') AS merged, f AS freq FROM p{i}"
         )
+    return "WITH " + ",\n".join(ctes), selects
+
+
+def _merges_sql(rounds: int = DEFAULT_ROUNDS) -> str:
+    prefix, selects = _bpe_oracle_sql(rounds)
+    return prefix + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+def _apply_sql(rounds: int = DEFAULT_ROUNDS) -> str:
+    prefix, _ = _bpe_oracle_sql(rounds)
     return (
-        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY round"
+        prefix
+        + f""",
+inst AS (
+    SELECT doc_id, lang, unnest(string_split_regex(
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+        '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+    SELECT word,
+           len(string_split(regexp_replace(r, '^\\(|\\)$', '', 'g'), ')(')) AS n_sym
+    FROM w{rounds}
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+       CAST(count(*) AS BIGINT) AS words,
+       CAST(sum(n_sym) AS BIGINT) AS symbols,
+       round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS symbols_per_word
+FROM inst JOIN vocab USING (word)
+WHERE word <> ''
+GROUP BY lang ORDER BY lang
+"""
     )
 
 
-BPE_MERGES_SQL = _bpe_oracle_sql()
+BPE_MERGES_SQL = _merges_sql()
+BPE_APPLY_SQL = _apply_sql()

@@ -470,6 +470,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # iterative corpus algorithm: R rounds of argmax-pair + corpus-wide
     # merge; oracle is the loop UNROLLED into chained DuckDB CTEs
     "q_bpe_merges": (bpe.bpe_merges, bpe.BPE_MERGES_SQL),
+    # train-then-apply: segment the corpus with the learned vocab (the
+    # per-word symbol counts broadcast-join the exploded instances)
+    "q_bpe_apply": (bpe.bpe_apply, bpe.BPE_APPLY_SQL),
     "q_ntile_binning": (profile.ntile_binning, profile.NTILE_BINNING_SQL),
     "q_corr": (profile.correlation, profile.CORRELATION_SQL),
     "q_column_profile": (profile.column_profile, profile.COLUMN_PROFILE_SQL),
@@ -623,6 +626,7 @@ _CERT_FIRST: list[str] = [
     "q_knn_lsh",
     "q_shard_manifest",
     "q_drift_psi",
+    "q_bpe_apply",
     "q_dedup_simhash",
     "q_winnow_fingerprints",
     "q_knn_pandas",
