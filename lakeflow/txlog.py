@@ -1614,3 +1614,102 @@ def maintain_join_view(
         txn=[(f"{state_app_id}:left", lv), (f"{state_app_id}:right", rv)],
     )
     return {"appended": n, "left_version": lv, "right_version": rv}
+
+
+def maintain_dedup_view(
+    spark: SparkSession,
+    source: TxTable,
+    view: TxTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_app_id: str = "dedup_view",
+) -> dict[str, int]:
+    """Incremental exact-dedup registry over an append-only document
+    source — the continuous-curation dual of batch ``q_dedup_exact``:
+
+        V[fp] = (MIN(keep_id) over all appends, Σ copies)
+
+    Each refresh reads ONLY the source's CDF inserts since the last
+    folded version, fingerprints the delta (md5 of the normalized
+    text — the same key as the batch operator), aggregates it
+    (shuffle ∝ |Δ|, never |source|), merges the touched fingerprints of
+    the old registry (MIN is associative, copies is additive — both
+    fold correctly for an APPEND-ONLY source; deletes would need a full
+    regroup and are out of contract, as in maintain_agg_view), and
+    publishes through :meth:`TxTable.upsert_by_key` atomically WITH the
+    folded-version txn marker — idempotent under crash/replay.
+
+    At 100 TB this is the shape dedup actually runs in production:
+    the full-corpus groupBy happens once, and every new crawl batch
+    afterwards costs |batch| — new documents whose fingerprint already
+    exists in the registry are the duplicates to drop before training.
+    """
+    sv = source.latest_version()
+    sv = -1 if sv is None else sv
+    done = view.snapshot().txns.get(f"{state_app_id}:src", -1) if view.exists() else -1
+    if sv <= done:
+        return {"merged_fingerprints": 0, "source_version": sv}
+    try:
+        delta = source.table_changes(spark, from_version=done + 1, to_version=sv)
+        delta = delta.filter(F.col("_change_type") == "insert")
+    except NoSuchVersion:
+        delta = None
+
+    if delta is not None:
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+        d = (
+            delta.filter(F.col(text_col).isNotNull())
+            .select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(
+                F.min(id_col).alias("keep_doc_id"),
+                F.count("*").alias("copies"),
+            )
+        )
+        if view.exists():
+            old = view.read(spark).select(
+                "fingerprint",
+                F.col("keep_doc_id").alias("_old_keep"),
+                F.col("copies").alias("_old_copies"),
+            )
+            d = (
+                d.join(old, "fingerprint", "left")
+                .withColumn(
+                    "keep_doc_id",
+                    F.least(
+                        F.col("keep_doc_id"),
+                        F.coalesce(F.col("_old_keep"), F.col("keep_doc_id")),
+                    ),
+                )
+                .withColumn(
+                    "copies",
+                    F.col("copies") + F.coalesce(F.col("_old_copies"), F.lit(0)),
+                )
+                .drop("_old_keep", "_old_copies")
+            )
+        d = d.persist()
+        try:
+            n = d.count()
+            if n:
+                view.upsert_by_key(
+                    spark,
+                    d,
+                    key_cols=("fingerprint",),
+                    txn=(f"{state_app_id}:src", sv),
+                )
+                return {"merged_fingerprints": n, "source_version": sv}
+        finally:
+            d.unpersist()
+    empty = (
+        view.read(spark).limit(0)
+        if view.exists()
+        else spark.createDataFrame([], "fingerprint string, keep_doc_id bigint, copies bigint")
+    )
+    view.write(empty, mode="append", txn=(f"{state_app_id}:src", sv))
+    return {"merged_fingerprints": 0, "source_version": sv}

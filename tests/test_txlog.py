@@ -801,3 +801,58 @@ def test_add_constraint_rejects_nonconforming_existing_data(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.add_constraint(spark, "amount_positive", "amount > 0")
     assert t.snapshot().constraints == {}
+
+
+def _docs_batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_view_matches_batch_recompute(spark, tmp_path):
+    from lakeflow.txlog import maintain_dedup_view
+
+    src = TxTable(str(tmp_path / "src"))
+    view = TxTable(str(tmp_path / "view"))
+    batches = [
+        [(1, "Hello, World!"), (2, "other text")],
+        [(3, "hello   world"), (4, "unique three")],   # 3 dups 1
+        [(5, "OTHER TEXT!!"), (6, "hello world")],     # 5 dups 2, 6 dups 1
+    ]
+    seen = []
+    for b in batches:
+        src.write(_docs_batch(spark, b), cdf=True)
+        r = maintain_dedup_view(spark, src, view)
+        assert r["merged_fingerprints"] > 0
+        seen += b
+        # equivalence: registry == batch groupBy over everything so far
+        got = {
+            r2.fingerprint: (r2.keep_doc_id, r2.copies)
+            for r2 in view.read(spark).collect()
+        }
+        exp_df = (
+            _docs_batch(spark, seen)
+            .select(
+                F.md5(
+                    F.trim(
+                        F.regexp_replace(
+                            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                            r"\s+",
+                            " ",
+                        )
+                    )
+                ).alias("fingerprint"),
+                "doc_id",
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keep"), F.count("*").alias("copies"))
+        )
+        exp = {r3.fingerprint: (r3.keep, r3.copies) for r3 in exp_df.collect()}
+        assert got == exp
+    # survivors: 1 keeps {1,3,6}, 2 keeps {2,5}, 4 alone
+    final = {r4.keep_doc_id: r4.copies for r4 in view.read(spark).collect()}
+    assert final == {1: 3, 2: 2, 4: 1}
+    # idempotent: re-running with no new source version is a no-op
+    r = maintain_dedup_view(spark, src, view)
+    assert r["merged_fingerprints"] == 0
+    v_before = view.latest_version()
+    maintain_dedup_view(spark, src, view)
+    assert view.latest_version() == v_before
