@@ -1,0 +1,294 @@
+"""Statistical language-model scoring over `documents` — the
+perplexity-based quality filter every large-scale pretraining corpus
+pipeline runs (the CCNet recipe: score each document under a small LM,
+keep/bucket by perplexity), plus reciprocal-rank-fusion hybrid
+retrieval combining the lexical (BM25) and semantic (embedding-cosine)
+rankers.
+
+Scale design:
+- The bigram model is a CORPUS-BOUNDED side table (≤ |V|² rows, in
+  practice ∝ observed bigram types which grow ~Heaps-law sublinearly),
+  built with two partial-aggregable groupBys. At 100 TB the model is
+  pruned to top-M types + an OOV mass and broadcast (a few GB at
+  most); here it stays a plain join and AQE broadcasts it from runtime
+  stats — same plan either way.
+- The document side shuffles only (doc_id, w1, w2) bigram instances
+  into the model join, then one groupBy(doc_id) with map-side partial
+  sums. No O(n²), no windows, no Python.
+- Scoring arithmetic is deterministic-by-construction: probabilities
+  are ratios of exact integer counts (IEEE division), and the per-doc
+  sum of -log2 terms tolerates shuffle-order float drift ~1e-11, far
+  under the 6 dp rounding gate (same argument as BM25's certified
+  scoring, text.py).
+
+Reference scope: the reference has no LM scoring — this is part of the
+training-data-pipeline extension surface (brief §"text analysis").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ADD_K = 0.5  # add-k smoothing mass per bigram type
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram INSTANCE, from the shared
+    normalized-text tier (norm split once; lambda sees a cheap column
+    reference, see dedup._shingles perf note)."""
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    t = tokenized(normalized_docs(spark, sf_dir))
+    idx = F.sequence(F.lit(1), F.size("tokens") - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("tokens", i).alias("w1"),
+            F.element_at("tokens", i + 1).alias("w2"),
+        ),
+    )
+    return (
+        t.filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def bigram_lm_scores(
+    spark: SparkSession, sf_dir: str, k: float = ADD_K
+) -> DataFrame:
+    """Per-document bigram cross-entropy + perplexity under an add-k
+    smoothed bigram LM trained on the corpus itself (self-scoring — the
+    standard first pass; a curation deployment trains on a clean
+    reference corpus and scores the crawl, which is the same plan with
+    the model side read from a table).
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) counts
+    w1-as-context occurrences and V is the corpus vocabulary size.
+    cross_entropy = mean(-log2 p) in bits/bigram; ppl = 2^H.
+
+    Plan: two small aggregations build the model (bigram types,
+    context totals); a scalar V rides a 1-row cross join; one join
+    maps every bigram instance to its probability; one groupBy(doc_id)
+    reduces. The model side is tiny relative to the corpus, so AQE
+    broadcasts the join at runtime — at 100 TB you'd prune + broadcast
+    explicitly and the instance side would never shuffle at all.
+    """
+    bg = _doc_bigrams(spark, sf_dir)
+    # model: bigram-type counts + context totals (both partial-agg'd)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        bg.select(F.col("w1").alias("w")).union(bg.select("w2"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = (
+        c12.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    scored = bg.join(model, ["w1", "w2"])  # self-trained: every instance hits
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            (-F.sum(F.log2("p")) / F.count("*")).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("h", 6).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), F.col("h")), 3).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), bg AS (
+    -- parallel scalar UNNESTs zip positionally in DuckDB: w1 = tokens
+    -- 1..n-1 pairs with w2 = tokens 2..n
+    SELECT doc_id,
+           unnest(tokens[1:len(tokens)-1]) AS w1,
+           unnest(tokens[2:len(tokens)]) AS w2
+    FROM tok WHERE len(tokens) >= 2
+), c12 AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT w) AS v
+    FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+), model AS (
+    SELECT c12.w1, c12.w2,
+           (c12 + 0.5) / (c1 + 0.5 * v) AS p
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN vocab
+), h AS (
+    SELECT doc_id, count(*) AS n_bigrams,
+           -sum(log2(p)) / count(*) AS h
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+       round(h, 6) AS cross_entropy,
+       round(power(2.0, h), 3) AS perplexity
+FROM h ORDER BY doc_id
+"""
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_TOP = 50  # per-ranker candidate depth
+RRF_QUERY_VEC = 0  # vec_id used as the semantic query
+
+
+def rrf_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    rrf_k: int = RRF_K,
+    top: int = RRF_TOP,
+    out: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (fixed query terms, text.bm25_scores) and the
+    embedding-cosine semantic ranking (query = the embedding of
+    ``vec_id = 0``; vec_id ≡ doc_id in the testdata contract).
+
+    RRF(d) = Σ_r 1/(rrf_k + rank_r(d)) over the rankers that returned
+    d in their top-``top`` — the score that made hybrid search the
+    default in every production retrieval stack, because it needs no
+    score calibration between rankers.
+
+    Plan shape: both rankers end in TakeOrderedAndProject(top) — tiny
+    frames — so the fusion join and final ordering cost nothing at any
+    corpus size; the expensive parts are the rankers themselves, each
+    already scale-audited (BM25: token-hit shuffle only; cosine: 1-row
+    query broadcast, map-side dot products). Ranks are computed on
+    6 dp-rounded scores with doc_id tiebreaks, so the fused output is
+    engine-exact and oracle-certifiable.
+    """
+    from lakeflow.ext.similarity import _dot, _dvec, _norm
+    from lakeflow.ext.text import bm25_scores
+
+    from lakeflow import io
+
+    bm = bm25_scores(spark, sf_dir, top=top).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank_bm25"),
+    )
+
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).select("vec_id", "v", _norm("v").alias("nv"))
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nv").alias("qn")
+    )
+    cos = F.round(_dot("v", "qv") / (F.col("nv") * F.col("qn")), 6)
+    sem = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .join(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(top)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .alias("rank_cos"),
+        )
+    )
+
+    fused = (
+        bm.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_cos",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_cos")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(out)
+
+
+RRF_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), stats AS (
+    SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM tok
+), tf AS (
+    SELECT doc_id, len(tokens) AS dl,
+           len(list_filter(tokens, t -> t = 'spark')) AS tf_spark,
+           len(list_filter(tokens, t -> t = 'window')) AS tf_window,
+           len(list_filter(tokens, t -> t = 'vector')) AS tf_vector
+    FROM tok
+), df AS (
+    SELECT sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+           sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+           sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+    FROM tf
+), bm_scored AS (
+    SELECT doc_id,
+           round(
+             CASE WHEN tf_spark > 0 THEN ln((n_docs - df_spark + 0.5)/(df_spark + 0.5) + 1.0)
+                  * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           + CASE WHEN tf_window > 0 THEN ln((n_docs - df_window + 0.5)/(df_window + 0.5) + 1.0)
+                  * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           + CASE WHEN tf_vector > 0 THEN ln((n_docs - df_vector + 0.5)/(df_vector + 0.5) + 1.0)
+                  * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           , 6) AS bm25
+    FROM tf CROSS JOIN stats CROSS JOIN df
+    WHERE tf_spark + tf_window + tf_vector > 0
+), bm AS (
+    SELECT doc_id, rank_bm25 FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+        FROM bm_scored
+    ) WHERE rank_bm25 <= {RRF_TOP}
+), v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+), sem_scored AS (
+    SELECT a.vec_id AS doc_id,
+           round(list_aggregate(list_transform(list_zip(a.v, q.v), p -> p[1] * p[2]), 'sum')
+                 / (a.nv * q.nv), 6) AS cosine
+    FROM n a CROSS JOIN (SELECT v, nv FROM n WHERE vec_id = {RRF_QUERY_VEC}) q
+    WHERE a.vec_id != {RRF_QUERY_VEC}
+), sem AS (
+    SELECT doc_id, rank_cos FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_cos
+        FROM sem_scored
+    ) WHERE rank_cos <= {RRF_TOP}
+)
+SELECT COALESCE(bm.doc_id, sem.doc_id) AS doc_id,
+       CAST(rank_bm25 AS INTEGER) AS rank_bm25,
+       CAST(rank_cos AS INTEGER) AS rank_cos,
+       round(COALESCE(1.0 / ({RRF_K} + rank_bm25), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + rank_cos), 0.0), 9) AS rrf
+FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""

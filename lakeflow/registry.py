@@ -26,6 +26,7 @@ from lakeflow.ext import (
     dedup,
     events,
     graph,
+    lm,
     multimodal,
     packing,
     profile,
@@ -417,6 +418,13 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
     "q_bm25": (text.bm25_scores, text.BM25_SQL),
+    # perplexity-based quality filter (CCNet recipe): corpus-trained
+    # add-k bigram LM, per-doc cross-entropy — model side is a bounded
+    # aggregate AQE broadcasts; instances shuffle once
+    "q_lm_perplexity": (lm.bigram_lm_scores, lm.BIGRAM_LM_SQL),
+    # hybrid retrieval: reciprocal-rank fusion of BM25 + embedding-cosine
+    # rankings (6dp-rounded ranks → engine-exact, fully oracle-checked)
+    "q_rrf_fusion": (lm.rrf_fusion, lm.RRF_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
@@ -619,6 +627,8 @@ _CERT_FIRST: list[str] = [
     "q_silver_pipeline",
     "q_tpch_q1",
     # -- new this round (r4): certify first -----------------------------
+    "q_lm_perplexity",
+    "q_rrf_fusion",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",

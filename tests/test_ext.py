@@ -666,3 +666,57 @@ def test_bpe_matches_pure_python_reference_on_random_corpora(spark, tmp_path):
             for r in bpe.bpe_merges(spark, str(d), rounds=5).collect()
         ]
         assert got == expected, f"corpus={corpus!r}"
+
+
+def test_lm_perplexity_properties(spark, sf_dir):
+    """Cross-entropy is bounded by log2 of the smoothed event space and
+    n_bigrams is exactly n_tokens-1 — checked per doc against the token
+    counts the text module computes independently."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.ext import lm
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    scores = {r["doc_id"]: r for r in lm.bigram_lm_scores(spark, sf_dir).collect()}
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in tokenized(normalized_docs(spark, sf_dir))
+        .select("doc_id", F.size("tokens").alias("n"))
+        .collect()
+    }
+    assert scores, "no documents scored"
+    vocab = (
+        lm._doc_bigrams(spark, sf_dir)
+        .selectExpr("w1 AS w")
+        .union(lm._doc_bigrams(spark, sf_dir).selectExpr("w2 AS w"))
+        .distinct()
+        .count()
+    )
+    for doc_id, r in scores.items():
+        assert r["n_bigrams"] == toks[doc_id] - 1
+        assert 0.0 < r["cross_entropy"] <= math.log2(vocab) + 1.0
+        assert abs(r["perplexity"] - 2 ** r["cross_entropy"]) < 0.01 * r["perplexity"]
+
+
+def test_rrf_fusion_score_structure(spark, sf_dir):
+    """RRF scores decompose exactly into 1/(60+rank) contributions and
+    the output is ordered by fused score."""
+    from lakeflow.ext import lm
+
+    rows = lm.rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        expect = 0.0
+        if r["rank_bm25"] is not None:
+            assert 1 <= r["rank_bm25"] <= lm.RRF_TOP
+            expect += 1.0 / (lm.RRF_K + r["rank_bm25"])
+        if r["rank_cos"] is not None:
+            assert 1 <= r["rank_cos"] <= lm.RRF_TOP
+            expect += 1.0 / (lm.RRF_K + r["rank_cos"])
+        assert abs(r["rrf"] - round(expect, 9)) < 1e-12
+        if prev is not None:
+            assert r["rrf"] <= prev + 1e-12
+        prev = r["rrf"]
