@@ -333,6 +333,193 @@ ORDER BY doc_a, doc_b
 NEAR_DUP_SQL = _near_dup_oracle_sql()
 
 
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-duplicate pairs:
+    |A∩B| / min(|A|, |B|) ≥ threshold — the boilerplate/quotation
+    detector. Jaccard misses "small doc embedded in big doc" (the union
+    dilutes the score); containment is the metric a curation pipeline
+    uses to catch licenses, navigation chrome, and copied passages.
+
+    Same block-then-verify plan as :func:`near_dup_pairs` (shared
+    signature + banding stages); only the verify expression differs.
+    Caveat, stated not hidden: MinHash banding's hit probability tracks
+    JACCARD, so a high-containment/low-jaccard pair (tiny A inside huge
+    B) can evade the blocker — at scale the asymmetric-recall path is
+    chunk-level fingerprinting (ext/text.py winnowing: shared windows
+    surface regardless of length ratio), with this operator as the
+    verifier on fingerprint-collision candidates. The registered
+    portable variant replays the ENTIRE pipeline (banding included) in
+    DuckDB, so the oracle checks exactly what the plan computes.
+    """
+    docs = normalized_docs(spark, sf_dir)
+    sig = minhash_signatures(docs, num_hashes, portable=portable).persist()
+    cand = _band_candidates(sig, num_hashes, bands, portable=portable)
+    sh = sig.select("doc_id", "shingles")
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.shingles").alias("sh_a"),
+            F.col("sb.shingles").alias("sh_b"),
+        )
+    )
+    contain = F.size(F.array_intersect("sh_a", "sh_b")) / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round(contain, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: md5 portable hash → the banding candidate
+    generation AND the containment verify replay exactly in DuckDB."""
+    return containment_pairs(spark, sf_dir, portable=True)
+
+
+def _containment_oracle_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.6, shingle_n: int = 3
+) -> str:
+    """DuckDB twin of the portable containment pipeline — the near-dup
+    oracle with the verify metric swapped to |A∩B|/min(|A|,|B|)."""
+    coeffs = _mh_coeffs(num_hashes)
+    r = num_hashes // bands
+    fams = ", ".join(
+        f"list_min(list_transform(hp, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in coeffs
+    )
+    bsig = " || ',' || ".join(
+        f"CAST(mh[band * {r} + {i + 1}] AS VARCHAR)" for i in range(r)
+    )
+    return f"""
+WITH norm AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - {shingle_n}, 0) + 2),
+                              i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
+    FROM norm
+), hp AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_MH_PRIME}) AS hp
+    FROM sh
+), sig AS (
+    SELECT doc_id, shingles, [{fams}] AS mh FROM hp
+), keys AS (
+    SELECT doc_id, band, {bsig} AS bsig
+    FROM sig, range(0, {bands}) t(band)
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / least(len(x.shingles), len(y.shingles)), 6) AS containment
+FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / least(len(x.shingles), len(y.shingles)), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+CONTAINMENT_PAIRS_SQL = _containment_oracle_sql()
+
+
+def cluster_split(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    train_256: int = 204,
+    val_256: int = 230,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the WHOLE near-duplicate
+    cluster is assigned to one split by the content hash of its
+    canonical id, so near-duplicate documents can never straddle the
+    train/eval boundary — the contamination mode a plain per-row split
+    (q_train_test_split) cannot prevent, and the reason production
+    pipelines split AFTER dedup clustering, not before.
+
+    Composition of two certified operators: :func:`dedup_clusters`
+    (LSH edge generation + connected components) feeds a pure
+    md5-bucket map stage (sampling.py's portable ``_bucket``
+    expression) keyed on cluster_id. Zero additional shuffles beyond
+    clustering; the split is reproducible across engines, runs, and
+    repartitioning, and late-arriving members of a known cluster land
+    in the same split forever.
+    """
+    from lakeflow.ext.sampling import _bucket
+
+    cl = dedup_clusters(spark, sf_dir, threshold)
+    b = _bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < train_256, "train").when(b < val_256, "val").otherwise("test")
+    )
+    return (
+        cl.select("vec_id", "cluster_id", "cluster_size", split.alias("split"))
+        .orderBy("vec_id")
+    )
+
+
+CLUSTER_SPLIT_SQL = """
+WITH RECURSIVE v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+), pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+                / (a.nv * b.nv), 6) >= 0.4
+), edges AS (
+    SELECT va AS src, vb AS dst FROM pairs
+    UNION ALL
+    SELECT vb, va FROM pairs
+), reach(id, root) AS (
+    SELECT vec_id, vec_id FROM v
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+), bucketed AS (
+    SELECT vec_id, cluster_id, cluster_size,
+           (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+    FROM sized
+)
+SELECT vec_id, cluster_id, cluster_size,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+ORDER BY vec_id
+"""
+
+
 def _bands_for_threshold(
     threshold: float, num_hashes: int, recall_floor: float = 0.95
 ) -> int:

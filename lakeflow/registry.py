@@ -413,6 +413,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_near": (dedup.near_dup_pairs_portable, dedup.NEAR_DUP_SQL),
     # portable md5 token hash → exact 32-bit signature reproducible in DuckDB
     "q_dedup_simhash": (dedup.simhash_portable, dedup.SIMHASH_SQL),
+    # asymmetric containment (|A∩B|/min) over the SAME banding pipeline —
+    # the boilerplate/quotation detector; portable hash → full oracle
+    "q_containment_pairs": (
+        dedup.containment_pairs_portable,
+        dedup.CONTAINMENT_PAIRS_SQL,
+    ),
+    # leakage-safe split: whole near-dup cluster → one split via
+    # md5(cluster_id) bucket; composes dedup_clusters + pure map stage
+    "q_cluster_split": (dedup.cluster_split, dedup.CLUSTER_SPLIT_SQL),
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
@@ -629,6 +638,8 @@ _CERT_FIRST: list[str] = [
     # -- new this round (r4): certify first -----------------------------
     "q_lm_perplexity",
     "q_rrf_fusion",
+    "q_containment_pairs",
+    "q_cluster_split",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",

@@ -720,3 +720,40 @@ def test_rrf_fusion_score_structure(spark, sf_dir):
         if prev is not None:
             assert r["rrf"] <= prev + 1e-12
         prev = r["rrf"]
+
+
+def test_cluster_split_no_leakage(spark, sf_dir):
+    """The leakage invariant: every cluster lands in exactly one split,
+    and split assignment is a pure function of cluster_id."""
+    from collections import defaultdict
+
+    from lakeflow.ext import dedup
+
+    rows = dedup.cluster_split(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r["cluster_id"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # multi-member clusters exist at test SF (else the invariant is vacuous)
+    assert any(r["cluster_size"] > 1 for r in rows)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every pair both metrics emit, containment >= jaccard
+    (|A∩B|/min >= |A∩B|/|A∪B| always)."""
+    from lakeflow.ext import dedup
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs(spark, sf_dir).collect()
+    }
+    con = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(spark, sf_dir).collect()
+    }
+    assert con
+    shared = set(jac) & set(con)
+    assert shared, "metrics share no pairs at test SF"
+    for k in shared:
+        assert con[k] >= jac[k] - 1e-9
