@@ -148,6 +148,104 @@ FROM h ORDER BY doc_id
 """
 
 
+def dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = "en",
+    buckets: int = 256,
+    k: float = ADD_K,
+) -> DataFrame:
+    """DSIR importance weights — Data Selection with Importance
+    Resampling (Xie et al. 2023, public): score every document by the
+    log-likelihood ratio of a TARGET-domain hashed-unigram LM vs the
+    GENERAL corpus LM, the published recipe for pulling
+    domain-matched pretraining data out of a web-scale crawl. Target
+    here = the ``lang='en'`` slice (a deployment points it at its
+    curated in-domain corpus; identical plan).
+
+    Features are hashed token buckets (portable md5 hash mod
+    ``buckets``) — hashing bounds BOTH models at ``buckets`` rows
+    regardless of vocabulary, which is the whole trick: the model side
+    is a constant-size broadcast at any corpus scale, and the document
+    side is one explode → broadcast-join → groupBy(doc_id) pass (one
+    shuffle, map-side partial sums). log_ratio > 0 ⇒ the doc looks
+    more target-like than corpus-average; resampling keeps docs with
+    probability ∝ softmax of these weights.
+
+    Smoothed per-bucket probabilities are ratios of exact integer
+    counts; per-doc sums of ln-ratios drift < 1e-11 under shuffle
+    order (same certified argument as BM25/the bigram LM), so 6 dp
+    rounding makes the output engine-exact.
+    """
+    from lakeflow.ext.dedup import _md5h32, normalized_docs, tokenized
+
+    docs = normalized_docs(spark, sf_dir)
+    tok = (
+        tokenized(docs, "lang")
+        .select("doc_id", "lang", F.explode("tokens").alias("tok"))
+        .withColumn("b", F.pmod(_md5h32("tok"), F.lit(buckets)))
+    )
+    is_t = (F.col("lang") == target_lang).cast("int")
+    gen = tok.groupBy("b").agg(
+        F.count("*").alias("c_g"), F.sum(is_t).alias("c_t")
+    )
+    totals = tok.agg(
+        F.count("*").alias("n_g"), F.sum(is_t).cast("bigint").alias("n_t")
+    )
+    llr = F.log((F.col("c_t") + k) / (F.col("n_t") + k * buckets)) - F.log(
+        (F.col("c_g") + k) / (F.col("n_g") + k * buckets)
+    )
+    model = gen.join(F.broadcast(totals)).select("b", llr.alias("llr"))
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("llr").alias("lw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("lw", 6).alias("log_ratio"),
+            F.round(F.col("lw") / F.col("n_tokens"), 6).alias("avg_log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SQL = r"""
+WITH tok0 AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), tok AS (
+    SELECT doc_id, lang, tok,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b
+    FROM tok0
+), gen AS (
+    SELECT b, count(*) AS c_g,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+    FROM tok GROUP BY b
+), totals AS (
+    SELECT count(*) AS n_g,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+    FROM tok
+), model AS (
+    SELECT b,
+           ln((c_t + 0.5) / (n_t + 0.5 * 256)) - ln((c_g + 0.5) / (n_g + 0.5 * 256)) AS llr
+    FROM gen CROSS JOIN totals
+), agg AS (
+    SELECT doc_id, count(*) AS n_tokens, sum(llr) AS lw
+    FROM tok JOIN model USING (b)
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(lw, 6) AS log_ratio,
+       round(lw / n_tokens, 6) AS avg_log_ratio
+FROM agg ORDER BY doc_id
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 RRF_TOP = 50  # per-ranker candidate depth
 RRF_QUERY_VEC = 0  # vec_id used as the semantic query

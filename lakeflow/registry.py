@@ -434,6 +434,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # hybrid retrieval: reciprocal-rank fusion of BM25 + embedding-cosine
     # rankings (6dp-rounded ranks → engine-exact, fully oracle-checked)
     "q_rrf_fusion": (lm.rrf_fusion, lm.RRF_SQL),
+    # DSIR importance weights: hashed-unigram target-vs-general LM
+    # log-likelihood ratio per doc (constant-size broadcast model)
+    "q_dsir_weights": (lm.dsir_weights, lm.DSIR_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
@@ -640,6 +643,7 @@ _CERT_FIRST: list[str] = [
     "q_rrf_fusion",
     "q_containment_pairs",
     "q_cluster_split",
+    "q_dsir_weights",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",

@@ -757,3 +757,29 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert shared, "metrics share no pairs at test SF"
     for k in shared:
         assert con[k] >= jac[k] - 1e-9
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """English docs must average a higher target-vs-general log-ratio
+    than non-English docs (the weight's whole purpose), and weights are
+    finite for every doc."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakeflow import io
+    from lakeflow.ext import lm
+
+    w = lm.dsir_weights(spark, sf_dir)
+    langs = io.read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = w.join(langs, "doc_id")
+    rows = (
+        j.groupBy(F.col("lang") == "en")
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]
+    assert all(
+        math.isfinite(r["log_ratio"]) for r in w.collect()
+    )
