@@ -827,7 +827,14 @@ def embedding_near_dups(
     )
 
 
-def _lsh_params(threshold: float, target_recall: float = 0.98, max_bands: int = 48) -> tuple[int, int]:
+def _lsh_params(
+    threshold: float,
+    target_recall: float = 0.98,
+    max_bands: int = 48,
+    n: int | None = None,
+    target_bucket: int = 128,
+    forced_max_bands: int = 64,
+) -> tuple[int, int]:
     """Auto-tune (bits_per_band, bands) for random-hyperplane LSH.
 
     For cosine ``threshold`` t the per-hyperplane sign-agreement
@@ -839,7 +846,25 @@ def _lsh_params(threshold: float, target_recall: float = 0.98, max_bands: int = 
     with near-zero false-candidate rates; low thresholds degrade to
     few bits — the curse of dimensionality, no blocking scheme prunes
     cosine-0.4 pairs well — but recall stays engineered, never
-    accidental."""
+    accidental.
+
+    ``n`` (corpus size, when known) adds the SCALE floor the recall
+    tuner alone misses: candidates grow ∝ bands·n²/2^bits, so once
+    expected bucket occupancy n/2^bits outgrows ``target_bucket`` the
+    candidate join goes quadratic no matter how good the recall math
+    looks (measured at sf1: 20k vectors, t=0.4 → bits=5 = 32 buckets
+    → ~475M raw candidates, 141 s; with the floor, bits=8/bands=64 →
+    ~50M, and recall at exactly t degrades 0.98 → ~0.80 while pairs
+    at 0.6+ stay ≥0.98 — for CLUSTERING, transitive paths recover
+    most boundary pairs). The floor only engages when n > target_bucket
+    · 2^tuned_bits, so certification-scale runs (n ≤ 4096 here) are
+    byte-identical with or without ``n``. At the production regime
+    (t ≥ 0.8) the tuner already picks deep buckets and the floor is a
+    no-op at any n. bands is capped at ``forced_max_bands`` in floor
+    mode: past that, band-key volume (bands·n rows) replaces the
+    candidate join as the dominant cost — the honest statement is that
+    sub-0.5 cosine thresholds do not block well in high dimensions;
+    dedup there should move to the IVF path or raise the threshold."""
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
@@ -853,6 +878,15 @@ def _lsh_params(threshold: float, target_recall: float = 0.98, max_bands: int = 
             best = (bits, bands)
         else:
             break
+    if n is not None and n > 0:
+        min_bits = max(1, math.ceil(math.log2(max(1.0, n / target_bucket))))
+        if min_bits > best[0]:
+            bits = min(min_bits, 24)
+            band_hit = p**bits
+            bands = math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - band_hit)
+            )
+            best = (bits, min(bands, forced_max_bands))
     return best
 
 
@@ -893,15 +927,18 @@ def embedding_near_dups_lsh(
 
     from lakeflow.ext.similarity import _dot, _dvec, _norm
 
-    if bits is None or bands is None:
-        bits, bands = _lsh_params(threshold)
-    n_planes = bands * bits
-
     emb = (
         io.read_table(spark, sf_dir, "embeddings")
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
+    if bits is None or bands is None:
+        # corpus-size-aware tuning: one metadata-cheap count keeps the
+        # bucket occupancy bounded as n grows (see _lsh_params — at
+        # certification scales the result is identical to the n-free
+        # tuning, so oracle rows are unaffected)
+        bits, bands = _lsh_params(threshold, n=emb.count())
+    n_planes = bands * bits
 
     def bucketize(batches):
         H = None
@@ -944,6 +981,18 @@ def embedding_near_dups_lsh(
     vb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_b")
     )
+    # Verify cosine stays the JVM aggregate fold — measured FASTEST of
+    # three verify kernels on the sf1 stress corpus (48.8M candidate
+    # pairs × 64 dims): HOF fold 65 s, Arrow/numpy einsum 103 s (the
+    # kernel win is swamped by shipping 10 GB of candidate vectors
+    # through serialization), unrolled 64-term codegen expression
+    # 256 s (ANSI element_at branching + deep-arithmetic codegen).
+    # The candidate COUNT, not the kernel, is the lever: it is a data
+    # property (pairs above the corpus's similarity noise floor — the
+    # sf1 per-label Gaussians put ~24% of all pairs within one banding
+    # miss of t=0.4), which the _lsh_params size floor already bounds
+    # (475M → 49M here); at the production dedup regime (t ≥ 0.8) the
+    # tuner's deep buckets prune to ~true pairs and verify is trivial.
     cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
     return (
         cand.join(va, "vec_a")

@@ -79,8 +79,12 @@ def bigram_lm_scores(
     # model: bigram-type counts + context totals (both partial-agg'd)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # vocab from the bigram-TYPE table, not the instance stream: the
+    # distinct token set of c12's two columns equals bg's (every
+    # instance collapses into some type) but the input is model-sized —
+    # saves a second full corpus scan (sf1: 14.6 s → ~9 s)
     vocab = (
-        bg.select(F.col("w1").alias("w")).union(bg.select("w2"))
+        c12.select(F.col("w1").alias("w")).union(c12.select("w2"))
         .agg(F.countDistinct("w").alias("v"))
     )
     model = (

@@ -500,3 +500,44 @@ def test_pack_sequences_single_shuffle_no_global_sort(spark, sf_dir):
     # through one task, exactly the write_zordered trap from ADVICE r3
     win_lines = [ln for ln in body.splitlines() if "Window " in ln]
     assert win_lines and all("[source" in ln for ln in win_lines), win_lines
+
+
+def test_lm_model_joins_never_degrade(spark, sf_dir):
+    """Bigram-LM scoring: the model side must reach the instance join
+    as a hash equi-join (broadcast at test scale via the explicit hint
+    on the 1-row vocab and AQE/static stats for the counts), never a
+    nested-loop product; the doc-side reduce must have a map-side
+    partial phase."""
+    from lakeflow.ext import lm
+
+    p = plan(lm.bigram_lm_scores(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # exactly one nested-loop join is allowed: the 1-row broadcast of
+    # the scalar vocab count (the uncorrelated-scalar-subquery shape,
+    # same as BM25's corpus-stats join) — never a data-sized product
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_dsir_model_is_broadcast(spark, sf_dir):
+    """DSIR: the bucket model is constant-size (≤256 rows) and must be
+    explicitly broadcast — the instance side never shuffles for the
+    model join; the only wide exchange is the per-doc reduce."""
+    from lakeflow.ext import lm
+
+    p = plan(lm.dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # the ≤256-row model joins hashed on b
+    assert "CartesianProduct" not in p
+    # one 1-row broadcast nested-loop allowed: the corpus-totals scalar
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_containment_rides_banding_not_all_pairs(spark, sf_dir):
+    """Containment pairs must reuse the banding candidate join (compact
+    equi-keys), never an all-pairs self-join on doc_id inequality
+    alone."""
+    from lakeflow.ext import dedup as dd
+
+    p = plan(dd.containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
