@@ -1,0 +1,174 @@
+"""End-to-end training-data curation pipeline — the flagship
+COMPOSITION of the engine's certified stages into the shape a 100 TB
+pretraining-corpus build actually runs:
+
+    normalize → exact dedup → quality filters (repetition + LM
+    perplexity band) → semantic near-dup clustering (keep canonical)
+    → leakage-safe split → deterministic sharding → transactional
+    publish
+
+Every stage is an operator certified on its own elsewhere in this repo
+(`q_dedup_exact`, `q_repetition`, `q_lm_perplexity`,
+`q_dedup_clusters`, `q_cluster_split`, `q_shard_manifest`); this
+module wires them into one lazily-composed DataFrame plan plus one
+atomic `TxTable` commit, and returns the per-stage funnel counts a
+curation run logs.
+
+Scale design (what survives the 1000× jump):
+- One normalized-text tier shared by every text stage (the medallion
+  persist in `dedup.normalized_docs`); at 100 TB this is a written
+  table, here a MEMORY_AND_DISK cache.
+- Stage predicates are plain column filters over that tier, so
+  Catalyst fuses the dedup-survivor semi join, both quality filters,
+  and the canonical-keep semi join into one scan pipeline — there is
+  no per-stage materialization barrier except where a stage is
+  inherently iterative (connected components).
+- The funnel counts come from ONE aggregate over a stage-label
+  column (conditional counts), not one count() job per stage.
+- The publish is a single atomic multi-file commit with a txn marker,
+  so a re-run of the same batch id is detected and skipped — the
+  idempotence contract a production scheduler needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.txlog import TxTable
+
+APP_ID = "lakeflow-curation"
+
+
+def curated_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    rep_token_max: float = 0.68,
+    rep_trigram_max: float = 0.05,
+    ppl_band: tuple[float, float] = (27.5, 32.0),
+    cluster_threshold: float = 0.4,
+) -> DataFrame:
+    """The curation plan: documents with per-stage survival flags.
+
+    Returns one row per input document with boolean stage columns
+    (``keep_exact``, ``keep_quality``, ``keep_canonical``), the final
+    ``kept`` flag, and for kept docs the leakage-safe ``split`` and
+    content-keyed ``shard_id``. Downstream consumers filter
+    ``kept`` — keeping the rejected rows (with the reason encoded in
+    which flag failed) is deliberate: audit tables beat silent drops.
+
+    Default thresholds are calibrated to this synthetic corpus's
+    measured distributions (sf0.01: dup_token_ratio p5/p50/p95 =
+    0.20/0.54/0.69, trigram p95 = 0.011, perplexity p5/p95 =
+    27.95/31.19) so each gate trims a real tail rather than
+    everything or nothing; a deployment sets them from its own
+    profiling pass (`q_column_profile` / `q_histogram` are the
+    operators for exactly that).
+    """
+    from lakeflow.ext import lm
+    from lakeflow.ext.dedup import (
+        cluster_split,
+        exact_dedup,
+        normalized_docs,
+    )
+    from lakeflow.ext.text import repetition
+
+    docs = normalized_docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    # exact-dedup survivors: the group representative per fingerprint
+    exact_keep = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("keep_exact")
+    )
+
+    # quality: repetition caps + perplexity band (degenerate text has
+    # pathologically LOW perplexity, noise has high — band both ends)
+    rep = repetition(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("dup_token_ratio") <= rep_token_max)
+            & (F.col("dup_trigram_ratio") <= rep_trigram_max)
+        ).alias("q_rep"),
+    )
+    ppl = lm.bigram_lm_scores(spark, sf_dir).select(
+        "doc_id",
+        F.col("perplexity").between(*ppl_band).alias("q_ppl"),
+    )
+
+    # semantic clustering: keep only the cluster canonical (min vec_id
+    # ≡ the cluster_id itself); split rides the same frame
+    clusters = cluster_split(spark, sf_dir, threshold=cluster_threshold).select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep_canonical"),
+        "split",
+    )
+
+    from lakeflow.ext.packing import N_SHARDS
+
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    shard = F.pmod(F.conv(hx, 16, 10).cast("bigint"), F.lit(N_SHARDS))
+
+    flagged = (
+        docs.join(exact_keep, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce("keep_exact", F.lit(False)).alias("keep_exact"),
+            (F.coalesce("q_rep", F.lit(False)) & F.coalesce("q_ppl", F.lit(False))).alias(
+                "keep_quality"
+            ),
+            # docs without an embedding row count as their own canonical
+            F.coalesce("keep_canonical", F.lit(True)).alias("keep_canonical"),
+            F.col("split"),
+            shard.alias("shard_id"),
+        )
+    )
+    return flagged.withColumn(
+        "kept",
+        F.col("keep_exact") & F.col("keep_quality") & F.col("keep_canonical"),
+    )
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    batch_id: int = 0,
+    **kwargs: Any,
+) -> dict[str, int]:
+    """Run the curation pipeline and PUBLISH the audit table
+    transactionally. Returns the stage funnel.
+
+    Idempotent per ``batch_id``: the commit carries a txn marker, so a
+    replayed batch (scheduler retry after a driver crash that already
+    committed) is detected and skipped without a duplicate commit —
+    the same contract as the streaming rollup's foreachBatch MERGE.
+    """
+    table = TxTable(out_path)
+    if table.exists() and (tv := table.txn_version(APP_ID)) is not None and tv >= batch_id:
+        flagged = table.read(spark)
+    else:
+        flagged = curated_docs(spark, sf_dir, **kwargs)
+        table.write(flagged, mode="overwrite", txn=(APP_ID, batch_id))
+        flagged = table.read(spark)
+
+    # one aggregate for the whole funnel — never a count() per stage
+    row = flagged.agg(
+        F.count("*").alias("input_docs"),
+        F.sum(F.col("keep_exact").cast("long")).alias("after_exact_dedup"),
+        F.sum((F.col("keep_exact") & F.col("keep_quality")).cast("long")).alias(
+            "after_quality"
+        ),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.countDistinct(F.when(F.col("kept"), F.col("shard_id"))).alias("shards"),
+        F.countDistinct(F.when(F.col("kept"), F.col("split"))).alias("splits"),
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in row.asDict()}

@@ -250,6 +250,82 @@ FROM agg ORDER BY doc_id
 """
 
 
+def source_overlap(
+    spark: SparkSession, sf_dir: str, top: int = 15
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: exact Jaccard of
+    the distinct-token sets of every source pair, top-``top`` most
+    overlapping — the corpus-planning diagnostic that tells a mixture
+    designer which sources are redundant BEFORE paying for document
+    dedup between them.
+
+    Plan: one distinct over (source, token) — the only corpus-sized
+    shuffle, map-side partial — collapses to per-source vocabulary
+    counts (|sources| rows) plus a pair-intersection aggregate over
+    the (token → source-list) inverted index. The pair join runs on
+    token-grouped SOURCE LISTS (combinations inside a higher-order
+    expression would be |S|² per token; instead the self-join is on
+    the tiny distinct frame and AQE broadcasts it). Output scales with
+    |sources|², never with corpus size.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    docs = normalized_docs(spark, sf_dir)
+    st = (
+        tokenized(docs, "source")
+        .select("source", F.explode("tokens").alias("tok"))
+        .distinct()
+    )
+    vocab = st.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    inter = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("v_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("v_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("n_inter") / (F.col("v_a") + F.col("v_b") - F.col("n_inter")), 6
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(F.desc("vocab_jaccard"), "src_a", "src_b")
+        .limit(top)
+    )
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH st AS (
+    SELECT DISTINCT source,
+           unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), vocab AS (
+    SELECT source, count(*) AS n_vocab FROM st GROUP BY source
+), inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+    FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       round(CAST(n_inter AS DOUBLE) / (va.n_vocab + vb.n_vocab - n_inter), 6) AS vocab_jaccard
+FROM inter
+JOIN vocab va ON va.source = src_a
+JOIN vocab vb ON vb.source = src_b
+ORDER BY vocab_jaccard DESC, src_a, src_b
+LIMIT 15
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 RRF_TOP = 50  # per-ranker candidate depth
 RRF_QUERY_VEC = 0  # vec_id used as the semantic query

@@ -437,6 +437,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # DSIR importance weights: hashed-unigram target-vs-general LM
     # log-likelihood ratio per doc (constant-size broadcast model)
     "q_dsir_weights": (lm.dsir_weights, lm.DSIR_SQL),
+    # corpus-planning diagnostic: pairwise source vocabulary Jaccard
+    # (one distinct shuffle; output ∝ |sources|², never corpus)
+    "q_source_overlap": (lm.source_overlap, lm.SOURCE_OVERLAP_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
@@ -644,6 +647,7 @@ _CERT_FIRST: list[str] = [
     "q_containment_pairs",
     "q_cluster_split",
     "q_dsir_weights",
+    "q_source_overlap",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",

@@ -1,0 +1,64 @@
+"""End-to-end curation pipeline: funnel consistency, audit
+completeness, transactional idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeflow.ext import curation
+from lakeflow.txlog import TxTable
+
+
+def test_curate_funnel_and_audit(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    summary = curation.curate(spark, sf_dir, out, batch_id=1)
+
+    # funnel is monotone and non-degenerate (every gate trims a tail,
+    # none wipes the corpus)
+    assert (
+        summary["input_docs"]
+        >= summary["after_exact_dedup"]
+        >= summary["after_quality"]
+        >= summary["kept"]
+        > 0
+    )
+    assert summary["kept"] >= summary["input_docs"] * 0.25
+    assert summary["splits"] >= 2
+
+    flagged = TxTable(out).read(spark)
+    # audit completeness: one row per input doc, rejected rows kept
+    assert flagged.count() == summary["input_docs"]
+    # every kept doc has a split and a shard
+    kept = flagged.filter("kept")
+    assert kept.filter(F.col("split").isNull() | F.col("shard_id").isNull()).count() == 0
+    # the funnel numbers are reproducible from the audit table
+    assert kept.count() == summary["kept"]
+
+
+def test_curate_is_idempotent_per_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    s1 = curation.curate(spark, sf_dir, out, batch_id=7)
+    v1 = TxTable(out).latest_version()
+    s2 = curation.curate(spark, sf_dir, out, batch_id=7)  # scheduler retry
+    v2 = TxTable(out).latest_version()
+    assert s1 == s2
+    assert v1 == v2  # no duplicate commit
+    # a NEW batch does commit
+    s3 = curation.curate(spark, sf_dir, out, batch_id=8)
+    assert TxTable(out).latest_version() > v2
+    assert s3 == s1
+
+
+def test_curate_no_leakage_through_split(spark, sf_dir, tmp_path):
+    """Kept docs inherit the cluster-keyed split: every kept doc's
+    split must equal the split its dedup cluster was assigned."""
+    from lakeflow.ext.dedup import cluster_split
+
+    out = str(tmp_path / "curated")
+    curation.curate(spark, sf_dir, out, batch_id=1)
+    flagged = TxTable(out).read(spark).filter("kept")
+    cl = cluster_split(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("split").alias("cl_split")
+    )
+    joined = flagged.join(cl, "doc_id")
+    assert joined.filter(F.col("split") != F.col("cl_split")).count() == 0
