@@ -114,6 +114,12 @@ EXTENDED_QUERIES = (
     "q_dedup_simhash",
     "q_fk_integrity",
     "q_shard_manifest",
+    "q_lm_perplexity",
+    "q_dsir_weights",
+    "q_rrf_fusion",
+    "q_containment_pairs",
+    "q_cluster_split",
+    "q_source_overlap",
 )
 
 

@@ -259,6 +259,33 @@ def _nearest_lists(vecs: DataFrame, cent: DataFrame, vec_col: str, n: int) -> Da
     )
 
 
+def kmeans_centroids(emb: DataFrame, n_lists: int, lloyd_iters: int) -> DataFrame:
+    """Deterministic distributed k-means centroids (list_id, cv):
+    seeds = first ``n_lists`` vectors by vec_id (no RNG), Lloyd rounds
+    as DataFrame ops — assignment via broadcast centroid cross-join +
+    window argmin, update via posexplode → per-(list, dim) mean →
+    array reassembly. Only the tiny centroid relation crosses stages.
+    Shared by :func:`knn_ivf` and the IVF near-dup edge generator."""
+    w_seed = Window.orderBy("vec_id")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select("v", F.row_number().over(w_seed).alias("list_id"))
+        .select("list_id", F.col("v").alias("cv"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _nearest_lists(emb, cent, "v", 1)
+        cent = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+    return cent
+
+
 def knn_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -289,23 +316,7 @@ def knn_ivf(
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
-    w_seed = Window.orderBy("vec_id")
-    cent = (
-        emb.orderBy("vec_id")
-        .limit(n_lists)
-        .select("v", F.row_number().over(w_seed).alias("list_id"))
-        .select("list_id", F.col("v").alias("cv"))
-    )
-    for _ in range(lloyd_iters):
-        assigned = _nearest_lists(emb, cent, "v", 1)
-        cent = (
-            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
-        )
+    cent = kmeans_centroids(emb, n_lists, lloyd_iters)
     lists = _nearest_lists(emb, cent, "v", 1)  # inverted index
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")

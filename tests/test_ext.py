@@ -783,3 +783,24 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     assert all(
         math.isfinite(r["log_ratio"]) for r in w.collect()
     )
+
+
+def test_embedding_ivf_recall_characterization(spark, sf_dir):
+    """IVF edge generator: empirical recall floor vs the exact twin at
+    the default nprobe (characterization of the measured alternative —
+    SCALE.md §12 follow-up; banding remains the default)."""
+    from lakeflow.ext import dedup
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dups(spark, sf_dir, 0.4).collect()
+    }
+    ivf = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dups_ivf(spark, sf_dir, 0.4).collect()
+    }
+    assert ivf, "IVF generator emitted no pairs at test SF"
+    recall = len(exact & ivf) / max(1, len(exact))
+    assert recall >= 0.8
+    # verify stage is exact: every emitted pair is a true pair
+    assert ivf <= exact
