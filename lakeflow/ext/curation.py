@@ -160,6 +160,57 @@ def curate(
         table.write(flagged, mode="overwrite", txn=(APP_ID, batch_id))
         flagged = table.read(spark)
 
+    return _funnel(flagged)
+
+
+def diff_runs(
+    spark: SparkSession, out_path: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Ablation diff between two published curation runs — the
+    question a data-ablation study actually asks: *which documents
+    moved, and through which gate?* Reads both versions from the SAME
+    transaction-logged audit table (time travel — no second copy of
+    anything is kept), full-outer-joins on doc_id, and classifies
+    every document's transition; dropped docs carry the FIRST failing
+    gate as the reason. Output is the transition matrix
+    (|transitions| × |reasons| rows — never corpus-sized), so two
+    100 TB curation runs diff in one join + one aggregate.
+    """
+    t = TxTable(out_path)
+
+    def load(v: int, tag: str) -> DataFrame:
+        return t.read(spark, version=v).select(
+            "doc_id",
+            F.col("kept").alias(f"kept_{tag}"),
+            F.when(~F.col("keep_exact"), "exact_dup")
+            .when(~F.col("keep_quality"), "quality")
+            .when(~F.col("keep_canonical"), "near_dup")
+            .otherwise("kept")
+            .alias(f"gate_{tag}"),
+        )
+
+    a, b = load(v_old, "old"), load(v_new, "new")
+    j = a.join(b, "doc_id", "full_outer")
+    transition = (
+        F.when(F.col("kept_old").isNull(), "added")
+        .when(F.col("kept_new").isNull(), "removed")
+        .when(F.col("kept_old") & F.col("kept_new"), "kept_both")
+        .when(F.col("kept_old") & ~F.col("kept_new"), "newly_dropped")
+        .when(~F.col("kept_old") & F.col("kept_new"), "newly_kept")
+        .otherwise("dropped_both")
+    )
+    return (
+        j.select(
+            transition.alias("transition"),
+            F.coalesce("gate_new", F.lit("absent")).alias("gate_new"),
+        )
+        .groupBy("transition", "gate_new")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("transition", "gate_new")
+    )
+
+
+def _funnel(flagged: DataFrame) -> dict[str, int]:
     # one aggregate for the whole funnel — never a count() per stage
     row = flagged.agg(
         F.count("*").alias("input_docs"),

@@ -62,3 +62,30 @@ def test_curate_no_leakage_through_split(spark, sf_dir, tmp_path):
     )
     joined = flagged.join(cl, "doc_id")
     assert joined.filter(F.col("split") != F.col("cl_split")).count() == 0
+
+
+def test_diff_runs_transition_matrix(spark, sf_dir, tmp_path):
+    """Two runs with different quality gates: the diff classifies every
+    movement, totals reconcile with the audits, and newly-dropped docs
+    carry the gate that dropped them."""
+    out = str(tmp_path / "curated")
+    curation.curate(spark, sf_dir, out, batch_id=1)
+    v0 = TxTable(out).latest_version()
+    # stricter repetition cap drops more docs
+    s2 = curation.curate(
+        spark, sf_dir, out, batch_id=2, rep_token_max=0.5
+    )
+    v1 = TxTable(out).latest_version()
+    assert v1 > v0
+
+    diff = {
+        (r["transition"], r["gate_new"]): r["docs"]
+        for r in curation.diff_runs(spark, out, v0, v1).collect()
+    }
+    total = sum(diff.values())
+    assert total == s2["input_docs"]  # every doc classified exactly once
+    dropped = {k: v for k, v in diff.items() if k[0] == "newly_dropped"}
+    assert dropped, "stricter gate dropped nobody — test data drifted?"
+    # a tightened QUALITY gate must be the reason for the new drops
+    assert all(gate == "quality" for (_, gate) in dropped)
+    assert ("kept_both", "kept") in diff
