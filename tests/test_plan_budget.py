@@ -1,0 +1,64 @@
+"""Shuffle-budget regression gate: no registered query's physical plan
+may grow MORE Exchange nodes than its committed budget
+(tests/plan_budgets.json, regenerated deliberately via
+tools/gen_plan_budget.py after intentional plan changes).
+
+Value checks cannot see an extra shuffle; at 100 TB an extra shuffle
+is the whole regression. This pins the plan shape of every query in
+the registry, not just the hand-picked ones in test_plans.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lakeflow import registry
+
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
+with open(_BUDGET_PATH) as _f:
+    _ALL: dict[str, dict[str, int]] = json.load(_f)
+_SF_KEY = os.path.basename(
+    os.environ.get("LAKEFLOW_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+)
+# budgets are per-SF (broadcast-threshold flips change exchange
+# counts); an SF with no recorded budgets skips rather than guesses
+BUDGETS: dict[str, int] = _ALL.get(_SF_KEY, {})
+
+EXCHANGE_MARKERS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "Exchange RoundRobinPartitioning",
+)
+
+
+def _count_exchanges(df) -> int:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return sum(p.count(m) for m in EXCHANGE_MARKERS)
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, sf_dir, name):
+    fn, _ = registry.ALL_QUERIES[name]
+    got = _count_exchanges(fn(spark, sf_dir))
+    assert got <= BUDGETS[name], (
+        f"{name}: plan now has {got} exchanges, budget is {BUDGETS[name]} — "
+        "a shuffle was added. If intentional, regenerate via "
+        "tools/gen_plan_budget.py"
+    )
+
+
+@pytest.mark.skipif(not BUDGETS, reason=f"no budgets recorded for {_SF_KEY}")
+def test_budget_covers_registry():
+    """Every oracle-bearing registered query is budget-pinned (new
+    queries must be added by regenerating the budget file)."""
+    missing = [
+        n
+        for n, (_, sql) in registry.ALL_QUERIES.items()
+        if n not in BUDGETS
+    ]
+    # iterative/stateful ops may be legitimately absent; cap the gap
+    assert len(missing) <= 8, f"unbudgeted queries: {missing}"
