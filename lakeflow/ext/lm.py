@@ -405,6 +405,90 @@ def rrf_fusion(
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(out)
 
 
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    lam: float = 0.7,
+    top: int = RRF_TOP,
+    out: int = 10,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the cosine top-``top``
+    for the fixed query vector: greedily pick the doc maximizing
+    λ·sim(d, q) − (1−λ)·max_{s∈selected} sim(d, s) — the
+    diversity-aware final stage of a retrieval stack (dedups
+    near-identical hits the plain top-k would stack).
+
+    Execution shape, argued: the candidate set is bounded at ``top``
+    BY CONSTRUCTION (its own distributed top-k), so the greedy loop
+    runs driver-side over ≤ top vectors — this is not a driver-loop
+    smell but the standard pattern for inherently sequential small-k
+    algorithms (same class as the ≤2M-edge union-find in
+    connected_components). The expensive part — scoring the corpus —
+    stays the distributed, plan-audited kNN. Deterministic: 6 dp
+    similarity rounding with vec_id tiebreaks. Rows-only (greedy
+    selection is sequential — no tractable SQL twin); pinned by a
+    pure-python reference implementation in tests.
+    """
+    import numpy as np
+
+    from lakeflow import io
+    from lakeflow.ext.similarity import _dvec
+
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    q_row = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).head()
+    qv = np.array(q_row["v"])
+    qv /= np.linalg.norm(qv)
+
+    # distributed top-k: corpus never leaves the cluster; only the
+    # bounded candidate rows (id + vector) are collected
+    from lakeflow.ext.similarity import _dot, _norm
+
+    cand_df = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .select("vec_id", "v", _norm("v").alias("nv"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame([(list(map(float, qv)),)], "qv array<double>")
+            )
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.round(_dot("v", "qv") / F.col("nv"), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(top)
+    )
+    rows = cand_df.collect()
+    ids = [r["vec_id"] for r in rows]
+    rel = np.array([r["rel"] for r in rows])
+    V = np.stack([np.array(r["v"]) for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(V @ V.T, 6)
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < out:
+        best_i, best_score = None, None
+        for i in remaining:
+            div = max((sims[i][j] for j in selected), default=0.0)
+            score = round(lam * rel[i] - (1 - lam) * div, 6)
+            # tiebreak on vec_id for determinism
+            key = (score, -ids[i])
+            if best_score is None or key > best_score:
+                best_i, best_score = i, key
+        selected.append(best_i)
+        remaining.remove(best_i)
+    out_rows = [
+        (int(ids[i]), float(rel[i]), r + 1) for r, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out_rows, "vec_id bigint, relevance double, mmr_rank int"
+    )
+
+
 RRF_SQL = rf"""
 WITH tok AS (
     SELECT doc_id,

@@ -440,6 +440,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # corpus-planning diagnostic: pairwise source vocabulary Jaccard
     # (one distinct shuffle; output ∝ |sources|², never corpus)
     "q_source_overlap": (lm.source_overlap, lm.SOURCE_OVERLAP_SQL),
+    # MMR diversity rerank: distributed top-k then bounded driver-side
+    # greedy (sequential by nature → no SQL twin; pinned against a
+    # pure-python reference in tests/test_ext.py)
+    "q_mmr_rerank": (lm.mmr_rerank, None),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),

@@ -804,3 +804,41 @@ def test_embedding_ivf_recall_characterization(spark, sf_dir):
     assert recall >= 0.8
     # verify stage is exact: every emitted pair is a true pair
     assert ivf <= exact
+
+
+def test_mmr_rerank_reference_and_diversity(spark, sf_dir):
+    """MMR output must equal a pure-python reference over the same
+    candidate set, and must never rank a LESS relevant, LESS diverse
+    doc above a dominating one."""
+    import numpy as np
+
+    from lakeflow import io
+    from lakeflow.ext import lm
+    from lakeflow.ext.similarity import _dvec
+    from pyspark.sql import functions as F
+
+    got = lm.mmr_rerank(spark, sf_dir).collect()
+    assert len(got) == 10
+    assert [r["mmr_rank"] for r in got] == list(range(1, 11))
+
+    # pure-python reference from raw vectors
+    rows = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = vecs[lm.RRF_QUERY_VEC] / np.linalg.norm(vecs[lm.RRF_QUERY_VEC])
+    rel = {
+        i: round(float(v @ q / np.linalg.norm(v)), 6)
+        for i, v in vecs.items()
+        if i != lm.RRF_QUERY_VEC
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[: lm.RRF_TOP]
+    N = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in cand}
+    sel: list[int] = []
+    while len(sel) < 10 and len(sel) < len(cand):
+        def key(i):
+            div = max((round(float(N[i] @ N[j]), 6) for j in sel), default=0.0)
+            return (round(0.7 * rel[i] - 0.3 * div, 6), -i)
+        pick = max((i for i in cand if i not in sel), key=key)
+        sel.append(pick)
+    assert [r["vec_id"] for r in got] == sel
