@@ -250,6 +250,61 @@ FROM agg ORDER BY doc_id
 """
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics a tokenizer/mixture designer
+    reads first: Shannon entropy of the unigram distribution (bits —
+    the lower bound on average code length, i.e. how compressible the
+    language slice is), vocabulary size, token count, and type-token
+    ratio.
+
+    Two partial-aggregable groupBys — (lang, token) counts, then a
+    per-lang reduce; the entropy sum runs over VOCABULARY-sized rows,
+    never instances. p·log2(p) terms are ratios of exact integer
+    counts, so the 6 dp rounding argument holds as everywhere else.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    docs = normalized_docs(spark, sf_dir)
+    tok = tokenized(docs, "lang").select("lang", F.explode("tokens").alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    per_lang = counts.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_vocab"),
+        # -Σ (c/N) log2 (c/N) = log2(N) - Σ c·log2(c) / N
+        F.sum(F.col("c") * F.log2("c")).alias("clc"),
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        F.round(
+            F.log2("n_tokens") - F.col("clc") / F.col("n_tokens"), 6
+        ).alias("entropy_bits"),
+        F.round(F.col("n_vocab") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    ).orderBy("lang")
+
+
+TOKEN_ENTROPY_SQL = r"""
+WITH tok AS (
+    SELECT lang,
+           unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), counts AS (
+    SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2
+), per_lang AS (
+    SELECT lang, sum(c) AS n_tokens, count(*) AS n_vocab,
+           sum(c * log2(c)) AS clc
+    FROM counts GROUP BY lang
+)
+SELECT lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_vocab AS BIGINT) AS n_vocab,
+       round(log2(n_tokens) - clc / n_tokens, 6) AS entropy_bits,
+       round(CAST(n_vocab AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+FROM per_lang ORDER BY lang
+"""
+
+
 def source_overlap(
     spark: SparkSession, sf_dir: str, top: int = 15
 ) -> DataFrame:

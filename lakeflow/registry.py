@@ -444,6 +444,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # greedy (sequential by nature → no SQL twin; pinned against a
     # pure-python reference in tests/test_ext.py)
     "q_mmr_rerank": (lm.mmr_rerank, None),
+    # per-language unigram entropy / vocabulary stats (two partial aggs)
+    "q_token_entropy": (lm.token_entropy, lm.TOKEN_ENTROPY_SQL),
+    # smoothed mean target encoding as one exact-decimal ratio
+    "q_target_encoding": (relational.target_encoding, relational.TARGET_ENCODING_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
@@ -652,6 +656,8 @@ _CERT_FIRST: list[str] = [
     "q_cluster_split",
     "q_dsir_weights",
     "q_source_overlap",
+    "q_token_entropy",
+    "q_target_encoding",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",

@@ -1988,3 +1988,72 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 A
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def target_encoding(spark: SparkSession, sf_dir: str, m: int = 50) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    tabular-ML feature-engineering operator: encode c_mktsegment by
+    the smoothed mean of the joined orders' o_totalprice,
+    enc = (sum_cat + m·global_mean) / (n_cat + m), shrinking sparse
+    categories toward the global mean (m = pseudo-count).
+
+    Exactness: prices are 2-decimal doubles, so sums run as ×100
+    integer cents (the views.py exact-sum pattern) and the smoothing
+    is evaluated as ONE ratio of exact DECIMAL products,
+    (s·gn + m·gs) / ((n+m)·gn), so the output is a deterministic
+    single division — no float accumulation anywhere before the final
+    6 dp round. The encoder table is |categories| rows built in one
+    fact-side shuffle + a 1-row global broadcast; a feature pipeline
+    then broadcast-joins it back onto the fact table.
+    """
+    o = io.read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # round BEFORE the integer cast: double×100 of a 2-decimal value
+        # lands a hair under the integer, and Spark's cast truncates while
+        # DuckDB's rounds — the ×100 exact-sum pattern needs the explicit
+        # round to be engine-identical
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    c = io.read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(broadcast(c), o.o_custkey == c.c_custkey).select("c_mktsegment", "cents")
+    per = j.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    g = j.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("gs"),
+        F.count("*").cast("decimal(38,0)").alias("gn"),
+    )
+    enc = (F.col("s") * F.col("gn") + m * F.col("gs")) / (
+        (F.col("n") + m) * F.col("gn")
+    ) / 100
+    return (
+        per.join(broadcast(g))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(enc.cast("double"), 6).alias("target_enc"),
+        )
+        .orderBy("segment")
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH j AS (
+    SELECT c.c_mktsegment, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), per AS (
+    SELECT c_mktsegment, CAST(sum(cents) AS DECIMAL(38,0)) AS s,
+           CAST(count(*) AS DECIMAL(38,0)) AS n
+    FROM j GROUP BY 1
+), g AS (
+    SELECT CAST(sum(cents) AS DECIMAL(38,0)) AS gs,
+           CAST(count(*) AS DECIMAL(38,0)) AS gn
+    FROM j
+)
+SELECT c_mktsegment AS segment,
+       CAST(n AS BIGINT) AS n_orders,
+       round(CAST((s * gn + 50 * gs) / ((n + 50) * gn) / 100 AS DOUBLE), 6) AS target_enc
+FROM per CROSS JOIN g
+ORDER BY segment
+"""

@@ -40,6 +40,18 @@ def _count_exchanges(df) -> int:
     return sum(p.count(m) for m in EXCHANGE_MARKERS)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _cold_cache(spark):
+    """Budgets are recorded from a COLD session warming in sorted-name
+    order (tools/gen_plan_budget.py); plans change shape when shared
+    tier caches are already hot (InMemoryTableScan subtrees print their
+    stored plan), so pin the same trajectory by starting cold. Later
+    modules re-persist the tiers on first access — the tier builders
+    call persist() idempotently."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, sf_dir, name):
     fn, _ = registry.ALL_QUERIES[name]
