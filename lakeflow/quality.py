@@ -290,3 +290,58 @@ FROM (
 ) c WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c._ck)"""
     for child, ck, parent, pk in _FK_EDGES
 ) + "\nORDER BY fk"
+
+
+K_ANON = 5
+QUASI_IDS = ("provider_name", "service_year", "service_month", "claim_amount_category")
+
+
+def k_anonymity(spark, sf_dir: str, k: int = K_ANON):
+    """k-anonymity audit over the silver claims quasi-identifier tuple
+    (provider, year, month, amount band): the privacy-governance
+    companion to PII redaction — a row whose quasi-id combination is
+    shared by fewer than ``k`` rows is re-identifiable by linkage even
+    with direct identifiers stripped.
+
+    The report aggregates group sizes into a size histogram (never
+    emitting the risky quasi-ids themselves — the audit must not
+    become the leak): one groupBy over the quasi tuple, one groupBy
+    over the sizes; output rows ∝ distinct group sizes. At 100 TB both
+    aggregates are partial-aggregable single shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from lakeflow import claims
+
+    silver = claims.silver_claims(spark, sf_dir)
+    sizes = silver.groupBy(*QUASI_IDS).agg(F.count("*").alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            (F.count("*") * F.col("group_size")).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < k).alias("at_risk"),
+        )
+        .orderBy("group_size")
+    )
+
+
+K_ANONYMITY_BODY = f"""
+, qsizes AS (
+    SELECT {", ".join(QUASI_IDS)}, count(*) AS group_size
+    FROM claims
+    GROUP BY {", ".join(str(i + 1) for i in range(len(QUASI_IDS)))}
+)
+SELECT group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) * group_size AS BIGINT) AS n_rows,
+       group_size < {K_ANON} AS at_risk
+FROM qsizes
+GROUP BY group_size
+ORDER BY group_size
+"""

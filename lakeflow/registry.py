@@ -446,6 +446,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_mmr_rerank": (lm.mmr_rerank, None),
     # per-language unigram entropy / vocabulary stats (two partial aggs)
     "q_token_entropy": (lm.token_entropy, lm.TOKEN_ENTROPY_SQL),
+    # grid-evaluated KS drift: the sup-CDF-gap companion to q_drift_psi
+    # (exact KS needs a global sort — the grid keeps it aggregate-shaped)
+    "q_drift_ks": (profile.drift_ks, profile.DRIFT_KS_SQL),
+    # k-anonymity audit over silver quasi-identifiers (size histogram —
+    # the report never emits the risky quasi-ids themselves)
+    "q_k_anonymity": (quality.k_anonymity, oracle(quality.K_ANONYMITY_BODY)),
     # smoothed mean target encoding as one exact-decimal ratio
     "q_target_encoding": (relational.target_encoding, relational.TARGET_ENCODING_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
@@ -658,6 +664,8 @@ _CERT_FIRST: list[str] = [
     "q_source_overlap",
     "q_token_entropy",
     "q_target_encoding",
+    "q_drift_ks",
+    "q_k_anonymity",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",
