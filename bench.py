@@ -120,6 +120,11 @@ EXTENDED_QUERIES = (
     "q_containment_pairs",
     "q_cluster_split",
     "q_source_overlap",
+    "q_token_entropy",
+    "q_target_encoding",
+    "q_drift_ks",
+    "q_k_anonymity",
+    "q_mmr_rerank",
 )
 
 
