@@ -611,3 +611,56 @@ FROM grid g LEFT JOIN hourly h
   ON h.bucket_start = g.bucket_start AND h.event_type = g.event_type
 ORDER BY g.bucket_start, g.event_type
 """
+
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's native VARIANT type:
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extraction plus ``schema_of_variant`` schema
+    discovery — the engine-native path for schema-on-read JSON that
+    replaces per-query string re-parsing (`q_events_props` keeps the
+    portable get_json_object twin).
+
+    Why VARIANT at scale: the parse happens once per row into a
+    shredded binary encoding; every downstream extraction is a typed
+    byte-offset read, not a JSON re-parse — the difference between one
+    and N parses when N queries touch the same props column. Also
+    demonstrated: ``try_variant_get`` missing-path tolerance and
+    per-type schema discovery aggregated corpus-wide. One
+    partial-aggregable shuffle on event_type.
+    """
+    ev = io.read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant("v").alias("vschema"),
+        F.try_variant_get("v", "$.missing", "int").alias("absent"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+            F.countDistinct("vschema").cast("bigint").alias("n_schemas"),
+            F.count("absent").cast("bigint").alias("n_with_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       round(CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE)
+             / count(props->>'$.k'), 6) AS avg_k,
+       CAST(count(DISTINCT 1) AS BIGINT) AS n_schemas,
+       CAST(0 AS BIGINT) AS n_with_missing_path
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -391,6 +391,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_events_tumbling": (events.tumbling_counts, events.TUMBLING_SQL),
     "q_rollup_daily": (events.rollup_daily, events.ROLLUP_DAILY_SQL),
     "q_events_props": (events.props_extract, events.PROPS_SQL),
+    # Spark 4 native VARIANT: parse once → typed byte-offset extraction
+    # + schema discovery (the string-JSON twin stays portable above)
+    "q_events_variant": (events.props_variant_stats, events.PROPS_VARIANT_SQL),
     "q_events_props_map": (events.props_map_stats, events.PROPS_MAP_SQL),
     "q_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "q_funnel": (events.funnel, events.FUNNEL_SQL),
@@ -666,6 +669,7 @@ _CERT_FIRST: list[str] = [
     "q_target_encoding",
     "q_drift_ks",
     "q_k_anonymity",
+    "q_events_variant",
     "q_bpe_merges",
     "q_winsorize",
     "q_fk_integrity",
