@@ -125,6 +125,7 @@ EXTENDED_QUERIES = (
     "q_drift_ks",
     "q_k_anonymity",
     "q_mmr_rerank",
+    "q_events_variant",
 )
 
 
