@@ -107,9 +107,20 @@ def curated_docs(
     )
 
     from lakeflow.ext.packing import N_SHARDS
+    from lakeflow.ext.sampling import _bucket
 
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     shard = F.pmod(F.conv(hx, 16, 10).cast("bigint"), F.lit(N_SHARDS))
+
+    # docs with no embedding row can't inherit a cluster split; they fall
+    # back to the SAME md5-bucket thresholds keyed on doc_id, so every
+    # kept doc carries a split even when |docs| >> |embeddings| (at sf1
+    # only 20k of 50k docs are embedded — a NULL split there silently
+    # drops 60% of kept docs from any split-consuming trainer)
+    db = _bucket(F.col("doc_id"))
+    doc_split = (
+        F.when(db < 204, "train").when(db < 230, "val").otherwise("test")
+    )
 
     flagged = (
         docs.join(exact_keep, "doc_id", "left")
@@ -127,7 +138,7 @@ def curated_docs(
             ),
             # docs without an embedding row count as their own canonical
             F.coalesce("keep_canonical", F.lit(True)).alias("keep_canonical"),
-            F.col("split"),
+            F.coalesce(F.col("split"), doc_split).alias("split"),
             shard.alias("shard_id"),
         )
     )

@@ -933,11 +933,13 @@ def embedding_near_dups_lsh(
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
     if bits is None or bands is None:
-        # corpus-size-aware tuning: one metadata-cheap count keeps the
-        # bucket occupancy bounded as n grows (see _lsh_params — at
-        # certification scales the result is identical to the n-free
-        # tuning, so oracle rows are unaffected)
-        bits, bands = _lsh_params(threshold, n=emb.count())
+        # corpus-size-aware tuning from parquet FOOTER metadata — no
+        # scan, no Spark job at plan-construction time (an eager
+        # count() here made every curated_docs/cluster_split build pay
+        # a full embeddings scan). At certification scales the result
+        # is identical to the n-free tuning, so oracle rows are
+        # unaffected.
+        bits, bands = _lsh_params(threshold, n=io.parquet_row_count(sf_dir, "embeddings"))
     n_planes = bands * bits
 
     def bucketize(batches):

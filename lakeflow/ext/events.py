@@ -658,8 +658,9 @@ SELECT event_type,
        CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
        round(CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE)
              / count(props->>'$.k'), 6) AS avg_k,
-       CAST(count(DISTINCT 1) AS BIGINT) AS n_schemas,
-       CAST(0 AS BIGINT) AS n_with_missing_path
+       CAST(count(DISTINCT json_structure(props::JSON)) AS BIGINT) AS n_schemas,
+       CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_missing_path
 FROM events
 GROUP BY event_type
 ORDER BY event_type

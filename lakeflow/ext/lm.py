@@ -65,7 +65,12 @@ def bigram_lm_scores(
     the model side read from a table).
 
     p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) counts
-    w1-as-context occurrences and V is the corpus vocabulary size.
+    w1-as-context occurrences and V is the BIGRAM-PARTICIPATING
+    vocabulary: the distinct tokens of multi-token documents (tokens
+    that only ever appear alone in single-token docs never enter any
+    bigram, contribute nothing to the probability mass being smoothed,
+    and are excluded — deliberately, and identically in the DuckDB
+    oracle twin, which shares this derivation).
     cross_entropy = mean(-log2 p) in bits/bigram; ppl = 2^H.
 
     Plan: two small aggregations build the model (bigram types,
@@ -82,7 +87,10 @@ def bigram_lm_scores(
     # vocab from the bigram-TYPE table, not the instance stream: the
     # distinct token set of c12's two columns equals bg's (every
     # instance collapses into some type) but the input is model-sized —
-    # saves a second full corpus scan (sf1: 14.6 s → ~9 s)
+    # saves a second full corpus scan (sf1: 14.6 s → ~9 s). NOTE this
+    # makes V the multi-token-doc vocabulary (see docstring): tokens
+    # appearing only in single-token docs never form a bigram and are
+    # excluded from the smoothing denominator in BOTH engines.
     vocab = (
         c12.select(F.col("w1").alias("w")).union(c12.select("w2"))
         .agg(F.countDistinct("w").alias("v"))

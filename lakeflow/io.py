@@ -99,6 +99,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count of a driver-provided parquet table from footer
+    METADATA only — no scan, no Spark job. Used by plan builders that
+    need corpus size at construction time (e.g. the LSH bucket-depth
+    floor in ext/dedup.py): an eager ``df.count()`` there would run a
+    full Spark job every time the plan is merely *built*, breaking the
+    package's lazy-builder convention. Footers store num_rows per
+    row group; summing them is a few KB of IO per file."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def read_csv_source(spark: SparkSession, path: str) -> DataFrame:
     """Bronze CSV source — same options as the reference
     (/root/reference/jobs/bronze/ingest_csv_to_delta.py:44-49)."""

@@ -67,10 +67,19 @@ def test_shuffle_budget(spark, sf_dir, name):
 def test_budget_covers_registry():
     """Every oracle-bearing registered query is budget-pinned (new
     queries must be added by regenerating the budget file)."""
-    missing = [
+    missing = {
         n
         for n, (_, sql) in registry.ALL_QUERIES.items()
         if n not in BUDGETS
-    ]
-    # iterative/stateful ops may be legitimately absent; cap the gap
-    assert len(missing) <= 8, f"unbudgeted queries: {missing}"
+    }
+    # EXPLICIT allowlist of legitimately-unbudgetable queries (none
+    # today — every registered query pins a budget at both recorded
+    # SFs). A new query must either get a budget (regenerate via
+    # tools/gen_plan_budget.py) or be NAMED here with a reason; a
+    # count ceiling would let new queries ship silently unpinned.
+    allowed_unbudgeted: frozenset[str] = frozenset()
+    assert missing <= allowed_unbudgeted, (
+        f"unbudgeted queries not in allowlist: {sorted(missing - allowed_unbudgeted)} — "
+        "regenerate tests/plan_budgets.json via tools/gen_plan_budget.py "
+        "or name them in allowed_unbudgeted with a justification"
+    )
