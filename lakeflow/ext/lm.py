@@ -488,9 +488,11 @@ def mmr_rerank(
     algorithms (same class as the ≤2M-edge union-find in
     connected_components). The expensive part — scoring the corpus —
     stays the distributed, plan-audited kNN. Deterministic: 6 dp
-    similarity rounding with vec_id tiebreaks. Rows-only (greedy
-    selection is sequential — no tractable SQL twin); pinned by a
-    pure-python reference implementation in tests.
+    similarity rounding with vec_id tiebreaks. Oracle: the bounded
+    greedy replayed in DuckDB with the loop UNROLLED into chained
+    CTEs (MMR_RERANK_SQL — same trick as q_bpe_merges); every cosine
+    uses the shared dot/(n_a·n_b) shape so both engines round the
+    same float64 value.
     """
     import numpy as np
 
@@ -502,7 +504,7 @@ def mmr_rerank(
     )
     q_row = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).head()
     qv = np.array(q_row["v"])
-    qv /= np.linalg.norm(qv)
+    qn = float(np.linalg.norm(qv))
 
     # distributed top-k: corpus never leaves the cluster; only the
     # bounded candidate rows (id + vector) are collected
@@ -519,7 +521,9 @@ def mmr_rerank(
         .select(
             "vec_id",
             "v",
-            F.round(_dot("v", "qv") / F.col("nv"), 6).alias("rel"),
+            # dot/(n_v·n_q): the same expression shape as the DuckDB
+            # twin, so the 6dp rounding sees an identical float64
+            F.round(_dot("v", "qv") / (F.col("nv") * F.lit(qn)), 6).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(top)
@@ -528,8 +532,8 @@ def mmr_rerank(
     ids = [r["vec_id"] for r in rows]
     rel = np.array([r["rel"] for r in rows])
     V = np.stack([np.array(r["v"]) for r in rows])
-    V = V / np.linalg.norm(V, axis=1, keepdims=True)
-    sims = np.round(V @ V.T, 6)
+    norms = np.linalg.norm(V, axis=1)
+    sims = np.round((V @ V.T) / np.outer(norms, norms), 6)
 
     selected: list[int] = []
     remaining = list(range(len(ids)))
@@ -550,6 +554,76 @@ def mmr_rerank(
     return spark.createDataFrame(
         out_rows, "vec_id bigint, relevance double, mmr_rank int"
     )
+
+
+def _mmr_sql(lam: float = 0.7, top: int = RRF_TOP, out: int = 10) -> str:
+    """DuckDB twin of :func:`mmr_rerank`: the greedy loop UNROLLED into
+    ``out`` chained CTE steps (the q_bpe_merges trick — a bounded
+    sequential algorithm has no fixed-point SQL form, but a KNOWN
+    iteration count unrolls exactly). Each step scores the remaining
+    candidates against the picked set and takes the argmax with the
+    same (score DESC, vec_id ASC) tiebreak. ``1 - lam`` is emitted via
+    repr() so the SQL literal is the exact float64 Python computes
+    (1 - 0.7 != 0.3 in binary)."""
+    om = repr(1.0 - lam)
+    parts = [
+        f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+), cand AS MATERIALIZED (
+    SELECT a.vec_id, a.v, a.nv,
+           round(list_aggregate(list_transform(list_zip(a.v, q.v), p -> p[1] * p[2]), 'sum')
+                 / (a.nv * q.nv), 6) AS rel
+    FROM n a CROSS JOIN (SELECT v, nv FROM n WHERE vec_id = {RRF_QUERY_VEC}) q
+    WHERE a.vec_id != {RRF_QUERY_VEC}
+    ORDER BY rel DESC, a.vec_id
+    LIMIT {top}
+), sim AS MATERIALIZED (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+                 / (a.nv * b.nv), 6) AS s
+    FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+), picked1 AS MATERIALIZED (
+    SELECT vec_id, rel, 1 AS mmr_rank
+    FROM cand
+    ORDER BY round({lam} * rel, 6) DESC, vec_id
+    LIMIT 1
+)"""
+    ]
+    for k in range(2, out + 1):
+        parts.append(
+            f""", p{k} AS (
+    SELECT c.vec_id, c.rel,
+           round({lam} * c.rel - {om} * coalesce(max(sp.s), 0.0), 6) AS score
+    FROM cand c
+    LEFT JOIN (SELECT s.ia, s.s FROM sim s
+               JOIN picked{k - 1} p ON s.ib = p.vec_id) sp
+      ON sp.ia = c.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{k - 1})
+    GROUP BY c.vec_id, c.rel
+    ORDER BY score DESC, c.vec_id
+    LIMIT 1
+), picked{k} AS MATERIALIZED (
+    SELECT vec_id, rel, mmr_rank FROM picked{k - 1}
+    UNION ALL SELECT vec_id, rel, {k} FROM p{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, rel AS relevance, CAST(mmr_rank AS INTEGER) AS mmr_rank
+FROM picked{out}
+ORDER BY mmr_rank
+"""
+    )
+    return "".join(parts)
+
+
+MMR_RERANK_SQL = _mmr_sql()
 
 
 RRF_SQL = rf"""

@@ -249,8 +249,14 @@ def _sq_dist(a: F.Column | str, b: F.Column | str) -> F.Column:
 
 def _nearest_lists(vecs: DataFrame, cent: DataFrame, vec_col: str, n: int) -> DataFrame:
     """Rank centroid lists per vector by squared distance; keep top-n.
-    Input vecs must have a unique ``vec_id``; cent has (list_id, cv)."""
-    d = vecs.crossJoin(broadcast(cent)).withColumn("_d", _sq_dist(vec_col, "cv"))
+    Input vecs must have a unique ``vec_id``; cent has (list_id, cv).
+    The distance is rounded to 6dp before ranking so the argmin is
+    REPLAYABLE across engines (shuffle-order float drift ~1e-13 can
+    never flip a comparison; genuine sub-5e-7 ties fall to the
+    deterministic list_id tiebreak in both)."""
+    d = vecs.crossJoin(broadcast(cent)).withColumn(
+        "_d", F.round(_sq_dist(vec_col, "cv"), 6)
+    )
     w = Window.partitionBy("vec_id").orderBy("_d", "list_id")
     return (
         d.withColumn("_r", F.row_number().over(w))
@@ -278,7 +284,12 @@ def kmeans_centroids(emb: DataFrame, n_lists: int, lloyd_iters: int) -> DataFram
         cent = (
             assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            # 9dp-rounded means: quenches partition-order float drift
+            # (~1e-15 rel.) so downstream 6dp distance rounding sees
+            # bit-identical centroids in any engine — the k-means
+            # becomes exactly replayable (KNN_IVF_SQL) at zero cost to
+            # index quality
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("list_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
@@ -309,7 +320,11 @@ def knn_ivf(
     - probing: candidates = queries' nprobe nearest lists bucket-joined
       against the inverted lists (corpus touched ∝ nprobe/n_lists).
 
-    Rows-only (approximate); recall floor asserted in tests.
+    Approximate vs the brute-force baseline (recall floor asserted in
+    tests) but EXACTLY replayable: assignment distances are 6dp-rounded
+    with a list_id tiebreak and centroid means 9dp-rounded, so the
+    whole index build is deterministic across engines — KNN_IVF_SQL
+    replays seeds, both Lloyd rounds, probing, and ranking in DuckDB.
     """
     emb = (
         io.read_table(spark, sf_dir, "embeddings")
@@ -329,6 +344,102 @@ def knn_ivf(
     return _topk(
         cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
+
+
+def _knn_ivf_sql(
+    k: int = 5,
+    query_mod: int = 100,
+    n_lists: int = 8,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`knn_ivf`: the k-means index build replayed
+    round by round (Lloyd loop unrolled — iteration count is a fixed
+    parameter, same trick as q_bpe_merges/q_mmr_rerank). Every
+    comparison the Spark side makes on rounded values is made on the
+    identically-rounded values here; CTEs are MATERIALIZED because each
+    round references its predecessor several times (inlining would
+    re-run the whole prefix exponentially)."""
+    sqd = (
+        "round(list_aggregate(list_transform(list_zip({a}, c.cv), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)"
+    )
+    parts = [
+        f"""
+WITH v0 AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), emb AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v0
+), cent0 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cv
+    FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_lists})
+)"""
+    ]
+    for i in range(1, lloyd_iters + 1):
+        parts.append(
+            f""", assign{i} AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {sqd.format(a="e.v")}, c.list_id) AS r
+        FROM emb e CROSS JOIN cent{i - 1} c
+    ) WHERE r = 1
+), cent{i} AS MATERIALIZED (
+    SELECT list_id, list(m ORDER BY pos) AS cv
+    FROM (
+        SELECT a.list_id, t.pos, round(avg(e.v[t.pos]), 9) AS m
+        FROM assign{i} a JOIN emb e USING (vec_id)
+        CROSS JOIN generate_series(1, 64) t(pos)
+        WHERE t.pos <= len(e.v)
+        GROUP BY a.list_id, t.pos
+    ) GROUP BY list_id
+)"""
+        )
+    L = lloyd_iters
+    parts.append(
+        f""", lists AS MATERIALIZED (
+    SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {sqd.format(a="e.v")}, c.list_id) AS r
+        FROM emb e CROSS JOIN cent{L} c
+    ) WHERE r = 1
+), queries AS MATERIALIZED (
+    SELECT vec_id AS q_id, v AS qv, nv AS nq
+    FROM emb WHERE vec_id % {query_mod} = 0
+), probes AS MATERIALIZED (
+    SELECT q_id, list_id FROM (
+        SELECT q.q_id, c.list_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {sqd.format(a="q.qv")}, c.list_id) AS r
+        FROM queries q CROSS JOIN cent{L} c
+    ) WHERE r <= {nprobe}
+), scored AS (
+    SELECT p.q_id, l.vec_id,
+           round(list_aggregate(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), 'sum')
+                 / (q.nq * e.nv), 6) AS cosine
+    FROM probes p JOIN lists l USING (list_id)
+    JOIN queries q ON q.q_id = p.q_id
+    JOIN emb e ON e.vec_id = l.vec_id
+    WHERE l.vec_id != p.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= {k}
+ORDER BY q_id, rnk
+"""
+    )
+    return "".join(parts)
+
+
+KNN_IVF_SQL = _knn_ivf_sql()
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -444,9 +444,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # (one distinct shuffle; output ∝ |sources|², never corpus)
     "q_source_overlap": (lm.source_overlap, lm.SOURCE_OVERLAP_SQL),
     # MMR diversity rerank: distributed top-k then bounded driver-side
-    # greedy (sequential by nature → no SQL twin; pinned against a
-    # pure-python reference in tests/test_ext.py)
-    "q_mmr_rerank": (lm.mmr_rerank, None),
+    # greedy; the oracle replays the greedy with the loop UNROLLED into
+    # chained DuckDB CTEs (deterministic over 6dp-rounded scores)
+    "q_mmr_rerank": (lm.mmr_rerank, lm.MMR_RERANK_SQL),
     # per-language unigram entropy / vocabulary stats (two partial aggs)
     "q_token_entropy": (lm.token_entropy, lm.TOKEN_ENTROPY_SQL),
     # grid-evaluated KS drift: the sup-CDF-gap companion to q_drift_psi
@@ -528,7 +528,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # Arrow/numpy float64 sums round to the same 6dp as the JVM fold and
     # DuckDB on this data — certified against the brute-force oracle
     "q_knn_pandas": (similarity.knn_bruteforce_pandas, similarity.KNN_BRUTEFORCE_SQL),
-    "q_knn_ivf": (similarity.knn_ivf, None),  # approximate — rows-only
+    # approximate vs brute force, but the index build is deterministic
+    # (rounded assignment distances + centroid means) — the oracle
+    # replays seeds, Lloyd rounds, probing, and ranking exactly
+    "q_knn_ivf": (similarity.knn_ivf, similarity.KNN_IVF_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
     "q_sample_hash": (sampling.sample_documents, sampling.SAMPLE_DOCS_SQL),
@@ -621,17 +624,43 @@ ORDER BY check_id
 
 
 def _bronze_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 — lineage columns over a raw scan (wall-clock → rows-only)."""
+    """P1 — lineage columns over a raw scan. The clock is PINNED to the
+    package's replay anchor (claims.NOW_TS — same convention as
+    q_recent_activity), and the 100-row sample is the ordered head
+    (TakeOrderedAndProject, no global sort materialization), so the
+    query is fully oracle-able instead of rows-only: production
+    callers pass now=None and get wall-clock lineage
+    (ingest.with_lineage default)."""
+    import datetime as dt
+
     from lakeflow.ingest import with_lineage
 
-    return with_lineage(lio.read_table(spark, sf_dir, "lineitem").limit(100))
+    li = lio.read_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # order by EVERY column so the head is a well-defined multiset
+    # (rows tied on the full tuple are identical, so the cut is stable)
+    head = li.orderBy(*li.columns).limit(100)
+    return with_lineage(head, now=dt.datetime(2026, 1, 1))
+
+
+BRONZE_METADATA_SQL = """
+SELECT *,
+       TIMESTAMP '2026-01-01 00:00:00' AS ingestion_timestamp,
+       'csv' AS source_file,
+       '20260101_000000' AS batch_id
+FROM lineitem
+ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate
+LIMIT 100
+"""
 
 
 MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dq_report": (_dq_report, DQ_REPORT_SQL),
     # cross-table referential-integrity audit (anti-join per FK edge)
     "q_fk_integrity": (quality.fk_integrity, quality.FK_INTEGRITY_SQL),
-    "q_bronze_metadata": (_bronze_metadata, None),
+    "q_bronze_metadata": (_bronze_metadata, BRONZE_METADATA_SQL),
     "q_user_stats_stateful": (_user_stats_stateful, None),
 }
 
@@ -658,7 +687,12 @@ _CERT_FIRST: list[str] = [
     # -- sentinels (green in r01) --------------------------------------
     "q_silver_pipeline",
     "q_tpch_q1",
-    # -- new this round (r4): certify first -----------------------------
+    # -- r5: newly oracled / fixed — certify FIRST -----------------------
+    "q_tpch_q12",  # r4 red row: oracle typing fixed (CAST SUM AS BIGINT)
+    "q_mmr_rerank",  # greedy replayed via unrolled DuckDB CTEs
+    "q_bronze_metadata",  # pinned clock + total-order head
+    "q_knn_ivf",  # deterministic k-means replay (rounded assign/means)
+    # -- r4 certifications ------------------------------------------------
     "q_lm_perplexity",
     "q_rrf_fusion",
     "q_containment_pairs",
@@ -684,7 +718,6 @@ _CERT_FIRST: list[str] = [
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",
-    "q_tpch_q12",
     "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q19",
