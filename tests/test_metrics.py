@@ -1,0 +1,135 @@
+"""Measured-bytes observability gates (VERDICT r4 #5): the plan-budget
+gate pins exchange COUNTS; these tests pin exchange BYTES — the
+regression class a shape check cannot see (same plan, 100× the data
+through it).
+
+All assertions are on lakeflow.metrics.plan_metrics aggregates of the
+executed plan's accumulated SQLMetrics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakeflow import io as lio
+from lakeflow import metrics, registry
+
+
+def _run(df):
+    rows = df.collect()
+    return len(rows), metrics.plan_metrics(df)
+
+
+def test_bucketed_join_measures_zero_shuffle_bytes(spark, sf_dir, tmp_path):
+    """The co-located bucketed join doesn't just LOOK exchange-free
+    (test_plans.py) — it measurably moves ZERO shuffle bytes, while
+    the identical unbucketed join moves real bytes."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lio.write_bucketed(
+        orders, "mx_orders", str(tmp_path / "o"), ("o_custkey",), buckets=4,
+        sort_cols=("o_custkey",),
+    )
+    lio.write_bucketed(
+        cust, "mx_customer", str(tmp_path / "c"), ("c_custkey",), buckets=4,
+        sort_cols=("c_custkey",),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("mx_orders").join(
+            spark.table("mx_customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        n_b, m_b = _run(bucketed)
+        plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        n_p, m_p = _run(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS mx_orders")
+        spark.sql("DROP TABLE IF EXISTS mx_customer")
+    assert n_b == n_p == orders.count()
+    assert m_b["shuffle_bytes_written"] == 0
+    assert m_b["shuffle_bytes_read"] == 0
+    assert m_p["shuffle_bytes_written"] > 0  # the bytes bucketing saves
+
+
+def test_partition_pruning_measures_fewer_files(spark, sf_dir, tmp_path):
+    """A partition-pruned read measurably opens fewer files and bytes
+    than the full scan — pruning verified by IO, not plan text."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    src.write.partitionBy("o_year").parquet(path)
+
+    full = spark.read.parquet(path)
+    _, m_full = _run(full)
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    n_pruned, m_pruned = _run(pruned)
+
+    assert n_pruned > 0
+    assert 0 < m_pruned["files_read"] < m_full["files_read"]
+    assert m_pruned["bytes_scanned"] < m_full["bytes_scanned"]
+    assert m_pruned["rows_scanned"] < m_full["rows_scanned"]
+
+
+def test_partial_aggregation_measured(spark, sf_dir):
+    """Map-side combine is measured, not assumed: the rows crossing
+    the exchange of a low-cardinality groupBy are a tiny fraction of
+    the rows scanned (bounded by groups × maps, here ≪ input)."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    n, m = _run(df)
+    assert m["rows_scanned"] > 0
+    assert m["n_exchanges"] >= 1
+    # without partial aggregation every scanned row would cross the
+    # shuffle; with it, only (groups × map tasks) pre-aggregated rows do
+    assert m["shuffle_records_written"] < m["rows_scanned"] / 100
+    assert m["shuffle_records_written"] >= n
+
+
+def test_broadcast_join_measures_no_shuffle(spark, sf_dir):
+    """An explicitly broadcast dim join moves dim bytes via broadcast
+    and writes zero shuffle bytes (no sort in the plan tail)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_name"
+    )
+    n, m = _run(j)
+    assert n > 0
+    assert m["broadcast_bytes"] > 0
+    assert m["shuffle_bytes_written"] == 0
+
+
+def test_query_metrics_table_shape(spark, sf_dir):
+    """The registered-query metrics surface: one row per query with the
+    full schema, wall time populated, and internally consistent IO
+    accounting for a known query."""
+    names = ["q_tpch_q1", "q_join_broadcast"]
+    t = metrics.query_metrics(spark, names, sf_dir)
+    rows = {r["query"]: r for r in t.collect()}
+    assert set(rows) == set(names)
+    for r in rows.values():
+        assert r["wall_sec"] > 0
+        assert r["output_rows"] > 0
+    # q_join_broadcast: dim side is broadcast (measured bytes), and the
+    # fact side is served from scan or the fan-out cache — either way
+    # some measured input rows exist
+    jb = rows["q_join_broadcast"]
+    assert jb["broadcast_bytes"] > 0
+    assert jb["rows_scanned"] + jb["cache_rows_read"] > 0
+
+
+def test_spill_counter_wired(spark, sf_dir):
+    """Force a tiny-memory sort spill? Too brittle in a shared local
+    JVM — instead pin that the spill field exists, is zero on a
+    healthy in-memory aggregate, and the schema carries it (an
+    alerting pipeline selects on the NAME)."""
+    fn, _ = registry.ALL_QUERIES["q_tpch_q1"]
+    rec = metrics.run_instrumented(spark, "q_tpch_q1", fn, sf_dir)
+    assert rec["spill_bytes"] == 0
+    assert "spill_bytes" in metrics.METRICS_SCHEMA
