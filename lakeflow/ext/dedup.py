@@ -449,6 +449,7 @@ def cluster_split(
     threshold: float = 0.4,
     train_256: int = 204,
     val_256: int = 230,
+    edge_source: str = "lsh",
 ) -> DataFrame:
     """Leakage-safe train/val/test split: the WHOLE near-duplicate
     cluster is assigned to one split by the content hash of its
@@ -467,7 +468,7 @@ def cluster_split(
     """
     from lakeflow.ext.sampling import _bucket
 
-    cl = dedup_clusters(spark, sf_dir, threshold)
+    cl = dedup_clusters(spark, sf_dir, threshold, edge_source=edge_source)
     b = _bucket(F.col("cluster_id"))
     split = (
         F.when(b < train_256, "train").when(b < val_256, "val").otherwise("test")

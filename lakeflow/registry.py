@@ -489,7 +489,21 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: dedup.embedding_near_dups(spark, sf, threshold=0.4),
         dedup.EMBEDDING_NEAR_DUPS_SQL,
     ),
+    # LSH-edge default (the 100 TB path). NOTE the oracle's transitive
+    # closure runs over EXACT pairs: certification is exhaustive only
+    # where banding recall is total (holds at the driver SFs —
+    # deterministic hyperplanes, verified; at sf0.1 LSH misses 17/920
+    # borderline pairs ≡ the tuned 0.98/pair recall, measured r5). The
+    # *_exact twins below carry scale-up certification (sf0.1 gate).
     "q_dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    "q_dedup_clusters_exact": (
+        lambda spark, sf: dedup.dedup_clusters(spark, sf, edge_source="exact"),
+        dedup.DEDUP_CLUSTERS_SQL,
+    ),
+    "q_cluster_split_exact": (
+        lambda spark, sf: dedup.cluster_split(spark, sf, edge_source="exact"),
+        dedup.CLUSTER_SPLIT_SQL,
+    ),
     "q_dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     "q_scd2_history": (events.scd2_history, events.SCD2_SQL),
     "q_gap_fill": (events.gap_fill, events.GAP_FILL_SQL),
@@ -692,6 +706,8 @@ _CERT_FIRST: list[str] = [
     "q_mmr_rerank",  # greedy replayed via unrolled DuckDB CTEs
     "q_bronze_metadata",  # pinned clock + total-order head
     "q_knn_ivf",  # deterministic k-means replay (rounded assign/means)
+    "q_dedup_clusters_exact",  # scale-up cert twins (sf0.1 gate)
+    "q_cluster_split_exact",
     # -- r4 certifications ------------------------------------------------
     "q_lm_perplexity",
     "q_rrf_fusion",

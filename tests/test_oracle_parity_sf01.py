@@ -1,0 +1,89 @@
+"""Opt-in sf0.1 oracle parity for the HEAVY query families (VERDICT r4
+#6): the standard parity gate runs at sf0.001/sf0.01, but the sf1
+claims-key int64 overflow (BASELINE.md) proved scale-DEPENDENT
+wrongness exists — arithmetic that saturates, banding parameters that
+flip on corpus size, rounding that only meets a boundary with enough
+rows. This gate re-certifies the dedup / LM / retrieval / BPE /
+profile families one decade up.
+
+Env-gated because it costs minutes, not seconds:
+
+    LAKEFLOW_PARITY_SF01=1 python -m pytest tests/test_oracle_parity_sf01.py -q
+
+CI policy: run before any round that touched these families.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakeflow import registry
+from tests.oracle_harness import compare, duck_connection
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("LAKEFLOW_PARITY_SF01") != "1",
+    reason="opt-in: set LAKEFLOW_PARITY_SF01=1 (heavy — minutes at sf0.1)",
+)
+
+# the families whose oracles exercise scale-sensitive machinery:
+# banding parameters keyed on corpus size, iterative argmax loops,
+# float accumulation over 10× the rows, int arithmetic near overflow
+HEAVY = [
+    # dedup family
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_keep_best",
+    "q_dedup_simhash",
+    # clusters/split certify at sf0.1 via their EXACT-edge twins: the
+    # registered LSH defaults miss 17/920 borderline pairs here — the
+    # tuned 0.98/pair banding recall (measured r5, zero false
+    # positives), i.e. the designed approximation, not wrongness. The
+    # exact twins run the same components/split machinery over the
+    # exhaustive pair list the DuckDB oracle also uses.
+    "q_dedup_clusters_exact",
+    "q_dedup_embedding_exact",
+    "q_cluster_split_exact",
+    "q_ngram_jaccard",
+    "q_containment_pairs",
+    "q_winnow_fingerprints",
+    "q_doc_fingerprint",
+    # LM / scoring family
+    "q_lm_perplexity",
+    "q_dsir_weights",
+    "q_token_entropy",
+    "q_bpe_merges",
+    "q_bpe_apply",
+    # retrieval family
+    "q_bm25",
+    "q_rrf_fusion",
+    "q_mmr_rerank",
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_knn_pandas",
+    # profile/drift (float accumulation + quantile grids)
+    "q_drift_ks",
+    "q_drift_psi",
+    "q_column_profile",
+]
+
+_missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
+assert not _missing, f"stale HEAVY entries: {_missing}"
+assert all(registry.ALL_QUERIES[n][1] for n in HEAVY), "HEAVY needs oracles"
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duck_connection(SF01_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_parity_sf01(spark, duck01, name):
+    fn, sql = registry.ALL_QUERIES[name]
+    compare(fn(spark, SF01_DIR), duck01, sql, name)
