@@ -292,6 +292,10 @@ def decode_image(payload: bytes, mime: str) -> dict:
         w, h, ch, px = decode_png(payload)
     elif mime == "image/bmp":
         w, h, ch, px = decode_bmp(payload)
+    elif mime == "image/jpeg":
+        from lakeflow.ext.jpeg import decode_jpeg
+
+        w, h, ch, px = decode_jpeg(payload)
     else:
         raise NotImplementedError(f"no decoder for {mime!r}; register one in DECODERS")
     import numpy as np
@@ -309,6 +313,7 @@ DECODERS = {
     "image/fake": decode_stub,
     "image/png": decode_image,
     "image/bmp": decode_image,
+    "image/jpeg": decode_image,  # baseline JFIF (ext/jpeg.py)
 }
 
 
@@ -342,6 +347,46 @@ def synthesize_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mimes.append("image/png")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads, "mime": mimes}
+            )
+
+    return docs.mapInPandas(batches, schema=schema)
+
+
+def synthesize_jpeg_docs(
+    spark: SparkSession, sf_dir: str, subsample: bool = False
+) -> DataFrame:
+    """JPEG twin of :func:`synthesize_image_docs`: real baseline JFIF
+    payloads (ext/jpeg.py) with the same closed-form size/color scheme,
+    so decode/resize tests can drive the registry's JPEG path through
+    the identical Arrow-batched plumbing. Kept separate from the
+    PNG/BMP generator because JPEG is LOSSY — pixel_sum is no longer
+    closed-form, so q_multimodal_meta's exact oracle stays pinned to
+    the lossless mimes."""
+    from lakeflow.ext.jpeg import encode_jpeg
+
+    docs = (
+        io.read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    schema = "doc_id long, payload binary, mime string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 4 + (d * 7) % 11
+                color = bytes((d % 256, (d * 3) % 256, (d * 5) % 256))
+                payloads.append(
+                    encode_jpeg(w, h, color * (w * h), subsample=subsample)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
             )
 
     return docs.mapInPandas(batches, schema=schema)
@@ -434,9 +479,14 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
             ids, ws, hs, blobs, sums = [], [], [], [], []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
                 raw = bytes(payload)
-                w, h, ch, px = (
-                    decode_png(raw) if mime == "image/png" else decode_bmp(raw)
-                )
+                if mime == "image/png":
+                    w, h, ch, px = decode_png(raw)
+                elif mime == "image/jpeg":
+                    from lakeflow.ext.jpeg import decode_jpeg
+
+                    w, h, ch, px = decode_jpeg(raw)
+                else:
+                    w, h, ch, px = decode_bmp(raw)
                 rp = resize_pixels(px, w, h, ch, out_w, out_h)
                 ids.append(doc_id)
                 ws.append(w)

@@ -842,3 +842,94 @@ def test_mmr_rerank_reference_and_diversity(spark, sf_dir):
         pick = max((i for i in cand if i not in sel), key=key)
         sel.append(pick)
     assert [r["vec_id"] for r in got] == sel
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JFIF codec (ext/jpeg.py): flat images round-trip
+    exactly (DC-only), structured images round-trip within the PSNR a
+    correct baseline JPEG gives, 4:2:0 exercises upsampling, restart
+    markers don't change pixels, and the progressive guard raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lakeflow.ext.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        a = np.frombuffer(a, np.uint8).astype(np.float64)
+        b = np.frombuffer(b, np.uint8).astype(np.float64)
+        mse = ((a - b) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    # flat gray — quantizes exactly
+    flat = bytes([128, 128, 128] * (16 * 16))
+    w, h, ch, px = decode_jpeg(encode_jpeg(16, 16, flat, quality=90))
+    assert (w, h, ch) == (16, 16, 3)
+    assert psnr(flat, px) > 90
+
+    # gradient, non-multiple-of-8 dims
+    g = np.zeros((17, 24, 3), np.uint8)
+    for yy in range(17):
+        for xx in range(24):
+            g[yy, xx] = (xx * 10 % 256, yy * 13 % 256, (xx + yy) * 5 % 256)
+    gb = g.tobytes()
+    for q, floor in ((95, 48), (85, 43), (60, 38)):
+        dw, dh, _, px = decode_jpeg(encode_jpeg(24, 17, gb, quality=q))
+        assert (dw, dh) == (24, 17)
+        assert psnr(gb, px) > floor
+
+    # 4:2:0 subsampled
+    xs, ys_ = np.meshgrid(np.arange(33), np.arange(18))
+    sm = np.stack(
+        [(xs * 3) % 200 + 20, (ys_ * 4) % 200 + 20, ((xs + ys_) * 2) % 200 + 20],
+        axis=2,
+    ).astype(np.uint8)
+    dw, dh, _, px = decode_jpeg(
+        encode_jpeg(33, 18, sm.tobytes(), quality=90, subsample=True)
+    )
+    assert (dw, dh) == (33, 18)
+    assert psnr(sm.tobytes(), px) > 40
+
+    # restart markers: byte-identical pixels with and without
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8).tobytes()
+    assert (
+        decode_jpeg(encode_jpeg(56, 40, img, restart_interval=4))[3]
+        == decode_jpeg(encode_jpeg(56, 40, img))[3]
+    )
+
+    # honest subset guard: progressive (SOF2) refuses loudly
+    prog = bytearray(encode_jpeg(8, 8, bytes(192)))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_decode_resize_spark_path(spark, sf_dir):
+    """JPEG through the registry + the real Spark plumbing: decode
+    (header facts must be exact — lossy pixels, lossless headers) and
+    resize (JPEG in → PNG out) over mapInPandas, both 4:4:4 and
+    4:2:0."""
+    import numpy as np
+
+    for sub in (False, True):
+        src = multimodal.synthesize_jpeg_docs(spark, sf_dir, subsample=sub).limit(40)
+        dec = {r["doc_id"]: r for r in multimodal.decode_images(src).collect()}
+        assert dec
+        for d, r in dec.items():
+            assert r["mime"] == "image/jpeg"
+            assert r["width"] == 4 + d % 13      # header facts exact
+            assert r["height"] == 4 + (d * 7) % 11
+            assert r["channels"] == 3
+            # flat color → DC-only → near-exact pixel_sum
+            color = (d % 256, (d * 3) % 256, (d * 5) % 256)
+            exact = sum(color) * r["width"] * r["height"]
+            assert abs(r["pixel_sum"] - exact) <= 2 * r["width"] * r["height"] * 3
+
+        out = multimodal.resize_images(src, out_w=8, out_h=8).collect()
+        for r in out:
+            dw, dh, ch, px = multimodal.decode_png(bytes(r["resized"]))
+            assert (dw, dh, ch) == (8, 8, 3)
+            assert r["out_pixel_sum"] == int(
+                np.frombuffer(px, np.uint8).sum(dtype=np.int64)
+            )
