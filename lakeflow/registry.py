@@ -464,13 +464,21 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),
     # The registered graph/embedding-dedup surface rides the banded-LSH
     # edge generator — the 100 TB plan (no corpus broadcast, no all-pairs
-    # join; VERDICT r3 findings #2/#3). LSH recall (~0.98/pair, tuned)
-    # makes counts approximate → rows-only here, with tolerance tests vs
-    # exact at test SF (tests/test_ext.py). The exact all-pairs twins are
-    # registered under *_exact strictly as small-SF oracle paths — they
-    # carry the DuckDB SQL and are NOT the plan to copy at scale.
-    "q_degree_dist": (graph.degree_distribution, None),  # LSH edges — rows-only
-    "q_triangles": (graph.triangle_count, None),  # LSH edges — rows-only
+    # join; VERDICT r3 findings #2/#3). r5: the hyperplanes are now
+    # PORTABLE (md5→Box-Muller, dedup._portable_hyperplanes), so the
+    # DuckDB oracle replays the banding ITSELF at pinned (bits, bands) —
+    # approximation no longer defeats certification; both engines miss
+    # the same borderline pairs by construction. The exact all-pairs
+    # twins stay registered under *_exact as ground-truth recall
+    # baselines — they are NOT the plan to copy at scale.
+    "q_degree_dist": (
+        lambda spark, sf: graph.degree_distribution(spark, sf, bits=4, bands=29),
+        graph.DEGREE_DIST_LSH_SQL,
+    ),
+    "q_triangles": (
+        lambda spark, sf: graph.triangle_count(spark, sf, bits=4, bands=29),
+        graph.TRIANGLES_LSH_SQL,
+    ),
     "q_degree_dist_exact": (
         lambda spark, sf: graph.degree_distribution(spark, sf, edge_source="exact"),
         graph.DEGREE_DIST_SQL,
@@ -480,10 +488,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         graph.TRIANGLES_SQL,
     ),
     # threshold 0.4 so real pairs exist at test scale (the synthetic
-    # embeddings are near-uniform; 0.95 matches nothing at test scale)
+    # embeddings are near-uniform; 0.95 matches nothing at test scale).
+    # Pinned (bits=5, bands=38) = the n-free tuning, identical to the
+    # adaptive default at every certification SF; the oracle replays the
+    # banding itself via portable hyperplanes (r5)
     "q_dedup_embedding": (
-        lambda spark, sf: dedup.embedding_near_dups_lsh(spark, sf, threshold=0.4),
-        None,  # LSH blocking — rows-only; exact twin below carries the oracle
+        lambda spark, sf: dedup.embedding_near_dups_lsh(
+            spark, sf, threshold=0.4, bits=5, bands=38
+        ),
+        dedup.EMBEDDING_LSH_SQL,
     ),
     "q_dedup_embedding_exact": (
         lambda spark, sf: dedup.embedding_near_dups(spark, sf, threshold=0.4),
