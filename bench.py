@@ -228,7 +228,15 @@ def sweep() -> None:
     meaningfully above 1 is super-linear and gets flagged — the early
     warning that a plan shape won't survive a 100x scale-up.
     Results go to stdout as one JSON line; BASELINE.md records the
-    table."""
+    table.
+
+    Heap sizing: the local[32] single JVM defaults to 8g
+    (LAKEFLOW_DRIVER_MEM), i.e. ~250 MB per concurrent task — enough
+    through sf1 but measured-OOM at sf10 (60M-row lineitem; first
+    failure was q_join_range's fused join+agg stage). Export
+    LAKEFLOW_DRIVER_MEM=64g for sf>=10 sweeps; on a real cluster this
+    is ordinary executor sizing (4-8 GB/core), not a plan problem —
+    the same plans pass at 64g with sub-linear slopes."""
     import math
 
     from lakeflow import registry
