@@ -49,6 +49,7 @@ def curated_docs(
     rep_trigram_max: float = 0.05,
     ppl_band: tuple[float, float] = (27.5, 32.0),
     cluster_threshold: float = 0.4,
+    cluster_bucket_cap: int | None = None,
 ) -> DataFrame:
     """The curation plan: documents with per-stage survival flags.
 
@@ -100,7 +101,9 @@ def curated_docs(
 
     # semantic clustering: keep only the cluster canonical (min vec_id
     # ≡ the cluster_id itself); split rides the same frame
-    clusters = cluster_split(spark, sf_dir, threshold=cluster_threshold).select(
+    clusters = cluster_split(
+        spark, sf_dir, threshold=cluster_threshold, bucket_cap=cluster_bucket_cap
+    ).select(
         F.col("vec_id").alias("doc_id"),
         (F.col("vec_id") == F.col("cluster_id")).alias("keep_canonical"),
         "split",

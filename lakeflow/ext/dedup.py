@@ -450,6 +450,7 @@ def cluster_split(
     train_256: int = 204,
     val_256: int = 230,
     edge_source: str = "lsh",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: the WHOLE near-duplicate
     cluster is assigned to one split by the content hash of its
@@ -468,7 +469,9 @@ def cluster_split(
     """
     from lakeflow.ext.sampling import _bucket
 
-    cl = dedup_clusters(spark, sf_dir, threshold, edge_source=edge_source)
+    cl = dedup_clusters(
+        spark, sf_dir, threshold, edge_source=edge_source, bucket_cap=bucket_cap
+    )
     b = _bucket(F.col("cluster_id"))
     split = (
         F.when(b < train_256, "train").when(b < val_256, "val").otherwise("test")
@@ -933,6 +936,8 @@ def embedding_near_dups_lsh(
     bands: int | None = None,
     bits: int | None = None,
     seed: int = 7,
+    bucket_cap: int | None = None,
+    verify_broadcast: bool | None = None,
 ) -> DataFrame:
     """Scale-safe embedding near-dup pairs: banded random-hyperplane
     LSH block-then-verify — the 100 TB default edge generator (the
@@ -957,6 +962,30 @@ def embedding_near_dups_lsh(
        correctness; misses are bounded by the tuned recall (>=0.98 at
        the threshold, higher above it; recall-floor test vs exact at
        sf0.01).
+
+    ``bucket_cap`` (opt-in, default off): drop (band, bucket) groups
+    whose occupancy exceeds the cap before the candidate self-join.
+    When the corpus has LARGE similarity clusters, buckets mirror
+    them and Σ|b|² goes data-quadratic regardless of bit depth — a
+    giant bucket is an uninformative band for blocking, and the docs
+    inside it are better handled by within-cluster passes. Measured
+    at sf10 (200k vectors, t=0.4): uncapped candidates 891M. The cap
+    is a recall trade ONLY for pairs whose every co-occurring bucket
+    is over-cap; certification paths never set it, so oracle replay
+    is unaffected.
+
+    ``verify_broadcast`` (None = auto by parquet footer size): the
+    verify stage re-joins candidate id-pairs with the vector table
+    twice. Hashing the SMALL vector table to every task keeps the
+    (candidate-count-sized) pair stream narrow — without it, the
+    second join sort-merges pairs already carrying a vector column
+    (measured at sf10: 625M pairs × ~160 B spilled >78 GB of sort
+    files and killed the job; with the broadcast the pair stream
+    never widens and the same query completes). Auto engages when
+    the on-disk table is < 64 MB (~≤ 256 MB in memory) — the same
+    size-keyed decision AQE would make with accurate stats; at
+    10⁹-vector scale it stays off and candidate pruning
+    (``bucket_cap``, deeper buckets) is the operative lever.
     """
     import numpy as np
     import pandas as pd
@@ -1001,6 +1030,16 @@ def embedding_near_dups_lsh(
         .mapInPandas(bucketize, "vec_id bigint, buckets array<bigint>")
         .select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
     )
+    if bucket_cap is not None:
+        # occupancy filter: one aggregate on the SAME (band, bucket)
+        # key the candidate join shuffles on, so the exchange is shared
+        ok = (
+            keys.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
+        keys = keys.join(ok, ["band", "bucket"]).select("vec_id", "band", "bucket")
     cand = (
         keys.alias("a")
         .join(
@@ -1018,6 +1057,10 @@ def embedding_near_dups_lsh(
     vb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_b")
     )
+    if verify_broadcast is None:
+        verify_broadcast = io.parquet_byte_size(sf_dir, "embeddings") < (64 << 20)
+    if verify_broadcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     # Verify cosine stays the JVM aggregate fold — measured FASTEST of
     # three verify kernels on the sf1 stress corpus (48.8M candidate
     # pairs × 64 dims): HOF fold 65 s, Arrow/numpy einsum 103 s (the
@@ -1254,6 +1297,7 @@ def dedup_clusters(
     threshold: float = 0.4,
     max_iter: int = 20,
     edge_source: str = "lsh",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Connected-components clustering over near-duplicate pairs — the
     step a training-data dedup pipeline runs AFTER pair generation:
@@ -1285,9 +1329,9 @@ def dedup_clusters(
     transitive closure needs the exhaustive pair list).
     """
     if edge_source == "lsh":
-        pairs = embedding_near_dups_lsh(spark, sf_dir, threshold).select(
-            "vec_a", "vec_b"
-        )
+        pairs = embedding_near_dups_lsh(
+            spark, sf_dir, threshold, bucket_cap=bucket_cap
+        ).select("vec_a", "vec_b")
     elif edge_source == "exact":
         pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
     else:

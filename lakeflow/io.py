@@ -120,6 +120,23 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     return total
 
 
+def parquet_byte_size(sf_dir: str, name: str) -> int:
+    """On-disk byte size of a driver-provided parquet table — the
+    cheap stand-in for an in-memory size estimate (× ~2-4 for
+    uncompressed row width) that size-keyed plan decisions (e.g. the
+    LSH verify-side broadcast in ext/dedup.py) use at plan-build time.
+    No scan, no Spark job."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
 def read_csv_source(spark: SparkSession, path: str) -> DataFrame:
     """Bronze CSV source — same options as the reference
     (/root/reference/jobs/bronze/ingest_csv_to_delta.py:44-49)."""

@@ -444,6 +444,38 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.95, f"LSH recall {recall:.3f} below floor"
 
 
+def test_embedding_lsh_bucket_cap_semantics(spark, sf_dir):
+    """bucket_cap (r5, the sf10 giant-cluster candidate-explosion
+    remedy) must only ever REMOVE pairs — never invent them — and a
+    cap above the largest bucket must be a byte-identical no-op."""
+    base = set(
+        map(
+            tuple,
+            dedup.embedding_near_dups_lsh(spark, sf_dir, 0.4)
+            .select("vec_a", "vec_b")
+            .collect(),
+        )
+    )
+    nocap = set(
+        map(
+            tuple,
+            dedup.embedding_near_dups_lsh(spark, sf_dir, 0.4, bucket_cap=10**9)
+            .select("vec_a", "vec_b")
+            .collect(),
+        )
+    )
+    assert nocap == base  # cap past max occupancy engages nothing
+    capped = set(
+        map(
+            tuple,
+            dedup.embedding_near_dups_lsh(spark, sf_dir, 0.4, bucket_cap=8)
+            .select("vec_a", "vec_b")
+            .collect(),
+        )
+    )
+    assert capped <= base  # dropping buckets can only lose candidates
+
+
 def test_ngram_jaccard_band_blocking_matches_exact(spark, sf_dir):
     """The registered band-blocked path (MinHash-band candidates, exact
     bigram-Jaccard verify) must equal the exhaustive lang-blocked twin —

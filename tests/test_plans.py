@@ -263,16 +263,27 @@ def test_fuzzy_join_blocks_before_verify(spark, sf_dir):
 
 def test_embedding_lsh_path_no_corpus_broadcast(spark, sf_dir):
     """The registered default edge generator (VERDICT r2 finding #1 fix)
-    must never hint a corpus-sized broadcast nor degrade to a product:
-    candidates come from a hash equi-join on compact (band, bucket)
-    keys. AQE may still stat-broadcast small sides at toy scale — the
-    property pinned here is that WE never force it."""
+    must never degrade to a product: candidates come from a hash
+    equi-join on compact (band, bucket) keys, never an all-pairs or
+    nested-loop shape. The VERIFY stage's size-keyed broadcast of the
+    measured-small vector table (r5 — keeps the candidate-pair stream
+    narrow; the sf10 run died sorting vector-widened pairs without it)
+    is the one explicit hint allowed: with verify_broadcast=False the
+    plan must carry no hint at all, proving the candidate join itself
+    never broadcasts."""
     df = dedup.embedding_near_dups_lsh(spark, sf_dir)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed  # no explicit broadcast() hint
     p = plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # candidate generation alone (verify broadcast off): zero hints
+    df_nb = dedup.embedding_near_dups_lsh(
+        spark, sf_dir, threshold=0.35, verify_broadcast=False
+    )
+    analyzed = df_nb._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    p_nb = plan(df_nb)
+    assert "CartesianProduct" not in p_nb
+    assert "BroadcastNestedLoopJoin" not in p_nb
 
 
 def test_dedup_clusters_default_edges_are_lsh(spark, sf_dir):
@@ -433,17 +444,17 @@ def test_ngram_jaccard_blocks_on_band_signatures(spark, sf_dir):
 
 def test_registered_graph_and_embedding_defaults_are_scale_safe(spark, sf_dir):
     """VERDICT r3 findings #2/#3: the REGISTERED q_degree_dist /
-    q_triangles / q_dedup_embedding plans must contain no forced
-    corpus broadcast and no unblocked (product) self-join — candidates
-    come from the banded-LSH hash equi-join."""
+    q_triangles / q_dedup_embedding plans must contain no unblocked
+    (product) self-join — candidates come from the banded-LSH hash
+    equi-join. The size-keyed verify broadcast (r5) is the one hint
+    these plans may carry; its absence under verify_broadcast=False is
+    pinned by test_embedding_lsh_path_no_corpus_broadcast."""
     from lakeflow import registry
     from lakeflow.ext import graph
 
     qmap = registry.queries()
     for name in ("q_degree_dist", "q_triangles", "q_dedup_embedding"):
         df = qmap[name](spark, sf_dir)
-        analyzed = df._jdf.queryExecution().analyzed().toString()
-        assert "ResolvedHint" not in analyzed, name
         p = plan(df)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
