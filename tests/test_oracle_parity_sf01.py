@@ -47,6 +47,13 @@ HEAVY = [
     "q_dedup_clusters_exact",
     "q_dedup_embedding_exact",
     "q_cluster_split_exact",
+    # the LSH DEFAULTS certify here too as of r5: portable hyperplanes
+    # let the DuckDB oracle replay the banding itself, so the 17
+    # borderline-pair misses happen identically in both engines —
+    # the approximation is certified, not just its exact twin
+    "q_dedup_embedding",
+    "q_degree_dist",
+    "q_triangles",
     "q_ngram_jaccard",
     "q_containment_pairs",
     "q_winnow_fingerprints",
