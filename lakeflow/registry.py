@@ -560,6 +560,7 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # replays seeds, Lloyd rounds, probing, and ranking exactly
     "q_knn_ivf": (similarity.knn_ivf, similarity.KNN_IVF_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
+    "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
     "q_sample_hash": (sampling.sample_documents, sampling.SAMPLE_DOCS_SQL),
     "q_train_test_split": (sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL),
@@ -721,6 +722,10 @@ _CERT_FIRST: list[str] = [
     "q_knn_ivf",  # deterministic k-means replay (rounded assign/means)
     "q_dedup_clusters_exact",  # scale-up cert twins (sf0.1 gate)
     "q_cluster_split_exact",
+    "q_dedup_embedding",  # LSH defaults: banding replayed via portable hyperplanes
+    "q_degree_dist",
+    "q_triangles",
+    "q_audio_meta",  # r5: real WAV codec end-to-end, closed-form oracle
     # -- r4 certifications ------------------------------------------------
     "q_lm_perplexity",
     "q_rrf_fusion",

@@ -965,3 +965,41 @@ def test_jpeg_decode_resize_spark_path(spark, sf_dir):
             assert r["out_pixel_sum"] == int(
                 np.frombuffer(px, np.uint8).sum(dtype=np.int64)
             )
+
+
+def test_wav_codec_roundtrip_and_chunk_walking():
+    """Real-codec standard for audio: encode→decode is byte-exact,
+    the reader walks unknown chunks (LIST/INFO) a stricter mirror
+    parser would choke on, and compressed formats raise the honest
+    subset guard."""
+    import struct
+
+    import numpy as np
+
+    from lakeflow.ext import multimodal
+
+    pcm = np.arange(-500, 500, dtype="<i2").tobytes()
+    wav = multimodal.encode_wav(16000, 2, pcm)
+    rate, ch, bits, out = multimodal.decode_wav(wav)
+    assert (rate, ch, bits) == (16000, 2, 16)
+    assert out == pcm
+
+    # splice an unknown LIST chunk between fmt and data — still parses
+    head, data_chunk = wav[:36], wav[36:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    spliced = (
+        head[:4]
+        + struct.pack("<I", struct.unpack("<I", head[4:8])[0] + len(extra))
+        + head[8:]
+        + extra
+        + data_chunk
+    )
+    assert multimodal.decode_wav(spliced)[3] == pcm
+
+    # non-PCM format tag raises, not silently misreads
+    bad = bytearray(wav)
+    bad[20] = 2  # format tag 2 = ADPCM
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_wav(bytes(bad))
