@@ -50,6 +50,7 @@ SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS copies
 FROM documents
+WHERE text IS NOT NULL  -- the normalized tier's filter (null = no content to dedup)
 GROUP BY 1 ORDER BY 1
 """
 

@@ -134,7 +134,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    best = F.greatest(*hits.values())
+    # coalesce: NULL text → NULL hits → 'und' ("cannot identify"), in
+    # BOTH engines — without it Spark's un-defaulted when-chain yields
+    # NULL while the SQL twin's ELSE branch fires (found by the
+    # random-corpus fuzz gate, tests/test_oracle_fuzz.py)
+    best = F.coalesce(F.greatest(*hits.values()), F.lit(0))
     pred = F.when(best <= 0, "und")
     for lang in sorted(STOPWORDS):  # sorted → deterministic tiebreak
         pred = pred.when(hits[lang] == best, lang)
@@ -162,7 +166,7 @@ WITH scored AS (
     FROM documents
 )
 SELECT doc_id, lang_actual,
-       CASE WHEN greatest(h_en, h_es, h_de) <= 0 THEN 'und'
+       CASE WHEN coalesce(greatest(h_en, h_es, h_de), 0) <= 0 THEN 'und'
             WHEN h_de = greatest(h_en, h_es, h_de) THEN 'de'
             WHEN h_en = greatest(h_en, h_es, h_de) THEN 'en'
             ELSE 'es' END AS lang_pred

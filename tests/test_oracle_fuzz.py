@@ -1,0 +1,91 @@
+"""Property-based oracle fuzzing: Spark vs DuckDB on RANDOM documents
+tables, not just the fixed driver testdata.
+
+The sf gates certify against one data distribution; the sf1 overflow
+and sf10 candidate-explosion findings both showed wrongness that only
+specific DATA exposes. This gate attacks the remaining axis — data
+SHAPE: null text/lang/source, empty strings, whitespace-only docs,
+unicode (accents, CJK, emoji), singleton groups, and duplicate texts —
+by generating random corpora with hypothesis, writing them as the
+standard documents.parquet layout, and asserting the certified text /
+dedup queries still match their DuckDB twins value-by-value.
+
+Alphabet note: tokenization regexes are deliberately dialect-portable
+(`text.py` TOKEN_SPLIT/WORDY), but Java and DuckDB regex engines can
+legitimately disagree on exotic unicode whitespace classes; the
+alphabet here includes the unicode the corpus contract allows
+(letters, CJK, emoji, ASCII space/punct) — a failure is a REAL
+portability bug in an oracle pair, not noise.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeflow import registry
+from tests.oracle_harness import compare, duck_connection
+
+# letters + digits + punctuation + accents + CJK + emoji + whitespace
+ALPHABET = (
+    "abcdefghij XYZ 0123456789 .,;:!?'\"()-_/"
+    "áéíóúñç ÄÖÜß 中文字 日本語 😀🚀 the la der und of"
+)
+
+_text = st.text(alphabet=ALPHABET, min_size=0, max_size=120)
+
+_row = st.tuples(
+    st.one_of(st.none(), _text),                                  # text
+    st.sampled_from(["en", "es", "de", "pt", "und", None]),       # lang
+    st.sampled_from(["web", "books", "code", None]),              # source
+)
+
+# queries whose only input is the documents table and whose oracles
+# are certified at the fixed SFs — the fuzz target surface
+FUZZ_QUERIES = ("q_token_counts", "q_text_stats", "q_lang_id", "q_dedup_exact")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=st.lists(_row, min_size=1, max_size=25))
+def test_text_queries_match_duckdb_on_random_corpora(spark, tmp_path_factory, rows):
+    sf_dir = str(tmp_path_factory.mktemp("fuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [
+            (i, text, lang, source, len(text) if text is not None else None)
+            for i, (text, lang, source) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = None
+    try:
+        con = duck_connection_docs_only(sf_dir)
+        for name in FUZZ_QUERIES:
+            fn, sql = registry.ALL_QUERIES[name]
+            compare(fn(spark, sf_dir), con, sql, f"fuzz:{name}")
+    finally:
+        if con is not None:
+            con.close()
+
+
+def duck_connection_docs_only(sf_dir: str):
+    """duck_connection registers all ten views; the fuzz dir only has
+    documents — register just that one."""
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):  # Spark writes a directory of part files
+        path = os.path.join(path, "*.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return con
