@@ -58,16 +58,19 @@ GROUP BY 1, 2 ORDER BY 1, 2
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — JSON prop extraction (`props` is a JSON string column)."""
     ev = io.read_table(spark, sf_dir, "events")
+    # try_cast: a STRING-valued k (or other non-numeric) yields NULL
+    # instead of an ANSI CAST_INVALID_INPUT job abort — found by the
+    # random-corpus fuzz gate; the SQL twin mirrors with TRY_CAST
     return ev.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
     )
 
 
 PROPS_SQL = """
 SELECT event_id, event_type,
-       CAST(props->>'$.k' AS INTEGER) AS prop_k
+       TRY_CAST(props->>'$.k' AS INTEGER) AS prop_k
 FROM events
 """
 
@@ -317,9 +320,15 @@ def funnel(
         for k in range(n)
     ]
     out = stepped.agg(*aggs)
+    # nullif-style guard: zero users at step 0 means conversion is
+    # undefined (ANSI division would abort the job), NULL in both engines
     convs = [
         F.round(
-            F.col(f"reached_{steps[k]}") / F.col(f"reached_{steps[0]}"), 6
+            F.when(
+                F.col(f"reached_{steps[0]}") > 0,
+                F.col(f"reached_{steps[k]}") / F.col(f"reached_{steps[0]}"),
+            ),
+            6,
         ).alias(f"conv_{steps[k]}")
         for k in range(1, n)
     ]
@@ -341,8 +350,8 @@ WITH s1 AS (
 SELECT (SELECT COUNT(*) FROM s1) AS reached_view,
        (SELECT COUNT(*) FROM s2) AS reached_click,
        (SELECT COUNT(*) FROM s3) AS reached_purchase,
-       round((SELECT COUNT(*) FROM s2) / (SELECT COUNT(*) FROM s1), 6) AS conv_click,
-       round((SELECT COUNT(*) FROM s3) / (SELECT COUNT(*) FROM s1), 6) AS conv_purchase
+       round((SELECT COUNT(*) FROM s2) / nullif((SELECT COUNT(*) FROM s1), 0), 6) AS conv_click,
+       round((SELECT COUNT(*) FROM s3) / nullif((SELECT COUNT(*) FROM s1), 0), 6) AS conv_purchase
 """
 
 
@@ -411,12 +420,20 @@ def anomaly_zscore(
     ).select(
         "event_type",
         (F.col("s1") / F.col("n")).alias("mu"),
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
+        # n=1 groups have no sample variance (ANSI: (n-1)=0 would abort
+        # the job); sigma NULL -> z NULL -> row filtered, in BOTH engines
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
         ).alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # sigma=0 (constant group): z undefined, not an outlier
+    z = F.when(
+        F.col("sigma") > 0, (F.col("value") - F.col("mu")) / F.col("sigma")
+    )
     return (
         ev.join(broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
@@ -429,18 +446,22 @@ ANOMALY_SQL = """
 WITH sums AS (
     SELECT event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+           -- DECIMAL(19,6) x DECIMAL(19,6) -> DECIMAL(38,12): the widest
+           -- product DuckDB's p1+p2 rule allows; 18+18=36 wide ops overflow
+           -- the engine's DECIMAL(18) fast path at |value| >= 1000
+           CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s2,
            COUNT(value) AS n
     FROM events GROUP BY event_type
 ), stats AS (
     SELECT event_type, s1 / n AS mu,
-           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+           CASE WHEN n > 1
+                THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sigma
     FROM sums
 )
 SELECT event_id, e.event_type, value,
        round((value - mu) / sigma, 6) AS zscore
 FROM events e JOIN stats USING (event_type)
-WHERE abs((value - mu) / sigma) >= 3.0
+WHERE sigma > 0 AND abs((value - mu) / sigma) >= 3.0
 ORDER BY event_type, event_id
 """
 

@@ -89,3 +89,83 @@ def duck_connection_docs_only(sf_dir: str):
         path = os.path.join(path, "*.parquet")
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+# --------------------------------------------------------------------------
+# Events-table fuzz: timestamps, float math, JSON props
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+import json as _json
+
+_ts = st.datetimes(
+    min_value=_dt.datetime(2026, 1, 1),
+    max_value=_dt.datetime(2026, 1, 4),
+)
+_props = st.one_of(
+    st.none(),
+    st.builds(lambda n: _json.dumps({"k": n}), st.integers(-1000, 1000)),
+    st.builds(lambda s: _json.dumps({"k": s}), st.text("ab", max_size=3)),
+    st.just("{}"),
+    st.just('{"other": 1}'),
+    st.builds(lambda n: _json.dumps({"k": {"nested": n}}), st.integers(0, 9)),
+)
+_event_row = st.tuples(
+    _ts,
+    st.integers(0, 5),                                            # user_id
+    st.sampled_from(["view", "click", "purchase", "other", None]),  # type
+    st.decimals(                                                  # value: ≤6dp contract
+        min_value=-1000, max_value=1000, places=6, allow_nan=False, allow_infinity=False
+    ).map(float),
+    _props,
+)
+
+EVENT_FUZZ_QUERIES = (
+    "q_events_tumbling",
+    "q_events_props",
+    "q_sessionize",
+    "q_funnel",
+    "q_anomaly_zscore",
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=st.lists(_event_row, min_size=1, max_size=30))
+def test_event_queries_match_duckdb_on_random_corpora(spark, tmp_path_factory, rows):
+    sf_dir = str(tmp_path_factory.mktemp("efuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [
+            (i, ts, user_id, etype, value, props)
+            for i, (ts, user_id, etype, value, props) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    con = None
+    try:
+        con = _duck_events_only(sf_dir)
+        for name in EVENT_FUZZ_QUERIES:
+            fn, sql = registry.ALL_QUERIES[name]
+            compare(fn(spark, sf_dir), con, sql, f"fuzz:{name}")
+    finally:
+        if con is not None:
+            con.close()
+
+
+def _duck_events_only(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    return con
