@@ -805,7 +805,7 @@ def embedding_near_dups(
     """
     from pyspark.sql.functions import broadcast
 
-    from lakeflow.ext.similarity import _dot, _dvec, _norm
+    from lakeflow.ext.similarity import _cosine, _dot, _dvec, _norm
 
     emb = (
         io.read_table(spark, sf_dir, "embeddings")
@@ -813,7 +813,7 @@ def embedding_near_dups(
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
     a, b = emb.alias("a"), broadcast(emb.alias("b"))
-    cos = _dot("a.v", "b.v") / (F.col("a.nv") * F.col("b.nv"))
+    cos = _cosine(_dot("a.v", "b.v"), F.col("a.nv"), F.col("b.nv"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -991,7 +991,7 @@ def embedding_near_dups_lsh(
     import numpy as np
     import pandas as pd
 
-    from lakeflow.ext.similarity import _dot, _dvec, _norm
+    from lakeflow.ext.similarity import _cosine, _dot, _dvec, _norm
 
     emb = (
         io.read_table(spark, sf_dir, "embeddings")
@@ -1074,7 +1074,7 @@ def embedding_near_dups_lsh(
     # miss of t=0.4), which the _lsh_params size floor already bounds
     # (475M → 49M here); at the production dedup regime (t ≥ 0.8) the
     # tuner's deep buckets prune to ~true pairs and verify is trivial.
-    cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
+    cos = _cosine(_dot("v_a", "v_b"), F.col("n_a"), F.col("n_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -1123,6 +1123,7 @@ def embedding_near_dups_ivf(
     SFs.
     """
     from lakeflow.ext.similarity import (
+        _cosine,
         _dot,
         _dvec,
         _nearest_lists,
@@ -1157,7 +1158,7 @@ def embedding_near_dups_ivf(
     vb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_b")
     )
-    cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
+    cos = _cosine(_dot("v_a", "v_b"), F.col("n_a"), F.col("n_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

@@ -529,11 +529,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no derivation is duplicated into the filter (SCALE.md §9).
     """
     ev = io.read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    # explicit NULLS LAST: Spark defaults ascending-nulls-FIRST while
+    # DuckDB defaults nulls-LAST, so a null-state event tying on ts
+    # would version differently per engine (found by the fuzz gate)
+    order = [F.col("ts"), F.col("event_type").asc_nulls_last()]
+    w = Window.partitionBy("user_id").orderBy(*order)
     changed = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    w2 = Window.partitionBy("user_id").orderBy(*order)
     return changed.select(
         "user_id",
         F.col("event_type").alias("state"),
@@ -546,15 +550,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = """
 WITH marked AS (
     SELECT user_id, ts, event_type,
-           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST) AS prev_type
     FROM events
 ), changed AS (
     SELECT user_id, ts, event_type FROM marked
     WHERE prev_type IS NULL OR prev_type <> event_type
 )
 SELECT user_id, event_type AS state, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS INTEGER) AS version
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type NULLS LAST) AS INTEGER) AS version
 FROM changed
 ORDER BY user_id, version
 """

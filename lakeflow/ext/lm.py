@@ -437,7 +437,7 @@ def rrf_fusion(
     q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nv").alias("qn")
     )
-    cos = F.round(_dot("v", "qv") / (F.col("nv") * F.col("qn")), 6)
+    cos = F.round(F.try_divide(_dot("v", "qv"), F.col("nv") * F.col("qn")), 6)
     sem = (
         emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
         .join(F.broadcast(q))
@@ -523,7 +523,7 @@ def mmr_rerank(
             "v",
             # dot/(n_v·n_q): the same expression shape as the DuckDB
             # twin, so the 6dp rounding sees an identical float64
-            F.round(_dot("v", "qv") / (F.col("nv") * F.lit(qn)), 6).alias("rel"),
+            F.round(F.try_divide(_dot("v", "qv"), F.col("nv") * F.lit(qn)), 6).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(top)

@@ -64,6 +64,14 @@ def _dot(a: F.Column | str, b: F.Column | str) -> F.Column:
     )
 
 
+def _cosine(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """dot/(|a||b|) with zero-norm safety: try_divide yields NULL for a
+    zero vector exactly as DuckDB's double division does — Spark ANSI
+    would otherwise ABORT the whole job on the first degenerate row
+    (found by the embeddings fuzz gate, tests/test_oracle_fuzz.py)."""
+    return F.try_divide(dot, na * nb)
+
+
 def _norm(a: F.Column | str) -> F.Column:
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
@@ -108,7 +116,7 @@ def knn_bruteforce(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     pairs = emb.join(broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
+    cos = _cosine(_dot("qv", "v"), F.col("nq"), F.col("nv"))
     return _topk(
         pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
@@ -168,7 +176,7 @@ def knn_lsh(
     pairs = emb.join(broadcast(queries), ["bucket"]).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
+    cos = _cosine(_dot("qv", "v"), F.col("nq"), F.col("nv"))
     return _topk(
         pairs.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )
@@ -340,7 +348,7 @@ def knn_ivf(
         queries.withColumnRenamed("q_id", "vec_id"), cent, "qv", nprobe
     ).withColumnRenamed("vec_id", "q_id")
     cand = probes.join(lists, "list_id").filter(F.col("vec_id") != F.col("q_id"))
-    cos = _dot("qv", "v") / (F.col("nq") * F.col("nv"))
+    cos = _cosine(_dot("qv", "v"), F.col("nq"), F.col("nv"))
     return _topk(
         cand.select("q_id", "vec_id", F.round(cos, 6).alias("cosine")), k
     )

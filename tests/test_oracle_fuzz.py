@@ -126,6 +126,11 @@ EVENT_FUZZ_QUERIES = (
     "q_sessionize",
     "q_funnel",
     "q_anomaly_zscore",
+    "q_rollup_daily",
+    "q_retention",
+    "q_attribution",
+    "q_scd2_history",
+    "q_gap_fill",
 )
 
 
@@ -168,4 +173,64 @@ def _duck_events_only(sf_dir: str):
     if os.path.isdir(path):
         path = os.path.join(path, "*.parquet")
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+# --------------------------------------------------------------------------
+# Embeddings-table fuzz: zero vectors, degenerate corpora, float math
+# --------------------------------------------------------------------------
+
+# values on a 1/64 grid: exactly representable in float32 so the
+# float->double cast is identical in both engines; includes the
+# all-zero vector (zero norm -> cosine division hazard: Spark ANSI
+# aborts double x/0 while DuckDB yields NULL)
+_coord = st.integers(-128, 128).map(lambda k: k / 64.0)
+_vec = st.lists(_coord, min_size=4, max_size=4)
+_emb_row = st.tuples(_vec, st.sampled_from([0, 1, 2, None]))
+
+EMB_FUZZ_QUERIES = (
+    "q_embed_norms",
+    "q_knn_bruteforce",
+    "q_dedup_embedding_exact",
+    "q_label_centroids",
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=st.lists(_emb_row, min_size=1, max_size=15))
+def test_embedding_queries_match_duckdb_on_random_corpora(
+    spark, tmp_path_factory, rows
+):
+    sf_dir = str(tmp_path_factory.mktemp("vfuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, vec, label) for i, (vec, label) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = None
+    try:
+        con = _duck_embeddings_only(sf_dir)
+        for name in EMB_FUZZ_QUERIES:
+            fn, sql = registry.ALL_QUERIES[name]
+            compare(fn(spark, sf_dir), con, sql, f"fuzz:{name}")
+    finally:
+        if con is not None:
+            con.close()
+
+
+def _duck_embeddings_only(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
     return con
