@@ -129,7 +129,13 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # try_divide: a constant column (zero variance) makes Pearson
+    # undefined — NULL in both engines (DuckDB double x/0 is already
+    # NULL; Spark ANSI would abort the job). A profiler must survive
+    # degenerate slices.
+    corr = F.try_divide(
+        n * sxy - sx * sy, F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     ).orderBy("l_returnflag")

@@ -1003,3 +1003,22 @@ def test_wav_codec_roundtrip_and_chunk_walking():
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_wav(bytes(bad))
+
+
+def test_corr_survives_constant_column(spark, tmp_path):
+    """Pearson on a zero-variance slice is undefined, not a job abort:
+    under ANSI the old expression divided by sqrt(0). A profiler must
+    return NULL for degenerate slices and keep going."""
+    from lakeflow.ext import profile
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0, 100.0), (2, "A", 5.0, 200.0), (3, "B", 1.0, 10.0)],
+        "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {r.l_returnflag: r.corr_qty_price for r in
+            profile.correlation(spark, str(tmp_path)).collect()}
+    assert rows["A"] is None  # constant quantity -> undefined, not abort
+    assert rows["B"] is None  # single row -> undefined, not abort
