@@ -103,7 +103,9 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("chars"),
         toks.alias("tokens"),
         punct.alias("punct_chars"),
-        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        # try_divide: empty text has no defined punct density (ANSI
+        # would abort the job); DuckDB's x/0 is already NULL
+        F.round(F.try_divide(punct, F.length("text")), 6).alias("punct_ratio"),
         stop_en.alias("en_stopword_kinds"),
         (F.length("text") >= 100).alias("len_ok"),
     )
@@ -114,7 +116,7 @@ SELECT doc_id,
        CAST(length(text) AS INTEGER) AS chars,
        CAST(len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS BIGINT) AS tokens,
        CAST(len(regexp_extract_all(text, '{PUNCT}')) AS BIGINT) AS punct_chars,
-       round(CAST(len(regexp_extract_all(text, '{PUNCT}')) AS BIGINT) / length(text), 6) AS punct_ratio,
+       round(CAST(len(regexp_extract_all(text, '{PUNCT}')) AS BIGINT) / nullif(length(text), 0), 6) AS punct_ratio,
        CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '{TOKEN_SPLIT}')),
                                ['the','a','and','of','to'])) AS INTEGER) AS en_stopword_kinds,
        length(text) >= 100 AS len_ok
@@ -187,6 +189,7 @@ FINGERPRINT_SQL = r"""
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+WHERE text IS NOT NULL  -- the normalized tier's filter (no content, no fingerprint)
 """
 
 

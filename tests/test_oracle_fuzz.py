@@ -45,7 +45,18 @@ _row = st.tuples(
 
 # queries whose only input is the documents table and whose oracles
 # are certified at the fixed SFs — the fuzz target surface
-FUZZ_QUERIES = ("q_token_counts", "q_text_stats", "q_lang_id", "q_dedup_exact")
+FUZZ_QUERIES = (
+    "q_token_counts",
+    "q_text_stats",
+    "q_lang_id",
+    "q_dedup_exact",
+    "q_doc_quality",
+    "q_doc_fingerprint",
+    "q_pii_redact",
+    "q_repetition",
+    "q_contamination",
+    "q_token_entropy",
+)
 
 
 @settings(
