@@ -361,6 +361,31 @@ def main() -> None:
         skew_demo = skew_mod.skew_timings(spark, sf_dir, skew_dir)
     print(f"# skew_demo: {skew_demo}", file=sys.stderr)
 
+    # Measured-bytes observability snapshot (lakeflow.metrics): shuffle
+    # bytes written/read, rows/bytes scanned, and spill per headline
+    # query — the byte-level record the Exchange-count budget cannot
+    # see. One extra instrumented run each, after the timed medians so
+    # the plan-walk cost never contaminates the headline numbers.
+    from lakeflow.metrics import run_instrumented
+
+    shuffle_metrics: dict[str, dict] = {}
+    for name in BENCH_QUERIES:
+        try:
+            m = run_instrumented(spark, name, qmap[name], sf_dir)
+            shuffle_metrics[name] = {
+                k: m[k]
+                for k in (
+                    "shuffle_bytes_written",
+                    "shuffle_bytes_read",
+                    "bytes_scanned",
+                    "rows_scanned",
+                    "spill_bytes",
+                )
+                if k in m
+            }
+        except Exception as e:  # observability must never fail the bench
+            shuffle_metrics[name] = {"err": type(e).__name__}
+
     total = round(sum(timings.values()), 3)
     warm_s = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -375,6 +400,7 @@ def main() -> None:
                 "cold_total_sec": warm_s,
                 "extended": extended,
                 "skew_demo": skew_demo,
+                "shuffle_metrics": shuffle_metrics,
                 # host-noise context for round-over-round comparisons:
                 # 1/5/15-min load BEFORE this process's own burst, cores,
                 # and the repeat count behind each median
