@@ -245,3 +245,108 @@ def _duck_embeddings_only(sf_dir: str):
         path = os.path.join(path, "*.parquet")
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+# --------------------------------------------------------------------------
+# Relational (orders/lineitem) fuzz: profiling + scan-agg families
+# --------------------------------------------------------------------------
+# Data stays inside the TPC-H-ish contract (quantity >= 1, prices >= 0,
+# valid dates) — the relational battery's semantics assume it — while
+# pushing the degenerate SHAPES the profiler must survive: single-row
+# tables, constant price columns, one-group corpora, tie-heavy values.
+
+_price = st.one_of(
+    st.just(100.0),                       # constant-heavy (ties, zero variance)
+    st.decimals(min_value=0, max_value=99999, places=2,
+                allow_nan=False, allow_infinity=False).map(float),
+)
+_order_row = st.tuples(
+    st.sampled_from(["O", "F", "P"]),                             # status
+    _price,
+    st.datetimes(min_value=_dt.datetime(2026, 1, 1),
+                 max_value=_dt.datetime(2026, 3, 1)),             # orderdate
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),          # priority
+)
+_line_row = st.tuples(
+    st.integers(1, 6),                                            # orderkey ref
+    st.integers(1, 50).map(float),                                # quantity
+    _price,                                                       # extendedprice
+    st.sampled_from([0.0, 0.05, 0.1]),                            # discount
+    st.sampled_from([0.0, 0.04, 0.08]),                           # tax
+    st.sampled_from(["A", "N", "R"]),                             # returnflag
+    st.sampled_from(["O", "F"]),                                  # linestatus
+    st.datetimes(min_value=_dt.datetime(2026, 1, 1),
+                 max_value=_dt.datetime(2026, 3, 1)),             # shipdate
+)
+
+REL_FUZZ_QUERIES = (
+    "q_histogram",
+    "q_ntile_binning",
+    "q_corr",
+    "q_column_profile",
+    "q_heavy_hitters",
+    "q_winsorize",
+    "q_tpch_q1",
+    "q_tpch_q6",
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    orders=st.lists(_order_row, min_size=1, max_size=12),
+    lines=st.lists(_line_row, min_size=1, max_size=25),
+)
+def test_relational_queries_match_duckdb_on_random_corpora(
+    spark, tmp_path_factory, orders, lines
+):
+    sf_dir = str(tmp_path_factory.mktemp("rfuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    odf = spark.createDataFrame(
+        [
+            (i + 1, (i % 3) + 1, status, price, od, prio)
+            for i, (status, price, od, prio) in enumerate(orders)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    ldf = spark.createDataFrame(
+        [
+            (okey, 1 + i % 5, 1 + i % 3, i + 1, qty, price, disc, tax, rf, ls, sd)
+            for i, (okey, qty, price, disc, tax, rf, ls, sd) in enumerate(lines)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    )
+    odf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    )
+    ldf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    )
+    con = None
+    try:
+        con = _duck_rel_only(sf_dir)
+        for name in REL_FUZZ_QUERIES:
+            fn, sql = registry.ALL_QUERIES[name]
+            compare(fn(spark, sf_dir), con, sql, f"fuzz:{name}")
+    finally:
+        if con is not None:
+            con.close()
+
+
+def _duck_rel_only(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
