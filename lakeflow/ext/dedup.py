@@ -452,6 +452,8 @@ def cluster_split(
     val_256: int = 230,
     edge_source: str = "lsh",
     bucket_cap: int | None = None,
+    bits: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: the WHOLE near-duplicate
     cluster is assigned to one split by the content hash of its
@@ -471,7 +473,13 @@ def cluster_split(
     from lakeflow.ext.sampling import _bucket
 
     cl = dedup_clusters(
-        spark, sf_dir, threshold, edge_source=edge_source, bucket_cap=bucket_cap
+        spark,
+        sf_dir,
+        threshold,
+        edge_source=edge_source,
+        bucket_cap=bucket_cap,
+        bits=bits,
+        bands=bands,
     )
     b = _bucket(F.col("cluster_id"))
     split = (
@@ -1300,6 +1308,8 @@ def dedup_clusters(
     max_iter: int = 20,
     edge_source: str = "lsh",
     bucket_cap: int | None = None,
+    bits: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Connected-components clustering over near-duplicate pairs — the
     step a training-data dedup pipeline runs AFTER pair generation:
@@ -1332,7 +1342,7 @@ def dedup_clusters(
     """
     if edge_source == "lsh":
         pairs = embedding_near_dups_lsh(
-            spark, sf_dir, threshold, bucket_cap=bucket_cap
+            spark, sf_dir, threshold, bits=bits, bands=bands, bucket_cap=bucket_cap
         ).select("vec_a", "vec_b")
     elif edge_source == "exact":
         pairs = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
@@ -1512,6 +1522,85 @@ SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b
 # tuning (5 bits × 38 bands) — identical to the footer-adaptive default
 # at every certification SF (the size floor engages only past n=4096)
 EMBEDDING_LSH_SQL = lsh_pairs_sql(0.4, bits=5, bands=38)
+
+
+def _lsh_closure_with(threshold: float, bits: int, bands: int, seed: int) -> str:
+    """WITH-clause prefix shared by the cluster-family LSH oracles: the
+    LSH-replayed pair CTE (:func:`_lsh_cte` at PINNED params) feeding
+    the recursive transitive closure. Ends at ``comp(vec_id,
+    cluster_id)`` — every embedding seeds `reach`, so singletons keep
+    their own id as cluster_id, matching the Spark side's left-join +
+    coalesce over the full vector table."""
+    return f"""WITH RECURSIVE {_lsh_cte(threshold, bits, bands, seed)},
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+), reach(id, root) AS (
+    SELECT vec_id, vec_id FROM v0
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS vec_id, min(root) AS cluster_id FROM reach GROUP BY id
+)"""
+
+
+def dedup_clusters_lsh_sql(
+    threshold: float, bits: int, bands: int, seed: int = 7
+) -> str:
+    """Full DuckDB twin of :func:`dedup_clusters` with the LSH edge
+    source at PINNED (bits, bands): the transitive closure runs over
+    the REPLAYED banding pairs, not the exact all-pairs list, so both
+    engines miss the same borderline pairs by construction and the
+    certification no longer depends on banding recall being total
+    (VERDICT r5: the exact-closure oracle went red the moment one
+    borderline pair slipped a band at sf0.01)."""
+    return f"""
+{_lsh_closure_with(threshold, bits, bands, seed)}
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
+def cluster_split_lsh_sql(
+    threshold: float,
+    bits: int,
+    bands: int,
+    seed: int = 7,
+    train_256: int = 204,
+    val_256: int = 230,
+) -> str:
+    """DuckDB twin of :func:`cluster_split` with the LSH edge source at
+    PINNED (bits, bands) — :func:`dedup_clusters_lsh_sql`'s closure
+    plus the md5(cluster_id) bucket map."""
+    return f"""
+{_lsh_closure_with(threshold, bits, bands, seed)},
+sized AS (
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+), bucketed AS (
+    SELECT vec_id, cluster_id, cluster_size,
+           (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+    FROM sized
+)
+SELECT vec_id, cluster_id, cluster_size,
+       CASE WHEN bucket < {train_256} THEN 'train'
+            WHEN bucket < {val_256} THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+ORDER BY vec_id
+"""
+
+
+# the registered cluster-family params: same pinned (5 bits × 38 bands)
+# as q_dedup_embedding — one shared LSH pair materialization serves the
+# pair, cluster, split, and graph queries in a session
+DEDUP_CLUSTERS_LSH_SQL = dedup_clusters_lsh_sql(0.4, bits=5, bands=38)
+CLUSTER_SPLIT_LSH_SQL = cluster_split_lsh_sql(0.4, bits=5, bands=38)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

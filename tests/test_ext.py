@@ -3,6 +3,7 @@ multimodal) beyond the oracle-parity sweep."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakeflow.ext import dedup, multimodal, similarity
@@ -313,17 +314,29 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     assert out.conv_click == 0.5 and out.conv_purchase == 0.25
 
 
-def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+@pytest.mark.parametrize("edge_source", ["exact", "lsh"])
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir, edge_source):
     """Every near-dup pair lands in one cluster; cluster_id is the min
-    member; non-paired vectors are singletons of themselves."""
+    member; non-paired vectors are singletons of themselves.
+
+    Pairs come from the SAME edge generator the clustering used (r6):
+    the old version checked LSH-default clusters against the exhaustive
+    pair list, which silently asserts banding recall = 1.0 — exactly
+    the scale-dependent claim VERDICT r5 #1 retired (one borderline
+    pair slips the bands at sf0.01). Recall itself is measured by the
+    dedicated floor tests; THIS test pins the clustering invariants."""
+    if edge_source == "lsh":
+        cl_df = dedup.dedup_clusters(spark, sf_dir, bits=5, bands=38)
+        pair_df = dedup.embedding_near_dups_lsh(
+            spark, sf_dir, threshold=0.4, bits=5, bands=38
+        )
+    else:
+        cl_df = dedup.dedup_clusters(spark, sf_dir, edge_source="exact")
+        pair_df = dedup.embedding_near_dups(spark, sf_dir, threshold=0.4)
     clusters = {
-        r.vec_id: (r.cluster_id, r.cluster_size)
-        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+        r.vec_id: (r.cluster_id, r.cluster_size) for r in cl_df.collect()
     }
-    pairs = [
-        (r.vec_a, r.vec_b)
-        for r in dedup.embedding_near_dups(spark, sf_dir, threshold=0.4).collect()
-    ]
+    pairs = [(r.vec_a, r.vec_b) for r in pair_df.collect()]
     paired = {v for p in pairs for v in p}
     for a, b in pairs:
         assert clusters[a][0] == clusters[b][0]

@@ -204,6 +204,13 @@ EMB_FUZZ_QUERIES = (
     "q_knn_bruteforce",
     "q_dedup_embedding_exact",
     "q_label_centroids",
+    # cluster family (r6, VERDICT r5 #5): random corpora with planted
+    # near-dup chains exercise the LSH-replay closure oracle — the
+    # recall-dependence class the fixed-SF gates missed. The registered
+    # entries pin (bits=5, bands=38), so the replay is deterministic on
+    # any corpus this generator emits.
+    "q_dedup_clusters",
+    "q_cluster_split",
 )
 
 

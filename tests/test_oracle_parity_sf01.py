@@ -38,20 +38,20 @@ HEAVY = [
     "q_dedup_near",
     "q_dedup_keep_best",
     "q_dedup_simhash",
-    # clusters/split certify at sf0.1 via their EXACT-edge twins: the
-    # registered LSH defaults miss 17/920 borderline pairs here — the
-    # tuned 0.98/pair banding recall (measured r5, zero false
-    # positives), i.e. the designed approximation, not wrongness. The
-    # exact twins run the same components/split machinery over the
-    # exhaustive pair list the DuckDB oracle also uses.
+    # exact twins: the same components/split machinery over the
+    # exhaustive pair list, closed by the exhaustive DuckDB oracle
     "q_dedup_clusters_exact",
     "q_dedup_embedding_exact",
     "q_cluster_split_exact",
-    # the LSH DEFAULTS certify here too as of r5: portable hyperplanes
-    # let the DuckDB oracle replay the banding itself, so the 17
-    # borderline-pair misses happen identically in both engines —
-    # the approximation is certified, not just its exact twin
+    # the LSH DEFAULTS certify here too (r5 pairs, r6 clusters/split):
+    # portable hyperplanes let the DuckDB oracle replay the banding
+    # itself — and for the cluster family, run the transitive closure
+    # over the REPLAYED pairs — so the ~17/920 borderline-pair misses
+    # at this SF happen identically in both engines. The approximation
+    # is certified, not just its exact twin.
     "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_cluster_split",
     "q_degree_dist",
     "q_triangles",
     "q_ngram_jaccard",
