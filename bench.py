@@ -130,6 +130,15 @@ EXTENDED_QUERIES = (
 )
 
 
+def _md5_json(obj) -> str:
+    """Stable content hash of a JSON-serializable record."""
+    import hashlib
+
+    return hashlib.md5(
+        json.dumps(obj, sort_keys=True).encode()
+    ).hexdigest()
+
+
 def testdata_fingerprint(sf_dir: str) -> dict:
     """Per-table rows/bytes/file-count from the parquet footers — no
     Spark involved. Recorded in every bench JSON so a round-over-round
@@ -389,32 +398,48 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     warm_s = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "lakeflow headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cold_total_sec": warm_s,
-                "extended": extended,
-                "skew_demo": skew_demo,
-                "shuffle_metrics": shuffle_metrics,
-                # host-noise context for round-over-round comparisons:
-                # 1/5/15-min load BEFORE this process's own burst, cores,
-                # and the repeat count behind each median
-                "load_avg": load,
-                "cpus": os.cpu_count(),
-                "repeats": repeats,
-                # round-over-round comparability controls (VERDICT r3 #2):
-                # a fixed in-memory workload isolates host-speed drift,
-                # and the testdata fingerprint exposes data regeneration.
-                **calibration(spark),
-                "testdata": testdata_fingerprint(sf_dir),
-            }
-        )
-    )
+    testdata = testdata_fingerprint(sf_dir)
+    # Compact FINAL stdout line only (VERDICT r5 #2: the driver captures
+    # a bounded tail of stdout, and the former ~10 KB line with
+    # extended/shuffle_metrics/testdata inlined truncated past parsing —
+    # BENCH_r04/r05 both recorded "parsed": null). Everything verbose
+    # goes to BENCH_DETAIL.json (and stderr) instead; the testdata
+    # fingerprint survives as a content hash + row total so data
+    # regeneration still shows up round-over-round.
+    compact = {
+        "metric": "lakeflow headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cold_total_sec": warm_s,
+        # host-noise context for round-over-round comparisons:
+        # 1/5/15-min load BEFORE this process's own burst, cores,
+        # and the repeat count behind each median
+        "load_avg": load,
+        "cpus": os.cpu_count(),
+        "repeats": repeats,
+        # round-over-round comparability controls (VERDICT r3 #2):
+        # a fixed in-memory workload isolates host-speed drift,
+        # and the testdata fingerprint exposes data regeneration.
+        **calibration(spark),
+        "testdata_md5": _md5_json(testdata),
+        "testdata_rows": sum(t["rows"] for t in testdata.values()),
+    }
+    detail = {
+        **compact,
+        "extended": extended,
+        "skew_demo": skew_demo,
+        "shuffle_metrics": shuffle_metrics,
+        "testdata": testdata,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# detail record: {detail_path}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
 
 
