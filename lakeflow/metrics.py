@@ -158,6 +158,126 @@ def run_instrumented(
     return rec
 
 
+# ---------------------------------------------------------------------------
+# Metrics EXPORT plane: Prometheus text exposition + scrape endpoint.
+#
+# The reference's deployment scrapes its services with Prometheus
+# (/root/reference/compose/metrics.yml, deploy/prometheus/prometheus.yml:
+# scrape_configs over the pipeline jobs). This is the engine-side
+# equivalent: the measured per-query records above rendered in the
+# Prometheus text exposition format (version 0.0.4 — what every
+# prometheus server scrapes) and served from a zero-dependency stdlib
+# HTTP endpoint a `scrape_configs: [{targets: ["host:port"]}]` entry
+# points at. On a real cluster you run one endpoint on the driver and
+# call ``update()`` after each pipeline stage; gauges carry the latest
+# run's values, which is exactly the pull-model contract.
+# ---------------------------------------------------------------------------
+
+_METRIC_HELP = {
+    "wall_sec": "Query wall-clock seconds (driver-observed, collect included)",
+    "output_rows": "Rows returned by the query action",
+    "rows_scanned": "Rows produced by file-source scans",
+    "files_read": "Parquet files opened by scans",
+    "bytes_scanned": "Bytes of input files read by scans",
+    "shuffle_bytes_written": "Shuffle bytes written across all exchanges",
+    "shuffle_records_written": "Shuffle records written across all exchanges",
+    "shuffle_bytes_read": "Shuffle bytes read (local + remote)",
+    "spill_bytes": "Bytes spilled to disk (memory + disk spill metrics)",
+    "broadcast_bytes": "Broadcast exchange data size",
+    "n_exchanges": "ShuffleExchange nodes in the executed plan",
+    "n_scans": "File-source scan nodes in the executed plan",
+    "cache_rows_read": "Rows served from InMemoryTableScan (cached tier)",
+    "peak_node_memory": "Max single-node peak memory across the plan",
+}
+
+
+def _esc_label(v: str) -> str:
+    """Prometheus label-value escaping: backslash, quote, newline."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def prometheus_text(
+    records: list[dict[str, Any]], namespace: str = "lakeflow_query"
+) -> str:
+    """Render per-query metric records (:func:`run_instrumented` rows)
+    in the Prometheus text exposition format: one gauge family per
+    numeric field, one sample per query, ``query="..."`` label. HELP
+    and TYPE headers precede each family exactly once; a trailing
+    newline terminates the payload (required by the format spec)."""
+    lines: list[str] = []
+    for field, help_text in _METRIC_HELP.items():
+        samples = [
+            (str(r.get("query", "")), r[field])
+            for r in records
+            if isinstance(r.get(field), (int, float))
+        ]
+        if not samples:
+            continue
+        name = f"{namespace}_{field}"
+        lines.append(f"# HELP {name} {help_text}")
+        lines.append(f"# TYPE {name} gauge")
+        for query, value in samples:
+            lines.append(f'{name}{{query="{_esc_label(query)}"}} {value}')
+    return "\n".join(lines) + "\n"
+
+
+class MetricsEndpoint:
+    """Scrapeable /metrics endpoint over the measured query records —
+    stdlib http.server on a daemon thread, no dependencies. Usage::
+
+        ep = MetricsEndpoint()                 # port=0 → ephemeral
+        ep.update(records)                     # after each run/stage
+        ...                                    # prometheus scrapes ep.url
+        ep.close()
+
+    ``update`` atomically swaps the rendered payload (str assignment is
+    atomic under the GIL), so scrapes never see a half-written page.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        endpoint = self
+        endpoint._payload = "\n"
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - stdlib interface
+                if self.path.rstrip("/") not in ("", "/metrics"):
+                    self.send_error(404)
+                    return
+                body = endpoint._payload.encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence per-scrape stderr noise
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}/metrics"
+
+    def update(self, records: list[dict[str, Any]]) -> None:
+        self._payload = prometheus_text(records)
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+
+
 def query_metrics(
     spark: SparkSession, names: list[str], sf_dir: str
 ) -> DataFrame:
