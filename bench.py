@@ -127,6 +127,7 @@ EXTENDED_QUERIES = (
     "q_mmr_rerank",
     "q_events_variant",
     "q_audio_meta",
+    "q_dedup_incremental",
 )
 
 

@@ -334,6 +334,159 @@ ORDER BY doc_a, doc_b
 NEAR_DUP_SQL = _near_dup_oracle_sql()
 
 
+def incremental_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    batch_mod: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection — the shape a
+    daily ingest actually runs: the historical corpus is already
+    deduped, so today's batch only needs checking AGAINST it (and the
+    self-join over history is never re-paid). The reference's bronze
+    tier is exactly this cadence — daily incremental appends
+    (reference: jobs/bronze/ingest_csv_to_delta.py, @daily Airflow
+    schedule in dags/) — and this is its dedup companion.
+
+    Plan shape (the 100 TB story): band keys for BOTH sides come from
+    one signature pass, then the candidate join is **new-keys ×
+    old-keys** on the compact (band, band_sig) bucket key — cost ∝
+    |batch| × bucket occupancy, never |corpus|² and never a restated
+    history self-join. In production the old side IS a stored
+    signature table partitioned by (band, band_sig) (write
+    ``minhash_signatures`` out as a silver tier and append each
+    batch); the probe then prunes to the batch's buckets. Output is
+    the drop decision table: one row per batch doc with ≥1 historical
+    match — its best (highest-jaccard, tie → lowest id) historical
+    duplicate and the total match count. Struct-max aggregation, one
+    partial-aggregable shuffle; no window over the pair stream.
+
+    ``batch_mod``: the batch is ``doc_id % batch_mod == 0`` (~1/mod of
+    the corpus) — deterministic and SF-proportional, standing in for
+    the ingest-date partition predicate a production run would use.
+    """
+    docs = normalized_docs(spark, sf_dir)
+    # Same persisted signature tier as near_dup_pairs — CacheManager
+    # dedupes the identical plan, so a session running both queries
+    # builds signatures once.
+    sig = minhash_signatures(docs, num_hashes, portable=portable).persist()
+    is_new = F.col("doc_id") % batch_mod == 0
+    cand_all = _band_candidates(sig, num_hashes, bands, portable=portable)
+    # _band_candidates orders doc_a < doc_b; the batch doc may be either
+    # side — normalize to (batch doc, historical doc). Exactly one end
+    # being in the batch is the incremental predicate.
+    a_new = F.col("doc_a") % batch_mod == 0
+    b_new = F.col("doc_b") % batch_mod == 0
+    cand = (
+        cand_all.filter(a_new != b_new)
+        .select(
+            F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"),
+            F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dup_of"),
+        )
+    )
+    sh = sig.select("doc_id", "shingles")
+    jacc = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("_ia"), F.col("shingles").alias("sh_a")),
+            F.col("doc_id") == F.col("_ia"),
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("_ib"), F.col("shingles").alias("sh_b")),
+            F.col("dup_of") == F.col("_ib"),
+        )
+        .select("doc_id", "dup_of", F.round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.max(
+        F.struct(F.col("jaccard"), (-F.col("dup_of")).alias("neg_id"))
+    ).alias("b")
+    return (
+        verified.groupBy("doc_id")
+        .agg(best, F.count("*").alias("n_matches"))
+        .select(
+            "doc_id",
+            (-F.col("b.neg_id")).cast("bigint").alias("dup_of"),
+            F.col("b.jaccard").alias("jaccard"),
+            "n_matches",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    batch_mod: int = 5,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of the portable incremental pipeline: same signature
+    CTEs as NEAR_DUP_SQL, candidate join restricted to exactly-one-end-
+    in-batch, best-match pick via a deterministic window (jaccard DESC,
+    dup_of ASC — the same total order the struct-max aggregation
+    realizes on the Spark side)."""
+    coeffs = _mh_coeffs(num_hashes)
+    r = num_hashes // bands
+    fams = ", ".join(
+        f"list_min(list_transform(hp, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in coeffs
+    )
+    bsig = " || ',' || ".join(
+        f"CAST(mh[band * {r} + {i + 1}] AS VARCHAR)" for i in range(r)
+    )
+    return f"""
+WITH norm AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - {shingle_n}, 0) + 2),
+                              i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
+    FROM norm
+), hp AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_MH_PRIME}) AS hp
+    FROM sh
+), sig AS (
+    SELECT doc_id, shingles, [{fams}] AS mh FROM hp
+), keys AS (
+    SELECT doc_id, band, {bsig} AS bsig
+    FROM sig, range(0, {bands}) t(band)
+), cand AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.bsig = b.bsig
+     AND a.doc_id % {batch_mod} = 0 AND b.doc_id % {batch_mod} != 0
+    GROUP BY 1, 2
+), verified AS (
+    SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = cand.doc_id JOIN sh y ON y.doc_id = cand.dup_of
+    WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) >= {threshold}
+)
+SELECT doc_id, dup_of, jaccard,
+       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches
+FROM verified
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of ASC) = 1
+ORDER BY doc_id
+"""
+
+
+INCREMENTAL_NEAR_DUP_SQL = _incremental_oracle_sql()
+
+
 def containment_pairs(
     spark: SparkSession,
     sf_dir: str,

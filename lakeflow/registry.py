@@ -414,6 +414,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # portable md5 shingle hash: the full MinHash->banding->verify
     # pipeline (including LSH candidate generation) replays in DuckDB
     "q_dedup_near": (dedup.near_dup_pairs_portable, dedup.NEAR_DUP_SQL),
+    # incremental (batch-vs-corpus) near-dup (r6): today's batch probes
+    # the historical signature buckets — new-keys × old-keys join, cost
+    # ∝ |batch| × occupancy, never a history self-join; output is the
+    # drop decision table (best historical dup + match count per batch
+    # doc). Same portable md5 pipeline → full replay in DuckDB.
+    "q_dedup_incremental": (
+        lambda spark, sf: dedup.incremental_near_dups(spark, sf, portable=True),
+        dedup.INCREMENTAL_NEAR_DUP_SQL,
+    ),
     # portable md5 token hash → exact 32-bit signature reproducible in DuckDB
     "q_dedup_simhash": (dedup.simhash_portable, dedup.SIMHASH_SQL),
     # asymmetric containment (|A∩B|/min) over the SAME banding pipeline —

@@ -1035,3 +1035,30 @@ def test_corr_survives_constant_column(spark, tmp_path):
             profile.correlation(spark, str(tmp_path)).collect()}
     assert rows["A"] is None  # constant quantity -> undefined, not abort
     assert rows["B"] is None  # single row -> undefined, not abort
+
+
+def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
+    """The incremental (batch-vs-corpus) decision table must agree with
+    the full pair join restricted to one-end-in-batch: same candidate
+    banding, same verify threshold — so for every batch doc its
+    n_matches equals the count of cross pairs touching it, and the
+    reported best match is the max-jaccard (tie -> lowest id) one.
+    Production hash path (xxhash64) on both sides."""
+    inc = {
+        r.doc_id: (r.dup_of, r.jaccard, r.n_matches)
+        for r in dedup.incremental_near_dups(spark, sf_dir).collect()
+    }
+    pairs = dedup.near_dup_pairs(spark, sf_dir).collect()
+    expected: dict[int, list[tuple[float, int]]] = {}
+    for r in pairs:
+        for d, h in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if d % 5 == 0 and h % 5 != 0:
+                expected.setdefault(d, []).append((r.jaccard, h))
+    assert set(inc) == set(expected)
+    for d, matches in expected.items():
+        dup_of, jacc, n = inc[d]
+        assert n == len(matches)
+        best = max(matches, key=lambda m: (m[0], -m[1]))
+        assert (jacc, dup_of) == best
+    for d, (dup_of, jacc, _) in inc.items():
+        assert d % 5 == 0 and dup_of % 5 != 0 and jacc >= 0.5

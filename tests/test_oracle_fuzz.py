@@ -56,6 +56,9 @@ FUZZ_QUERIES = (
     "q_repetition",
     "q_contamination",
     "q_token_entropy",
+    # incremental batch-vs-corpus dedup (r6): random corpora exercise
+    # the batch/history split + best-match tie-breaking on planted dups
+    "q_dedup_incremental",
 )
 
 

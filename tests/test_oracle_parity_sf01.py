@@ -36,6 +36,7 @@ HEAVY = [
     # dedup family
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_incremental",
     "q_dedup_keep_best",
     "q_dedup_simhash",
     # exact twins: the same components/split machinery over the
