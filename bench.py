@@ -128,6 +128,8 @@ EXTENDED_QUERIES = (
     "q_events_variant",
     "q_audio_meta",
     "q_dedup_incremental",
+    "q_semdedup",
+    "q_gopher_rules",
 )
 
 

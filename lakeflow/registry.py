@@ -405,6 +405,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_session_window": (events.session_window_counts, events.SESSION_WINDOW_SQL),
     "q_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
     "q_text_stats": (text.text_stats, text.TEXT_STATS_SQL),
+    # Gopher/MassiveText rule cascade (r6): map-only audit table, every
+    # per-rule verdict + keep replayed bit-identically in DuckDB
+    "q_gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
     "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),
     "q_lang_id": (text.lang_id, text.LANG_ID_SQL),
     "q_doc_fingerprint": (text.fingerprint, text.FINGERPRINT_SQL),
@@ -579,6 +582,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # (rounded assignment distances + centroid means) — the oracle
     # replays seeds, Lloyd rounds, probing, and ranking exactly
     "q_knn_ivf": (similarity.knn_ivf, similarity.KNN_IVF_SQL),
+    # SemDeDup (r6): deterministic k-means partitions + within-cluster
+    # greedy cosine dedup — the oracle replays the shared index build
+    # (_ivf_index_sql) and the pair/drop tail exactly
+    "q_semdedup": (similarity.semdedup, similarity.SEMDEDUP_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
@@ -735,6 +742,12 @@ _CERT_FIRST: list[str] = [
     # -- sentinels (green in r01) --------------------------------------
     "q_silver_pipeline",
     "q_tpch_q1",
+    # -- r6: new queries / swapped oracles — certify FIRST ---------------
+    "q_dedup_clusters",  # r5 red twin: oracle now replays the banding
+    "q_cluster_split",  # r5 red row: same banding-replay oracle swap
+    "q_dedup_incremental",  # new: batch-vs-corpus near-dup
+    "q_semdedup",  # new: k-means + within-cluster cosine dedup
+    "q_gopher_rules",  # new: rule-cascade quality filter
     # -- r5: newly oracled / fixed — certify FIRST -----------------------
     "q_tpch_q12",  # r4 red row: oracle typing fixed (CAST SUM AS BIGINT)
     "q_mmr_rerank",  # greedy replayed via unrolled DuckDB CTEs
@@ -750,7 +763,6 @@ _CERT_FIRST: list[str] = [
     "q_lm_perplexity",
     "q_rrf_fusion",
     "q_containment_pairs",
-    "q_cluster_split",
     "q_dsir_weights",
     "q_source_overlap",
     "q_token_entropy",

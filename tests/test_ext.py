@@ -1062,3 +1062,71 @@ def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
         assert (jacc, dup_of) == best
     for d, (dup_of, jacc, _) in inc.items():
         assert d % 5 == 0 and dup_of % 5 != 0 and jacc >= 0.5
+
+
+def test_semdedup_greedy_drop_invariants(spark, sf_dir):
+    """SemDeDup decision-table invariants: a dropped vector's twin has
+    a smaller id, lives in the SAME cluster, and their cosine really
+    exceeds tau; kept rows carry NULL dup_of/max_cos; every embedding
+    appears exactly once; and a kept/dropped pair can never be an
+    identical-vector twin where the SMALLER id was the one dropped
+    (greedy keep-first)."""
+    rows = similarity.semdedup(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert len(rows) == len(emb)
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_id = {r.vec_id: r for r in rows}
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb) if na and nb else None
+
+    n_dropped = 0
+    for r in rows:
+        if r.dropped:
+            n_dropped += 1
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].list_id == r.list_id
+            c = cos(emb[r.vec_id], emb[r.dup_of])
+            assert c is not None and round(c, 6) == r.max_cos
+            assert r.max_cos > 0.4
+        else:
+            assert r.dup_of is None and r.max_cos is None
+    # the corpus plants real near-dups at every driver SF — the
+    # operator must actually drop something, not vacuously pass
+    assert n_dropped > 0
+
+
+def test_gopher_rules_audit_table_structure(spark, sf_dir):
+    """Every document gets exactly one verdict row; keep == AND of the
+    per-rule flags; each rule trims neither everything nor nothing on
+    the synthetic corpus (thresholds are calibrated to trim a real
+    tail — a rule stuck at all-false means a threshold typo)."""
+    from lakeflow.ext import text as text_ops
+
+    df = text_ops.gopher_rules(spark, sf_dir)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    rules = [
+        "r_words",
+        "r_mean_word_len",
+        "r_symbols",
+        "r_bullets",
+        "r_ellipsis",
+        "r_alpha",
+        "r_stopwords",
+    ]
+    for r in rows:
+        assert r.keep == all(getattr(r, k) for k in rules)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < n_docs  # calibrated cascade: trims a tail, not all
+    for k in ("r_words", "r_stopwords"):  # the two corpus-active rules
+        failing = sum(1 for r in rows if not getattr(r, k))
+        assert 0 < failing < n_docs

@@ -59,6 +59,10 @@ FUZZ_QUERIES = (
     # incremental batch-vs-corpus dedup (r6): random corpora exercise
     # the batch/history split + best-match tie-breaking on planted dups
     "q_dedup_incremental",
+    # Gopher rule cascade (r6): null text, whitespace-only, unicode
+    # punctuation, and single-token docs all hit the NULL-gated ratio
+    # rules — the class of defect the r5 fuzz pass kept finding
+    "q_gopher_rules",
 )
 
 
@@ -214,6 +218,10 @@ EMB_FUZZ_QUERIES = (
     # any corpus this generator emits.
     "q_dedup_clusters",
     "q_cluster_split",
+    # SemDeDup (r6): tiny corpora mean fewer vectors than n_lists and
+    # zero-norm twins — seeds, Lloyd rounds, and the NULL-cosine guard
+    # must all replay
+    "q_semdedup",
 )
 
 

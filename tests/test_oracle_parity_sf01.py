@@ -73,6 +73,9 @@ HEAVY = [
     "q_knn_lsh",
     "q_knn_ivf",
     "q_knn_pandas",
+    # semantic dedup (r6): k-means seeds/means + within-cluster pair
+    # volume are both corpus-size-sensitive
+    "q_semdedup",
     # profile/drift (float accumulation + quantile grids)
     "q_drift_ks",
     "q_drift_psi",
