@@ -130,6 +130,8 @@ EXTENDED_QUERIES = (
     "q_dedup_incremental",
     "q_semdedup",
     "q_gopher_rules",
+    "q_span_dedup",
+    "q_knn_sq8",
 )
 
 

@@ -598,6 +598,156 @@ FROM lists l LEFT JOIN best ON best.b_id = l.vec_id
 SEMDEDUP_SQL = _semdedup_sql()
 
 
+def knn_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    rerank: int = 3,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact rerank — the
+    memory-bandwidth scale path beside the bucketed ones (knn_lsh /
+    knn_ivf): stage 1 scans ONLY the 4×-compressed int8 vectors and
+    keeps ``k·rerank`` candidates per query by quantized cosine;
+    stage 2 re-scores just those candidates at full precision. At
+    100 TB the stage-1 scan is the whole cost and it reads a quarter
+    of the bytes; the full-precision vectors are touched only for the
+    candidate set (broadcast join on the tiny (q_id, vec_id) list).
+
+    Exactly replayable across engines by construction: the
+    quantization scale is max|x|/127 in raw double IEEE arithmetic,
+    q_i = floor(x_i/scale + 0.5) (explicit half-up — round()'s half
+    mode differs between engines; floor(+0.5) does not), so the int8
+    codes are bit-identical; quantized dot products are exact integer
+    sums; both ranking cuts use 6dp rounding + vec_id tiebreak. A
+    zero vector has scale 0 → codes coalesce to 0 → NULL quantized
+    cosine, sorting last in both engines.
+    """
+    m = k * rerank
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    # scale as its own column: referencing array_max inside the
+    # per-element lambda would re-run the O(d) max per element (O(d²))
+    qemb = (
+        emb.withColumn(
+            "_s", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+        )
+        .withColumn(
+            "q",
+            F.transform(
+                "v",
+                lambda x: F.coalesce(
+                    F.floor(F.try_divide(x, F.col("_s")) + F.lit(0.5)),
+                    F.lit(0),
+                ).cast("int"),
+            ),
+        )
+        .withColumn(
+            "qn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("q", lambda x: (x * x).cast("double")),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
+        )
+    )
+    codes = qemb.select("vec_id", "q", "qn")  # stage-1 frame: int8 only
+    queries_q = codes.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq"), F.col("qn").alias("nq")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: x.cast("bigint") * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    approx = F.round(
+        F.try_divide(qdot.cast("double"), F.col("nq") * F.col("qn")), 6
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+    cand = (
+        codes.join(broadcast(queries_q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", approx.alias("approx_cos"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= m)
+        .select("q_id", "vec_id", "approx_cos")
+    )
+    exact = emb.select("vec_id", "v", "nv")
+    queries_x = exact.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    scored = (
+        exact.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries_x), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cosine(_dot("qv", "v"), F.col("nq"), F.col("nv")), 6).alias(
+                "cosine"
+            ),
+            "approx_cos",
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "approx_cos", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+KNN_SQ8_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), z AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+    FROM v
+), c AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> CAST(coalesce(floor(x / nullif(s, 0) + 0.5), 0) AS INTEGER)) AS q
+    FROM z
+), codes AS (
+    SELECT vec_id, v, q,
+           sqrt(list_aggregate(list_transform(q, x -> CAST(x * x AS DOUBLE)), 'sum')) AS qn
+    FROM c
+), queries AS (
+    SELECT vec_id AS q_id, v AS qv, q AS qq, qn AS nq FROM codes WHERE vec_id % 100 = 0
+), approx AS (
+    SELECT qs.q_id, e.vec_id,
+           round(CAST(list_aggregate(
+                     list_transform(list_zip(qs.qq, e.q), p -> CAST(p[1] AS BIGINT) * p[2]),
+                     'sum') AS DOUBLE)
+                 / (qs.nq * e.qn), 6) AS approx_cos
+    FROM queries qs JOIN codes e ON e.vec_id != qs.q_id
+), cand AS (
+    SELECT q_id, vec_id, approx_cos FROM (
+        SELECT q_id, vec_id, approx_cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS r
+        FROM approx
+    ) WHERE r <= 15
+), exact AS (
+    SELECT cd.q_id, cd.vec_id, cd.approx_cos,
+           round(list_aggregate(list_transform(list_zip(qs.qv, e.v), p -> p[1] * p[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(qs.qv, x -> x*x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))), 6) AS cosine
+    FROM cand cd
+    JOIN codes e ON e.vec_id = cd.vec_id
+    JOIN queries qs ON qs.q_id = cd.q_id
+)
+SELECT q_id, vec_id, cosine, approx_cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+FROM exact
+QUALIFY rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid + dispersion — the class-prototype
     computation of a training pipeline (same posexplode → per-(label,

@@ -268,6 +268,98 @@ FROM m
 """
 
 
+def span_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_count: int = 2,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Exact substring (word n-gram span) deduplication after Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (2022): every length-``n`` word window in the corpus is hashed
+    (portable md5 over the space-joined tokens); a span occurrence is
+    a duplicate when its span text appears ≥ ``min_count`` times
+    corpus-wide (cross-doc AND within-doc repeats both count, as in
+    the paper's suffix-array formulation). Output is one audit row per
+    document: (doc_id, n_spans, dup_spans, dup_frac, flagged) —
+    documents shorter than ``n`` words (or NULL text) have zero spans
+    and a NULL dup_frac.
+
+    100 TB design: spans ≈ corpus token count — large but LINEAR, and
+    the plan is explode → partial-agg count per hash (map-side combine
+    collapses each hot span to one row) → join occurrences back on the
+    SAME hash key (co-partitioned after the agg; hot spans are exactly
+    the AQE skew-join-splittable case, which a count-over-window would
+    NOT be — a window moves and buffers every occurrence of a hot span
+    in one task) → per-doc agg. Payload text never shuffles: only
+    (doc_id, 16-byte hash) rows move.
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    nspan = F.greatest(
+        F.coalesce(F.size(toks) - (n - 1), F.lit(0)), F.lit(0)
+    )
+    # sequence(1, 0) yields a DESCENDING [1, 0] rather than an empty
+    # array — the when-guard is load-bearing, not defensive
+    spans = F.when(
+        nspan >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nspan),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.explode(spans).alias("h"))
+    cnts = occ.groupBy("h").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        occ.join(cnts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("cnt") >= min_count).cast("bigint")).alias("dup_spans"),
+        )
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0)).alias("n_spans")
+    dup_spans = F.coalesce("dup_spans", F.lit(0)).alias("dup_spans")
+    dup_frac = F.round(
+        F.try_divide(F.coalesce("dup_spans", F.lit(0)), F.coalesce("n_spans", F.lit(0))), 6
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_spans,
+        dup_spans,
+        dup_frac.alias("dup_frac"),
+        F.coalesce(dup_frac >= flag_frac, F.lit(False)).alias("flagged"),
+    )
+
+
+SPAN_DEDUP_SQL = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+), idx AS (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(coalesce(len(toks) - 7, 0), 0) + 1)) AS i
+    FROM t
+), occ AS (
+    SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS h FROM idx
+), cnts AS (
+    SELECT h, count(*) AS cnt FROM occ GROUP BY h
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+    FROM occ JOIN cnts USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       round(coalesce(p.dup_spans, 0) / nullif(coalesce(p.n_spans, 0), 0), 6) AS dup_frac,
+       coalesce(round(coalesce(p.dup_spans, 0) / nullif(coalesce(p.n_spans, 0), 0), 6) >= 0.5,
+                false) AS flagged
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID by stopword-family hits (n-gram-lite).
 

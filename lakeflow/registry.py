@@ -408,6 +408,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # Gopher/MassiveText rule cascade (r6): map-only audit table, every
     # per-rule verdict + keep replayed bit-identically in DuckDB
     "q_gopher_rules": (text.gopher_rules, text.GOPHER_RULES_SQL),
+    # Exact substring (word 8-gram span) dedup after Lee et al. 2022
+    # (r6): corpus-wide repeated-span detection, one hash-groupBy +
+    # co-partitioned join-back — the oracle replays the md5 span hash
+    "q_span_dedup": (text.span_dedup, text.SPAN_DEDUP_SQL),
     "q_doc_quality": (text.doc_quality, text.DOC_QUALITY_SQL),
     "q_lang_id": (text.lang_id, text.LANG_ID_SQL),
     "q_doc_fingerprint": (text.fingerprint, text.FINGERPRINT_SQL),
@@ -586,6 +590,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # greedy cosine dedup — the oracle replays the shared index build
     # (_ivf_index_sql) and the pair/drop tail exactly
     "q_semdedup": (similarity.semdedup, similarity.SEMDEDUP_SQL),
+    # int8 scalar-quantized ANN + exact rerank (r6): bit-identical
+    # codes via floor(x/s + 0.5) half-up, integer dot products
+    "q_knn_sq8": (similarity.knn_sq8, similarity.KNN_SQ8_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
@@ -748,6 +755,8 @@ _CERT_FIRST: list[str] = [
     "q_dedup_incremental",  # new: batch-vs-corpus near-dup
     "q_semdedup",  # new: k-means + within-cluster cosine dedup
     "q_gopher_rules",  # new: rule-cascade quality filter
+    "q_span_dedup",  # new: exact substring (word 8-gram) dedup
+    "q_knn_sq8",  # new: int8 scalar-quantized ANN + exact rerank
     # -- r5: newly oracled / fixed — certify FIRST -----------------------
     "q_tpch_q12",  # r4 red row: oracle typing fixed (CAST SUM AS BIGINT)
     "q_mmr_rerank",  # greedy replayed via unrolled DuckDB CTEs

@@ -1130,3 +1130,51 @@ def test_gopher_rules_audit_table_structure(spark, sf_dir):
     for k in ("r_words", "r_stopwords"):  # the two corpus-active rules
         failing = sum(1 for r in rows if not getattr(r, k))
         assert 0 < failing < n_docs
+
+
+def test_span_dedup_per_doc_invariants(spark, sf_dir):
+    """Exact-substring dedup audit table: one row per document,
+    n_spans == max(words - 7, 0) recomputed locally, dup_spans never
+    exceeds n_spans, flagged iff dup_frac >= 0.5, and the planted
+    near-dup docs make the corpus-wide duplicate count non-zero."""
+    from lakeflow.ext import text as text_ops
+
+    rows = text_ops.span_dedup(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    import re
+
+    for r in rows:
+        t = docs[r.doc_id]
+        # mirror split('\s+') on trimmed text: empty/whitespace-only
+        # text yields [''] (one token) in both engines
+        words = len(re.split(r"\s+", t.strip())) if t is not None else 0
+        assert r.n_spans == max(words - 7, 0), (r.doc_id, words, r.n_spans)
+        assert 0 <= r.dup_spans <= r.n_spans
+        if r.n_spans == 0:
+            assert r.dup_frac is None and not r.flagged
+        else:
+            assert r.flagged == (r.dup_frac >= 0.5)
+    assert sum(r.dup_spans for r in rows) > 0  # planted near-dups
+
+
+def test_knn_sq8_recall_and_rerank(spark, sf_dir):
+    """int8-quantized ANN: the exact rerank means the top-k it returns
+    are scored with TRUE cosine, so every returned pair that the brute
+    force also returns carries the identical rounded score; recall
+    floor is high (quantization is a much finer approximation than
+    2-bit LSH buckets)."""
+    exact_rows = similarity.knn_bruteforce(spark, sf_dir, k=5).collect()
+    sq8_rows = similarity.knn_sq8(spark, sf_dir, k=5).collect()
+    exact = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    approx = {(r["q_id"], r["vec_id"]): r["cosine"] for r in sq8_rows}
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.6, f"sq8 recall suspiciously low: {recall}"
+    for pair in exact.keys() & approx.keys():
+        assert exact[pair] == approx[pair]  # rerank is full precision
+    for r in sq8_rows:  # quantized score is a *bounded* approximation
+        if r["approx_cos"] is not None and r["cosine"] is not None:
+            assert abs(r["approx_cos"] - r["cosine"]) < 0.1

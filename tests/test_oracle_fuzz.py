@@ -63,6 +63,9 @@ FUZZ_QUERIES = (
     # punctuation, and single-token docs all hit the NULL-gated ratio
     # rules — the class of defect the r5 fuzz pass kept finding
     "q_gopher_rules",
+    # exact-substring span dedup (r6): short docs (< 8 words → zero
+    # spans, NULL dup_frac), planted duplicate texts, unicode tokens
+    "q_span_dedup",
 )
 
 
@@ -222,6 +225,10 @@ EMB_FUZZ_QUERIES = (
     # zero-norm twins — seeds, Lloyd rounds, and the NULL-cosine guard
     # must all replay
     "q_semdedup",
+    # int8 scalar quantization (r6): the 1/64-grid coords exercise
+    # exact scale/code replay; the all-zero vector hits the s=0 →
+    # code-0 → NULL-quantized-cosine path
+    "q_knn_sq8",
 )
 
 

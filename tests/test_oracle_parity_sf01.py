@@ -59,6 +59,9 @@ HEAVY = [
     "q_containment_pairs",
     "q_winnow_fingerprints",
     "q_doc_fingerprint",
+    # exact-substring span dedup (r6): span-count and duplicate volume
+    # both scale with the corpus
+    "q_span_dedup",
     # LM / scoring family
     "q_lm_perplexity",
     "q_dsir_weights",
@@ -73,6 +76,8 @@ HEAVY = [
     "q_knn_lsh",
     "q_knn_ivf",
     "q_knn_pandas",
+    # int8 quantized ANN (r6): code/scale replay over 10× the vectors
+    "q_knn_sq8",
     # semantic dedup (r6): k-means seeds/means + within-cluster pair
     # volume are both corpus-size-sensitive
     "q_semdedup",
