@@ -515,7 +515,15 @@ def semdedup(
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
     cent = kmeans_centroids(emb, n_lists, lloyd_iters)
-    lists = _nearest_lists(emb, cent, "v", 1)
+    # The cluster assignment is referenced THREE times (both sides of
+    # the within-cluster pair join + the final audit select); without
+    # materialization each reference replays the full-corpus
+    # assignment. Same lazy localCheckpoint as the Lloyd rounds — at
+    # cluster scale this is the "write the assignment table once"
+    # step of the SemDeDup recipe. (No measurable delta at the test
+    # SFs — the cached local scan hides the recompute — the saved work
+    # is two extra corpus scans' worth only at real scale.)
+    lists = _nearest_lists(emb, cent, "v", 1).localCheckpoint(eager=False)
     a = lists.select(
         "list_id",
         F.col("vec_id").alias("a_id"),
