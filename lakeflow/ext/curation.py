@@ -3,13 +3,15 @@ COMPOSITION of the engine's certified stages into the shape a 100 TB
 pretraining-corpus build actually runs:
 
     normalize → exact dedup → quality filters (repetition + LM
-    perplexity band) → semantic near-dup clustering (keep canonical)
-    → leakage-safe split → deterministic sharding → transactional
+    perplexity band + Gopher rule cascade) → exact-substring span
+    dedup → semantic near-dup clustering (keep canonical) →
+    leakage-safe split → deterministic sharding → transactional
     publish
 
 Every stage is an operator certified on its own elsewhere in this repo
-(`q_dedup_exact`, `q_repetition`, `q_lm_perplexity`,
-`q_dedup_clusters`, `q_cluster_split`, `q_shard_manifest`); this
+(`q_dedup_exact`, `q_repetition`, `q_lm_perplexity`, `q_gopher_rules`,
+`q_span_dedup`, `q_dedup_clusters`, `q_cluster_split`,
+`q_shard_manifest`); this
 module wires them into one lazily-composed DataFrame plan plus one
 atomic `TxTable` commit, and returns the per-stage funnel counts a
 curation run logs.
@@ -48,13 +50,15 @@ def curated_docs(
     rep_token_max: float = 0.68,
     rep_trigram_max: float = 0.05,
     ppl_band: tuple[float, float] = (27.5, 32.0),
+    span_dup_max: float = 0.5,
     cluster_threshold: float = 0.4,
     cluster_bucket_cap: int | None = None,
 ) -> DataFrame:
     """The curation plan: documents with per-stage survival flags.
 
     Returns one row per input document with boolean stage columns
-    (``keep_exact``, ``keep_quality``, ``keep_canonical``), the final
+    (``keep_exact``, ``keep_quality``, ``keep_spans``,
+    ``keep_canonical``), the final
     ``kept`` flag, and for kept docs the leakage-safe ``split`` and
     content-keyed ``shard_id``. Downstream consumers filter
     ``kept`` — keeping the rejected rows (with the reason encoded in
@@ -74,7 +78,7 @@ def curated_docs(
         exact_dedup,
         normalized_docs,
     )
-    from lakeflow.ext.text import repetition
+    from lakeflow.ext.text import gopher_rules, repetition, span_dedup
 
     docs = normalized_docs(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
@@ -97,6 +101,19 @@ def curated_docs(
     ppl = lm.bigram_lm_scores(spark, sf_dir).select(
         "doc_id",
         F.col("perplexity").between(*ppl_band).alias("q_ppl"),
+    )
+    gop = gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_gopher")
+    )
+
+    # exact-substring dedup: drop documents whose duplicated-span
+    # fraction exceeds the cap (span-less short docs have NULL
+    # dup_frac and pass — length policing is the word-count rule's job)
+    spans = span_dedup(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(F.col("dup_frac") <= span_dup_max, F.lit(True)).alias(
+            "keep_spans"
+        ),
     )
 
     # semantic clustering: keep only the cluster canonical (min vec_id
@@ -129,6 +146,8 @@ def curated_docs(
         docs.join(exact_keep, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(ppl, "doc_id", "left")
+        .join(gop, "doc_id", "left")
+        .join(spans, "doc_id", "left")
         .join(clusters, "doc_id", "left")
         .select(
             "doc_id",
@@ -136,9 +155,12 @@ def curated_docs(
             "source",
             "n_chars",
             F.coalesce("keep_exact", F.lit(False)).alias("keep_exact"),
-            (F.coalesce("q_rep", F.lit(False)) & F.coalesce("q_ppl", F.lit(False))).alias(
-                "keep_quality"
-            ),
+            (
+                F.coalesce("q_rep", F.lit(False))
+                & F.coalesce("q_ppl", F.lit(False))
+                & F.coalesce("q_gopher", F.lit(False))
+            ).alias("keep_quality"),
+            F.coalesce("keep_spans", F.lit(False)).alias("keep_spans"),
             # docs without an embedding row count as their own canonical
             F.coalesce("keep_canonical", F.lit(True)).alias("keep_canonical"),
             F.coalesce(F.col("split"), doc_split).alias("split"),
@@ -147,7 +169,10 @@ def curated_docs(
     )
     return flagged.withColumn(
         "kept",
-        F.col("keep_exact") & F.col("keep_quality") & F.col("keep_canonical"),
+        F.col("keep_exact")
+        & F.col("keep_quality")
+        & F.col("keep_spans")
+        & F.col("keep_canonical"),
     )
 
 
@@ -198,6 +223,7 @@ def diff_runs(
             F.col("kept").alias(f"kept_{tag}"),
             F.when(~F.col("keep_exact"), "exact_dup")
             .when(~F.col("keep_quality"), "quality")
+            .when(~F.col("keep_spans"), "span_dup")
             .when(~F.col("keep_canonical"), "near_dup")
             .otherwise("kept")
             .alias(f"gate_{tag}"),
@@ -232,6 +258,11 @@ def _funnel(flagged: DataFrame) -> dict[str, int]:
         F.sum((F.col("keep_exact") & F.col("keep_quality")).cast("long")).alias(
             "after_quality"
         ),
+        F.sum(
+            (F.col("keep_exact") & F.col("keep_quality") & F.col("keep_spans")).cast(
+                "long"
+            )
+        ).alias("after_span_dedup"),
         F.sum(F.col("kept").cast("long")).alias("kept"),
         F.countDistinct(F.when(F.col("kept"), F.col("shard_id"))).alias("shards"),
         F.countDistinct(F.when(F.col("kept"), F.col("split"))).alias("splits"),

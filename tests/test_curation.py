@@ -19,6 +19,7 @@ def test_curate_funnel_and_audit(spark, sf_dir, tmp_path):
         summary["input_docs"]
         >= summary["after_exact_dedup"]
         >= summary["after_quality"]
+        >= summary["after_span_dedup"]
         >= summary["kept"]
         > 0
     )
