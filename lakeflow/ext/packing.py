@@ -277,3 +277,82 @@ SELECT shard_id, docs, tokens, chars,
        round(docs / (SELECT avg(docs) FROM per), 6) AS balance
 FROM per ORDER BY shard_id
 """
+
+
+MIX_TEMPERATURE = 0.3
+
+
+def mix_temperature(
+    spark: SparkSession,
+    sf_dir: str,
+    temperature: float = MIX_TEMPERATURE,
+    budget: int = MIX_BUDGET,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    recipe — mT5/XLM-R style, public): sampling share p_s ∝ n_s^T with
+    T ∈ (0, 1] flattens the natural token distribution so tail sources
+    are not drowned by the head (T=1 reproduces natural proportions,
+    T→0 approaches uniform). Where :func:`mix_plan` consumes
+    hand-assigned weights, this DERIVES the weights from the inventory
+    itself — the standard alternative when no per-source targets
+    exist.
+
+    Output per source: token inventory, natural share, temperature
+    share, the budget allocation, and the oversample factor
+    (allocated/actual; >1 ⇒ the source repeats). One tiny aggregate +
+    one window over |sources| rows — output scales with the number of
+    sources, never the corpus; at 100 TB the whole query after the
+    scan-side partial agg is a driver-sized plan.
+
+    Certification: token counts are exact integers; pow/shares are
+    double arithmetic over ≤|sources| values rounded to 6 dp (the
+    certified transcendental-op argument: both engines evaluate libm
+    pow on identical inputs; the window sum spans a handful of rows).
+    """
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT)).cast("bigint")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum(toks).alias("actual_tokens")
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("actual_tokens").cast("double"), F.lit(float(temperature)))
+    shares = agg.select(
+        "source",
+        "docs",
+        "actual_tokens",
+        (F.col("actual_tokens") / F.sum("actual_tokens").over(w)).alias("nat_share"),
+        (powed / F.sum(powed).over(w)).alias("temp_share"),
+    )
+    alloc = F.col("temp_share") * F.lit(float(budget))
+    return shares.select(
+        "source",
+        "docs",
+        "actual_tokens",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round(alloc, 2).alias("target_tokens"),
+        F.round(alloc / F.col("actual_tokens"), 6).alias("oversample"),
+    ).orderBy("source")
+
+
+MIX_TEMPERATURE_SQL = rf"""
+WITH t AS (
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(len(string_split_regex(trim(text), '{TOKEN_SPLIT}'))) AS BIGINT) AS actual_tokens
+    FROM documents
+    GROUP BY source
+), s AS (
+    SELECT source, docs, actual_tokens,
+           actual_tokens / SUM(actual_tokens) OVER () AS nat_share,
+           pow(CAST(actual_tokens AS DOUBLE), {MIX_TEMPERATURE}) / SUM(pow(CAST(actual_tokens AS DOUBLE), {MIX_TEMPERATURE})) OVER () AS temp_share
+    FROM t
+)
+SELECT source, docs, actual_tokens,
+       round(nat_share, 6) AS nat_share,
+       round(temp_share, 6) AS temp_share,
+       round(temp_share * {float(MIX_BUDGET)}, 2) AS target_tokens,
+       round(temp_share * {float(MIX_BUDGET)} / actual_tokens, 6) AS oversample
+FROM s
+ORDER BY source
+"""

@@ -976,3 +976,230 @@ WHERE tf_spark + tf_window + tf_vector > 0
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter benchmark decontamination (r6)
+# ---------------------------------------------------------------------------
+
+# Tiny test-scale filter: 256 bits / 2 hashes over a ~5% benchmark
+# slice yields a measurable false-positive rate (~3%) so BOTH verdict
+# classes exist in the output. Production sizes m for its eval suite
+# (m = -n·ln(p)/ln(2)², e.g. 10M shingles at p=1e-6 → ~36 MB), still a
+# broadcast.
+BLOOM_M = 256
+BLOOM_K = 2
+BLOOM_EVAL_MOD = 20
+
+
+def _bloom_positions(fp: F.Column, k: int, m: int) -> F.Column:
+    """The k bit positions of a fingerprint: portable md5-derived
+    hashes (dedup._md5h32 arithmetic) salted per hash index, mod m —
+    bit-identical in any md5-bearing engine."""
+    from lakeflow.ext.dedup import _md5h32
+
+    return F.array(
+        *[
+            F.pmod(_md5h32(F.concat(fp, F.lit(f"#{i}"))), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    eval_mod: int = BLOOM_EVAL_MOD,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag training-pool
+    documents whose normalized fingerprint MIGHT be in the held-out
+    benchmark slice (here the synthetic ``doc_id % eval_mod == 0``
+    docs; a deployment points this at its eval suites), with the
+    exact verdict alongside so false positives are auditable.
+
+    Why a Bloom filter and not the q_contamination semi-join: at
+    100 TB the corpus side must not shuffle. The benchmark set is
+    folded into an m-BIT bitset (one bounded aggregate over the SMALL
+    side), broadcast as a single array row, and the corpus pass is
+    map-only — each doc computes its k positions and tests membership
+    locally. A semi-join on fingerprints would shuffle the full corpus
+    fingerprint column; the bitset costs m/8 bytes regardless of
+    corpus size. False positives (bloom_hit without an exact
+    fingerprint match) are the documented price; the exact_hit column
+    measures them (a deployment re-checks flagged docs exactly —
+    the flagged set is tiny, so the exact pass is cheap).
+
+    Certification: md5-derived positions and the bitset replay
+    bit-identically in DuckDB (same _md5h32 arithmetic as the MinHash
+    family), so bloom_hit — false positives included — is
+    engine-exact.
+    """
+    from lakeflow.ext.dedup import normalized_docs
+
+    nd = normalized_docs(spark, sf_dir).select(
+        "doc_id", F.md5("norm").alias("fp")
+    )
+    eval_set = nd.filter(F.col("doc_id") % eval_mod == 0)
+    bits = eval_set.select(
+        F.explode(_bloom_positions(F.col("fp"), k, m)).alias("p")
+    ).agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    eval_fps = (
+        eval_set.select("fp").distinct().withColumn("exact_hit", F.lit(True))
+    )
+    corpus = nd.filter(F.col("doc_id") % eval_mod != 0)
+    pos = _bloom_positions(F.col("fp"), k, m)
+    return (
+        corpus.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "bloom_hit",
+            F.forall(pos, lambda p: F.array_contains(F.col("bits"), p)),
+        )
+        .filter(F.col("bloom_hit"))
+        .join(F.broadcast(eval_fps), "fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_sql(fp_expr: str, i: int, m: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5({fp_expr} || '#{i}'), 1, 8) AS BIGINT) % {m}"
+    )
+
+
+BLOOM_DECONTAM_SQL = rf"""
+WITH norm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE text IS NOT NULL
+), ev AS (
+    SELECT * FROM norm WHERE doc_id % {BLOOM_EVAL_MOD} = 0
+), pos AS (
+    SELECT DISTINCT unnest([{_bloom_pos_sql('fp', 0, BLOOM_M)},
+                            {_bloom_pos_sql('fp', 1, BLOOM_M)}]) AS p
+    FROM ev
+), bits AS (
+    SELECT list(p ORDER BY p) AS bits FROM pos
+)
+SELECT c.doc_id,
+       coalesce(c.fp IN (SELECT fp FROM ev), false) AS exact_hit
+FROM norm c, bits b
+WHERE c.doc_id % {BLOOM_EVAL_MOD} <> 0
+  AND list_has_all(b.bits, [{_bloom_pos_sql('c.fp', 0, BLOOM_M)},
+                            {_bloom_pos_sql('c.fp', 1, BLOOM_M)}])
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier (r6)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 256
+
+
+def _qc_weights(buckets: int = QC_BUCKETS) -> list[int]:
+    """Deterministic stand-in weight table in milli-units ∈ [-1000,
+    1000] (md5-derived per bucket — a deployment loads its TRAINED
+    vector here; the plan is identical because the weights enter as a
+    literal array either way)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w#{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for b in range(buckets)
+    ]
+
+
+def quality_classifier(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = QC_BUCKETS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText-style linear quality classifier (the CCNet /
+    FineWeb-Edu model-based filter shape): hashed unigram+bigram
+    bag-of-words, mean bucket weight through a sigmoid, keep at
+    ``threshold``. The model is a ``buckets``-sized weight vector —
+    the hashing trick bounds it regardless of vocabulary, so it
+    inlines as a literal array (or broadcasts, at real sizes) and the
+    whole classifier is ONE map stage: zero shuffles, whole-stage
+    codegen, cost = the scan. That is the production plan for scoring
+    100 TB with a linear model; nothing here depends on the weights
+    being synthetic.
+
+    Certification: feature hashing is the portable md5 arithmetic;
+    per-doc weight sums are INTEGER (milli-units) so accumulation
+    order cannot drift; the single double division + sigmoid rounds
+    to 6 dp (same argument as the certified bigram-LM perplexity).
+    """
+    from lakeflow.ext.dedup import _md5h32, normalized_docs, tokenized
+
+    warr = F.array(*[F.lit(w) for w in _qc_weights(buckets)])
+    toks = tokenized(normalized_docs(spark, sf_dir)).select(
+        "doc_id", F.filter("tokens", lambda t: t != "").alias("toks")
+    )
+    nbi = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.when(
+        nbi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nbi),
+            lambda i: F.concat(
+                F.element_at(F.col("toks"), i),
+                F.lit(" "),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select("doc_id", F.concat(F.col("toks"), bigrams).alias("feats"))
+
+    def weight_of(f: F.Column) -> F.Column:
+        idx = (F.pmod(_md5h32(f), F.lit(buckets)) + 1).cast("int")
+        return F.element_at(warr, idx).cast("bigint")
+
+    wsum = F.aggregate(
+        "feats", F.lit(0).cast("bigint"), lambda s, f: s + weight_of(f)
+    )
+    n = F.size("feats").cast("bigint")
+    raw = F.try_divide(wsum, F.lit(1000.0) * n)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return feats.select(
+        "doc_id",
+        n.alias("n_feats"),
+        score.alias("score"),
+        F.coalesce(score >= threshold, F.lit(False)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _qc_sql(buckets: int = QC_BUCKETS, threshold: float = 0.5) -> str:
+    warr = "[" + ", ".join(str(w) for w in _qc_weights(buckets)) + "]"
+    h32 = "CAST('0x' || substr(md5(f), 1, 8) AS BIGINT)"
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+), feat AS (
+    SELECT doc_id,
+           list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS feats
+    FROM tok
+), scored AS (
+    SELECT doc_id,
+           CAST(len(feats) AS BIGINT) AS n_feats,
+           coalesce(list_aggregate(list_transform(feats, f -> ({warr})[{h32} % {buckets} + 1]), 'sum'), 0) AS wsum
+    FROM feat
+)
+SELECT doc_id, n_feats,
+       round(1.0 / (1.0 + exp(-(wsum / nullif(1000.0 * n_feats, 0.0)))), 6) AS score,
+       coalesce(round(1.0 / (1.0 + exp(-(wsum / nullif(1000.0 * n_feats, 0.0)))), 6) >= {threshold}, false) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+QUALITY_CLASSIFIER_SQL = _qc_sql()

@@ -452,6 +452,20 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "q_pii_redact": (text.pii_redact, text.PII_REDACT_SQL),
     "q_contamination": (text.contamination, text.CONTAMINATION_SQL),
+    # Bloom-filter benchmark decontamination (r6): the eval set folds
+    # into an m-bit broadcast bitset, the corpus pass is MAP-ONLY (the
+    # scale story q_contamination's inline n-grams can't tell at real
+    # eval-suite sizes); false positives are auditable via exact_hit.
+    # md5-derived bit positions → the filter replays exactly in DuckDB
+    "q_bloom_decontam": (text.bloom_decontam, text.BLOOM_DECONTAM_SQL),
+    # fastText-shaped hashed linear quality scorer (r6): the hashing
+    # trick bounds the model at |buckets| weights (inlined literal /
+    # broadcast at real sizes) — one codegen map stage, zero shuffles.
+    # Integer milli-unit sums → order-free; one 6dp-rounded sigmoid
+    "q_quality_classifier": (
+        text.quality_classifier,
+        text.QUALITY_CLASSIFIER_SQL,
+    ),
     "q_repetition": (text.repetition, text.REPETITION_SQL),
     "q_bm25": (text.bm25_scores, text.BM25_SQL),
     # perplexity-based quality filter (CCNet recipe): corpus-trained
@@ -486,6 +500,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
     "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),
+    # temperature-scaled mixing (r6): shares DERIVED from the inventory
+    # (p_s ∝ n_s^T, the mT5/XLM-R recipe) where q_mix_plan consumes
+    # hand-assigned weights; aggregate + |sources|-row window
+    "q_mix_temperature": (packing.mix_temperature, packing.MIX_TEMPERATURE_SQL),
     # The registered graph/embedding-dedup surface rides the banded-LSH
     # edge generator — the 100 TB plan (no corpus broadcast, no all-pairs
     # join; VERDICT r3 findings #2/#3). r5: the hyperplanes are now

@@ -1178,3 +1178,71 @@ def test_knn_sq8_recall_and_rerank(spark, sf_dir):
     for r in sq8_rows:  # quantized score is a *bounded* approximation
         if r["approx_cos"] is not None and r["cosine"] is not None:
             assert abs(r["approx_cos"] - r["cosine"]) < 0.1
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    """The defining Bloom property: NO false negatives — every corpus
+    doc whose fingerprint exactly matches an eval-slice fingerprint
+    MUST appear in the output with exact_hit=true; docs in the output
+    without a fingerprint match are the (legitimate) false positives."""
+    from lakeflow.ext import text as text_ops
+    from lakeflow.ext.dedup import normalized_docs
+
+    out = {r.doc_id: r.exact_hit for r in text_ops.bloom_decontam(spark, sf_dir).collect()}
+    nd = normalized_docs(spark, sf_dir).select(
+        "doc_id", F.md5("norm").alias("fp")
+    )
+    rows = nd.collect()
+    eval_fps = {r.fp for r in rows if r.doc_id % text_ops.BLOOM_EVAL_MOD == 0}
+    for r in rows:
+        if r.doc_id % text_ops.BLOOM_EVAL_MOD == 0:
+            assert r.doc_id not in out  # eval slice itself is not scored
+        elif r.fp in eval_fps:
+            assert out.get(r.doc_id) is True, f"false negative: {r.doc_id}"
+    # every flagged-without-exact-match doc is a false positive — the
+    # audit column must agree with a direct fingerprint check
+    for doc_id, exact in out.items():
+        fp = next(r.fp for r in rows if r.doc_id == doc_id)
+        assert exact == (fp in eval_fps)
+
+
+def test_quality_classifier_invariants(spark, sf_dir):
+    """n_feats = 2·tokens − 1 for non-empty docs (unigrams + bigrams);
+    score ∈ (0,1); keep ⇔ score ≥ 0.5; scores move with content (not
+    constant — a stuck sigmoid means the feature hash collapsed)."""
+    from lakeflow.ext import text as text_ops
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    rows = text_ops.quality_classifier(spark, sf_dir).collect()
+    n_toks = {
+        r.doc_id: len([t for t in r.tokens if t])
+        for r in tokenized(normalized_docs(spark, sf_dir)).collect()
+    }
+    assert len(rows) == len(n_toks)
+    scores = set()
+    for r in rows:
+        nt = n_toks[r.doc_id]
+        assert r.n_feats == (2 * nt - 1 if nt >= 1 else 0)
+        if r.n_feats == 0:
+            assert r.score is None and r.keep is False
+        else:
+            assert 0.0 < r.score < 1.0
+            assert r.keep == (r.score >= 0.5)
+            scores.add(r.score)
+    assert len(scores) > 10  # scores vary with content
+
+
+def test_mix_temperature_flattens_shares(spark, sf_dir):
+    """Shares are a distribution (sum to 1); T<1 compresses the spread
+    relative to natural shares (max/min ratio strictly shrinks when
+    the inventory is not uniform); oversample = allocation/actual."""
+    from lakeflow.ext import packing
+
+    rows = packing.mix_temperature(spark, sf_dir).collect()
+    nat = [r.nat_share for r in rows]
+    temp = [r.temp_share for r in rows]
+    assert abs(sum(nat) - 1.0) < 1e-4 and abs(sum(temp) - 1.0) < 1e-4
+    if max(nat) > min(nat):
+        assert max(temp) / min(temp) < max(nat) / min(nat)
+    for r in rows:
+        assert abs(r.oversample - r.target_tokens / r.actual_tokens) < 1e-4

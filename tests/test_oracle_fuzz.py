@@ -66,6 +66,18 @@ FUZZ_QUERIES = (
     # exact-substring span dedup (r6): short docs (< 8 words → zero
     # spans, NULL dup_frac), planted duplicate texts, unicode tokens
     "q_span_dedup",
+    # Bloom decontamination (r6): tiny corpora make the eval slice
+    # (doc_id % 20) empty on most draws — the empty-bitset path must
+    # yield zero hits in BOTH engines; planted dup texts create real
+    # cross-slice exact hits
+    "q_bloom_decontam",
+    # hashed linear classifier (r6): empty/whitespace/null text → zero
+    # features → NULL score, keep=false; single-token docs have no
+    # bigrams
+    "q_quality_classifier",
+    # temperature mixing (r6): NULL sources group, NULL-text token
+    # counts, single-source corpora (share = 1.0 exactly)
+    "q_mix_temperature",
 )
 
 

@@ -62,6 +62,12 @@ HEAVY = [
     # exact-substring span dedup (r6): span-count and duplicate volume
     # both scale with the corpus
     "q_span_dedup",
+    # Bloom decontamination (r6): bitset occupancy — and therefore the
+    # false-positive set — is corpus-size-sensitive by construction
+    "q_bloom_decontam",
+    # hashed linear classifier (r6): integer milli-sums over 10× the
+    # features; certifies the order-free accumulation claim at scale
+    "q_quality_classifier",
     # LM / scoring family
     "q_lm_perplexity",
     "q_dsir_weights",
