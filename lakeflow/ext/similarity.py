@@ -814,3 +814,275 @@ SELECT label,
        CAST(COUNT(*) AS INTEGER) AS dim
 FROM per_dim GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (r6)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
+PQ_KS = 8  # codes per subspace codebook
+
+
+def _subvectors(df: DataFrame, id_col: str, m_sub: int, dsub: int) -> DataFrame:
+    """(id, sub_id, sv): each vector split into ``m_sub`` contiguous
+    ``dsub``-dim subvectors — the PQ decomposition, as one posexplode
+    (map-only; sub_id is 0-based)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda j: F.slice("v", j * dsub + 1, dsub),
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast the
+    (sub_id, code, cv) codebook, window argmin on the 6dp-rounded
+    squared distance with a code tiebreak — replayable (same
+    certification as the IVF assignment)."""
+    d = sub.join(broadcast(cent), "sub_id").withColumn(
+        "_d", F.round(_sq_dist("sv", "cv"), 6)
+    )
+    w = Window.partitionBy(sub["vec_id"], "sub_id").orderBy("_d", "code")
+    return (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "sub_id", "sv", "code")
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame, m_sub: int, dsub: int, ks: int, lloyd_iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic per-subspace k-means codebooks — all ``m_sub``
+    k-means runs execute SIMULTANEOUSLY as one relational flow keyed by
+    sub_id (seeds = the first ``ks`` vectors' subvectors, Lloyd update
+    = per-(sub_id, code, pos) mean), so the build is one shuffle per
+    Lloyd round REGARDLESS of m_sub — not m_sub sequential jobs.
+    Returns (codebook, subvector frame)."""
+    sub = _subvectors(emb, "vec_id", m_sub, dsub)
+    w_seed = Window.orderBy("vec_id")
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(ks)
+        .select("vec_id", F.row_number().over(w_seed).alias("code"))
+    )
+    cent = sub.join(broadcast(seed), "vec_id").select(
+        "sub_id", "code", F.col("sv").alias("cv")
+    )
+    for _ in range(lloyd_iters):
+        assigned = _pq_assign(sub, cent)
+        cent = (
+            assigned.select("sub_id", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub_id", "code", "pos")
+            # 9dp means / 6dp distances: the same drift-quenching pair
+            # the IVF build certifies with (kmeans_centroids)
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("sub_id", "code", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            # tiny (m_sub × ks rows); truncate the Lloyd lineage so the
+            # encode + query-table consumers don't replay the chain
+            .localCheckpoint(eager=False)
+        )
+    return cent, sub
+
+
+def knn_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    lloyd_iters: int = 2,
+    rerank: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public) with exact
+    rerank — the memory-compression scale path beside int8 SQ
+    (knn_sq8): each vector is encoded as ``m_sub`` one-byte codes
+    (64× compression here vs float32), and query-to-corpus distance is
+    approximated by ADC (asymmetric distance computation) — the query
+    precomputes its distance to every codebook entry (m_sub × ks
+    values) and each corpus vector costs m_sub table lookups, never a
+    float dot product.
+
+    Plan shape at 100 TB: the codebook build touches the corpus
+    ``lloyd_iters`` times but moves only the (m_sub × ks)-row codebook
+    between stages; encoding is a broadcast join + window argmin (one
+    shuffle); the ADC scan joins the byte codes against the TINY
+    broadcast distance-table relation and partial-aggregates the
+    per-(query, vector) sums map-side. Stage 2 re-scores only
+    ``k·rerank`` candidates per query at full precision.
+
+    Certification: assignment distances 6dp-rounded with code
+    tiebreaks, centroid means 9dp-rounded (the proven IVF replay
+    recipe), and the ADC partials are INTEGER micro-units
+    (floor(d·1e6 + 0.5) — explicit half-up) so the per-candidate sum
+    is order-free and exact; the oracle replays seeds, both Lloyd
+    rounds, encoding, distance tables, and both ranking cuts.
+    """
+    mcand = k * rerank
+    dsub_default = 64 // m_sub
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    cent, sub = pq_codebooks(emb, m_sub, dsub_default, ks, lloyd_iters)
+    enc = _pq_assign(sub, cent).select("vec_id", "sub_id", "code")
+    queries = emb.filter(F.col("vec_id") % query_mod == 0)
+    qsub = _subvectors(queries, "vec_id", m_sub, dsub_default)
+    # per-query distance table: m_sub × ks integer micro-distances
+    dd = F.floor(_sq_dist("sv", "cv") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    dtab = qsub.join(broadcast(cent), "sub_id").select(
+        F.col("vec_id").alias("q_id"), "sub_id", "code", dd.alias("dd")
+    )
+    adc = (
+        enc.join(broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg((F.sum("dd") / F.lit(1e6)).alias("adc_dist"))
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= mcand)
+        .select("q_id", "vec_id", "adc_dist")
+    )
+    queries_x = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    scored = (
+        emb.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries_x), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cosine(_dot("qv", "v"), F.col("nq"), F.col("nv")), 6).alias(
+                "cosine"
+            ),
+            "adc_dist",
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "adc_dist", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_PQ_SQD = (
+    "round(list_aggregate(list_transform(list_zip({a}, c.cv), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)"
+)
+
+
+def _knn_pq_sql(
+    k: int = 5,
+    query_mod: int = 100,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    lloyd_iters: int = 2,
+    rerank: int = 3,
+) -> str:
+    """DuckDB twin of :func:`knn_pq`: the simultaneous per-subspace
+    k-means replay (sub_id-keyed, Lloyd rounds unrolled — same
+    structure as _ivf_index_sql), then encoding, integer-micro ADC,
+    and both ranking cuts."""
+    dsub = 64 // m_sub
+    sqd = _PQ_SQD
+    parts = [
+        f"""
+WITH v0 AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), emb AS MATERIALIZED (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v0
+), sub AS MATERIALIZED (
+    SELECT vec_id, t.j AS sub_id, list_slice(v, t.j*{dsub}+1, t.j*{dsub}+{dsub}) AS sv
+    FROM emb CROSS JOIN generate_series(0, {m_sub - 1}) t(j)
+), seed AS MATERIALIZED (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+    FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {ks})
+), cent0 AS MATERIALIZED (
+    SELECT s.sub_id, sd.code, s.sv AS cv
+    FROM sub s JOIN seed sd USING (vec_id)
+)"""
+    ]
+    for i in range(1, lloyd_iters + 1):
+        parts.append(
+            f""", assign{i} AS MATERIALIZED (
+    SELECT vec_id, sub_id, sv, code FROM (
+        SELECT s.vec_id, s.sub_id, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                   ORDER BY {sqd.format(a="s.sv")}, c.code) AS r
+        FROM sub s JOIN cent{i - 1} c USING (sub_id)
+    ) WHERE r = 1
+), cent{i} AS MATERIALIZED (
+    SELECT sub_id, code, list(m ORDER BY pos) AS cv
+    FROM (
+        SELECT a.sub_id, a.code, t.pos, round(avg(a.sv[t.pos]), 9) AS m
+        FROM assign{i} a CROSS JOIN generate_series(1, {dsub}) t(pos)
+        WHERE t.pos <= len(a.sv)
+        GROUP BY a.sub_id, a.code, t.pos
+    ) GROUP BY sub_id, code
+)"""
+        )
+    L = lloyd_iters
+    parts.append(
+        f""", enc AS MATERIALIZED (
+    SELECT vec_id, sub_id, code FROM (
+        SELECT s.vec_id, s.sub_id, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                   ORDER BY {sqd.format(a="s.sv")}, c.code) AS r
+        FROM sub s JOIN cent{L} c USING (sub_id)
+    ) WHERE r = 1
+), queries AS MATERIALIZED (
+    SELECT vec_id AS q_id, v AS qv, nv AS nq FROM emb WHERE vec_id % {query_mod} = 0
+), qsub AS MATERIALIZED (
+    SELECT q_id, t.j AS sub_id, list_slice(qv, t.j*{dsub}+1, t.j*{dsub}+{dsub}) AS sv
+    FROM queries CROSS JOIN generate_series(0, {m_sub - 1}) t(j)
+), dtab AS MATERIALIZED (
+    SELECT q.q_id, c.sub_id, c.code,
+           CAST(floor(list_aggregate(list_transform(list_zip(q.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 1000000 + 0.5) AS BIGINT) AS dd
+    FROM qsub q JOIN cent{L} c USING (sub_id)
+), adc AS MATERIALIZED (
+    SELECT d.q_id, e.vec_id, SUM(d.dd) / 1000000.0 AS adc_dist
+    FROM enc e JOIN dtab d ON d.sub_id = e.sub_id AND d.code = e.code
+    WHERE e.vec_id != d.q_id
+    GROUP BY d.q_id, e.vec_id
+), cand AS (
+    SELECT q_id, vec_id, adc_dist FROM (
+        SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS r
+        FROM adc
+    ) WHERE r <= {k * rerank}
+), exact AS (
+    SELECT cd.q_id, cd.vec_id, cd.adc_dist,
+           round(list_aggregate(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), 'sum')
+                 / (q.nq * e.nv), 6) AS cosine
+    FROM cand cd
+    JOIN emb e ON e.vec_id = cd.vec_id
+    JOIN queries q ON q.q_id = cd.q_id
+)
+SELECT q_id, vec_id, cosine, adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+FROM exact
+QUALIFY rnk <= {k}
+ORDER BY q_id, rnk
+"""
+    )
+    return "".join(parts)
+
+
+KNN_PQ_SQL = _knn_pq_sql()

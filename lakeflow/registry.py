@@ -611,6 +611,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # int8 scalar-quantized ANN + exact rerank (r6): bit-identical
     # codes via floor(x/s + 0.5) half-up, integer dot products
     "q_knn_sq8": (similarity.knn_sq8, similarity.KNN_SQ8_SQL),
+    # product-quantization ANN (r6): per-subspace codebooks built as
+    # ONE sub_id-keyed k-means flow, byte codes + integer-micro ADC
+    # lookups; oracle replays codebooks, encoding, and both cuts
+    "q_knn_pq": (similarity.knn_pq, similarity.KNN_PQ_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),

@@ -1246,3 +1246,23 @@ def test_mix_temperature_flattens_shares(spark, sf_dir):
         assert max(temp) / min(temp) < max(nat) / min(nat)
     for r in rows:
         assert abs(r.oversample - r.target_tokens / r.actual_tokens) < 1e-4
+
+
+def test_knn_pq_recall_and_rerank(spark, sf_dir):
+    """PQ ANN: exact rerank ⇒ any pair shared with brute force carries
+    the identical rounded cosine; recall floor is modest (8 subspaces
+    × 8 codes is a coarse codebook on near-uniform synthetic vectors —
+    the operator's value is the 64× memory cut, and candidates are
+    re-scored exactly); the ADC distance must be a genuine distance
+    (non-negative, finite)."""
+    exact_rows = similarity.knn_bruteforce(spark, sf_dir, k=5).collect()
+    pq_rows = similarity.knn_pq(spark, sf_dir, k=5).collect()
+    exact = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact_rows}
+    approx = {(r["q_id"], r["vec_id"]): r["cosine"] for r in pq_rows}
+    assert len(pq_rows) == len(exact_rows)  # k returned per query
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.2, f"pq recall below floor: {recall}"
+    for pair in exact.keys() & approx.keys():
+        assert exact[pair] == approx[pair]  # rerank is full precision
+    for r in pq_rows:
+        assert r["adc_dist"] >= 0.0

@@ -84,6 +84,9 @@ HEAVY = [
     "q_knn_pandas",
     # int8 quantized ANN (r6): code/scale replay over 10× the vectors
     "q_knn_sq8",
+    # PQ ANN (r6): codebook build + integer-micro ADC over 10× the
+    # vectors (empty-code and assignment-flip risks scale with n)
+    "q_knn_pq",
     # semantic dedup (r6): k-means seeds/means + within-cluster pair
     # volume are both corpus-size-sensitive
     "q_semdedup",
