@@ -2,14 +2,16 @@
 COMPOSITION of the engine's certified stages into the shape a 100 TB
 pretraining-corpus build actually runs:
 
-    normalize → exact dedup → quality filters (repetition + LM
-    perplexity band + Gopher rule cascade) → exact-substring span
-    dedup → semantic near-dup clustering (keep canonical) →
-    leakage-safe split → deterministic sharding → transactional
-    publish
+    normalize → exact dedup → benchmark decontamination (Bloom) →
+    quality filters (repetition + LM perplexity band + Gopher rule
+    cascade) → model-based quality (hashed linear classifier) →
+    exact-substring span dedup → semantic near-dup clustering (keep
+    canonical) → leakage-safe split → deterministic sharding →
+    transactional publish
 
 Every stage is an operator certified on its own elsewhere in this repo
-(`q_dedup_exact`, `q_repetition`, `q_lm_perplexity`, `q_gopher_rules`,
+(`q_dedup_exact`, `q_bloom_decontam`, `q_repetition`,
+`q_lm_perplexity`, `q_gopher_rules`, `q_quality_classifier`,
 `q_span_dedup`, `q_dedup_clusters`, `q_cluster_split`,
 `q_shard_manifest`); this
 module wires them into one lazily-composed DataFrame plan plus one
@@ -78,7 +80,13 @@ def curated_docs(
         exact_dedup,
         normalized_docs,
     )
-    from lakeflow.ext.text import gopher_rules, repetition, span_dedup
+    from lakeflow.ext.text import (
+        bloom_decontam,
+        gopher_rules,
+        quality_classifier,
+        repetition,
+        span_dedup,
+    )
 
     docs = normalized_docs(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
@@ -87,6 +95,14 @@ def curated_docs(
     # exact-dedup survivors: the group representative per fingerprint
     exact_keep = exact_dedup(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("keep_exact")
+    )
+
+    # benchmark decontamination: anything the Bloom filter flags is
+    # dropped — false positives included (the standard conservative
+    # policy: at a ~3% FP rate the collateral is a tail, and dropping
+    # it needs no second exact pass)
+    decon = bloom_decontam(spark, sf_dir).select(
+        "doc_id", F.lit(False).alias("keep_decontam")
     )
 
     # quality: repetition caps + perplexity band (degenerate text has
@@ -104,6 +120,14 @@ def curated_docs(
     )
     gop = gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("q_gopher")
+    )
+
+    # model-based quality: the hashed linear classifier runs AFTER the
+    # rule cascade (the CCNet/FineWeb ordering — rules are cheaper per
+    # byte; the model sees only rule survivors in a staged deployment,
+    # though as audit flags both are computed for every doc here)
+    model = quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_model")
     )
 
     # exact-substring dedup: drop documents whose duplicated-span
@@ -144,9 +168,11 @@ def curated_docs(
 
     flagged = (
         docs.join(exact_keep, "doc_id", "left")
+        .join(decon, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(ppl, "doc_id", "left")
         .join(gop, "doc_id", "left")
+        .join(model, "doc_id", "left")
         .join(spans, "doc_id", "left")
         .join(clusters, "doc_id", "left")
         .select(
@@ -155,11 +181,14 @@ def curated_docs(
             "source",
             "n_chars",
             F.coalesce("keep_exact", F.lit(False)).alias("keep_exact"),
+            # absent from the Bloom drop list ⇒ clean
+            F.coalesce("keep_decontam", F.lit(True)).alias("keep_decontam"),
             (
                 F.coalesce("q_rep", F.lit(False))
                 & F.coalesce("q_ppl", F.lit(False))
                 & F.coalesce("q_gopher", F.lit(False))
             ).alias("keep_quality"),
+            F.coalesce("keep_model", F.lit(False)).alias("keep_model"),
             F.coalesce("keep_spans", F.lit(False)).alias("keep_spans"),
             # docs without an embedding row count as their own canonical
             F.coalesce("keep_canonical", F.lit(True)).alias("keep_canonical"),
@@ -170,7 +199,9 @@ def curated_docs(
     return flagged.withColumn(
         "kept",
         F.col("keep_exact")
+        & F.col("keep_decontam")
         & F.col("keep_quality")
+        & F.col("keep_model")
         & F.col("keep_spans")
         & F.col("keep_canonical"),
     )
@@ -222,7 +253,9 @@ def diff_runs(
             "doc_id",
             F.col("kept").alias(f"kept_{tag}"),
             F.when(~F.col("keep_exact"), "exact_dup")
+            .when(~F.col("keep_decontam"), "contaminated")
             .when(~F.col("keep_quality"), "quality")
+            .when(~F.col("keep_model"), "model_quality")
             .when(~F.col("keep_spans"), "span_dup")
             .when(~F.col("keep_canonical"), "near_dup")
             .otherwise("kept")
@@ -252,17 +285,18 @@ def diff_runs(
 
 def _funnel(flagged: DataFrame) -> dict[str, int]:
     # one aggregate for the whole funnel — never a count() per stage
+    _exact = F.col("keep_exact")
+    _decon = _exact & F.col("keep_decontam")
+    _qual = _decon & F.col("keep_quality")
+    _model = _qual & F.col("keep_model")
+    _spans = _model & F.col("keep_spans")
     row = flagged.agg(
         F.count("*").alias("input_docs"),
-        F.sum(F.col("keep_exact").cast("long")).alias("after_exact_dedup"),
-        F.sum((F.col("keep_exact") & F.col("keep_quality")).cast("long")).alias(
-            "after_quality"
-        ),
-        F.sum(
-            (F.col("keep_exact") & F.col("keep_quality") & F.col("keep_spans")).cast(
-                "long"
-            )
-        ).alias("after_span_dedup"),
+        F.sum(_exact.cast("long")).alias("after_exact_dedup"),
+        F.sum(_decon.cast("long")).alias("after_decontam"),
+        F.sum(_qual.cast("long")).alias("after_quality"),
+        F.sum(_model.cast("long")).alias("after_model"),
+        F.sum(_spans.cast("long")).alias("after_span_dedup"),
         F.sum(F.col("kept").cast("long")).alias("kept"),
         F.countDistinct(F.when(F.col("kept"), F.col("shard_id"))).alias("shards"),
         F.countDistinct(F.when(F.col("kept"), F.col("split"))).alias("splits"),

@@ -18,7 +18,9 @@ def test_curate_funnel_and_audit(spark, sf_dir, tmp_path):
     assert (
         summary["input_docs"]
         >= summary["after_exact_dedup"]
+        >= summary["after_decontam"]
         >= summary["after_quality"]
+        >= summary["after_model"]
         >= summary["after_span_dedup"]
         >= summary["kept"]
         > 0
