@@ -691,3 +691,122 @@ FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id
 ORDER BY rrf DESC, doc_id
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive retrieval training (r6)
+# ---------------------------------------------------------------------------
+
+HN_TOP = 30  # lexical candidate depth
+HN_POS_COS = 0.25  # semantic threshold splitting positives from negatives
+
+
+def hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    top: int = HN_TOP,
+    pos_cos: float = HN_POS_COS,
+) -> DataFrame:
+    """Hard-negative mining — the DPR/contrastive-training recipe
+    (Karpukhin et al. 2020, public): the lexical ranker (BM25, fixed
+    query) proposes ``top`` candidates, and the embedding similarity
+    to the query (vec_id ≡ doc_id testdata contract, query =
+    ``RRF_QUERY_VEC``) splits them into POSITIVES (cos ≥ ``pos_cos``)
+    and HARD NEGATIVES — lexically confusable but semantically far,
+    exactly the examples a dual-encoder needs to learn from. A
+    zero-norm embedding has NULL cosine and labels hard_negative in
+    both engines (the conservative default for unverifiable examples).
+
+    Plan shape: BM25 ends in TakeOrderedAndProject(top) — a tiny
+    frame broadcast against the embeddings scan — plus the 1-row
+    query-vector broadcast; output ≤ top rows. At 100 TB the cost IS
+    the BM25 pass (already scale-audited: token-hit shuffle only);
+    the mining tail is free. Both scores 6dp-rounded → engine-exact.
+    """
+    from lakeflow import io
+    from lakeflow.ext.similarity import _dot, _dvec, _norm
+    from lakeflow.ext.text import bm25_scores
+
+    bm = bm25_scores(spark, sf_dir, top=top)
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nv").alias("qn")
+    )
+    cos = F.round(F.try_divide(_dot("v", "qv"), F.col("nv") * F.col("qn")), 6)
+    return (
+        emb.join(F.broadcast(bm), F.col("vec_id") == F.col("doc_id"))
+        .filter(F.col("doc_id") != RRF_QUERY_VEC)
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25",
+            cos.alias("cosine"),
+            F.when(cos >= pos_cos, F.lit("positive"))
+            .otherwise(F.lit("hard_negative"))
+            .alias("label"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+
+
+HARD_NEGATIVES_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), stats AS (
+    SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM tok
+), tf AS (
+    SELECT doc_id, len(tokens) AS dl,
+           len(list_filter(tokens, t -> t = 'spark')) AS tf_spark,
+           len(list_filter(tokens, t -> t = 'window')) AS tf_window,
+           len(list_filter(tokens, t -> t = 'vector')) AS tf_vector
+    FROM tok
+), df AS (
+    SELECT sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+           sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+           sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+    FROM tf
+), bm_scored AS (
+    SELECT doc_id,
+           round(
+             CASE WHEN tf_spark > 0 THEN ln((n_docs - df_spark + 0.5)/(df_spark + 0.5) + 1.0)
+                  * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           + CASE WHEN tf_window > 0 THEN ln((n_docs - df_window + 0.5)/(df_window + 0.5) + 1.0)
+                  * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           + CASE WHEN tf_vector > 0 THEN ln((n_docs - df_vector + 0.5)/(df_vector + 0.5) + 1.0)
+                  * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+           , 6) AS bm25
+    FROM tf CROSS JOIN stats CROSS JOIN df
+    WHERE tf_spark + tf_window + tf_vector > 0
+), bm AS (
+    SELECT doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm_scored
+    ) WHERE r <= {HN_TOP}
+), v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nv
+    FROM v
+), scored AS (
+    SELECT bm.doc_id, bm.bm25,
+           round(list_aggregate(list_transform(list_zip(a.v, q.v), p -> p[1] * p[2]), 'sum')
+                 / nullif(a.nv * q.nv, 0), 6) AS cosine
+    FROM bm
+    JOIN n a ON a.vec_id = bm.doc_id
+    CROSS JOIN (SELECT v, nv FROM n WHERE vec_id = {RRF_QUERY_VEC}) q
+    WHERE bm.doc_id != {RRF_QUERY_VEC}
+)
+SELECT doc_id, bm25, cosine,
+       CASE WHEN cosine >= {HN_POS_COS} THEN 'positive' ELSE 'hard_negative' END AS label
+FROM scored
+ORDER BY bm25 DESC, doc_id
+"""

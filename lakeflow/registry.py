@@ -481,6 +481,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # corpus-planning diagnostic: pairwise source vocabulary Jaccard
     # (one distinct shuffle; output ∝ |sources|², never corpus)
     "q_source_overlap": (lm.source_overlap, lm.SOURCE_OVERLAP_SQL),
+    # hard-negative mining for contrastive training (r6): BM25
+    # candidates split by embedding cosine into positives vs lexically-
+    # confusable hard negatives (DPR recipe); both scores 6dp-rounded
+    "q_hard_negatives": (lm.hard_negatives, lm.HARD_NEGATIVES_SQL),
     # MMR diversity rerank: distributed top-k then bounded driver-side
     # greedy; the oracle replays the greedy with the loop UNROLLED into
     # chained DuckDB CTEs (deterministic over 6dp-rounded scores)

@@ -1266,3 +1266,21 @@ def test_knn_pq_recall_and_rerank(spark, sf_dir):
         assert exact[pair] == approx[pair]  # rerank is full precision
     for r in pq_rows:
         assert r["adc_dist"] >= 0.0
+
+
+def test_hard_negatives_mining_invariants(spark, sf_dir):
+    """Candidate set == the BM25 top-k (mining relabels, never
+    re-retrieves); label agrees with the cosine threshold; the query
+    doc itself never appears."""
+    from lakeflow.ext import lm
+    from lakeflow.ext.text import bm25_scores
+
+    rows = lm.hard_negatives(spark, sf_dir).collect()
+    bm_ids = {r.doc_id for r in bm25_scores(spark, sf_dir, top=lm.HN_TOP).collect()}
+    assert {r.doc_id for r in rows} <= bm_ids
+    assert all(r.doc_id != lm.RRF_QUERY_VEC for r in rows)
+    for r in rows:
+        if r.cosine is not None and r.cosine >= lm.HN_POS_COS:
+            assert r.label == "positive"
+        else:
+            assert r.label == "hard_negative"
