@@ -901,6 +901,7 @@ def knn_pq(
     ks: int = PQ_KS,
     lloyd_iters: int = 2,
     rerank: int = 3,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, public) with exact
     rerank — the memory-compression scale path beside int8 SQ
@@ -933,7 +934,18 @@ def knn_pq(
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
-    cent, sub = pq_codebooks(emb, m_sub, dsub_default, ks, lloyd_iters)
+    # train_mod > 1: codebooks train on a deterministic 1/train_mod
+    # sample — the standard PQ deployment (codebooks need ~1e5 training
+    # vectors REGARDLESS of corpus size; FAISS trains exactly this
+    # way), making the Lloyd rounds O(N/train_mod) while encode/ADC
+    # still cover the full corpus. Pinned modulus ⇒ still replayable
+    # (the oracle generator takes the same train_mod). Registered
+    # default trains on the full corpus (train_mod=1).
+    train = emb if train_mod == 1 else emb.filter(
+        F.col("vec_id") % train_mod == 0
+    )
+    cent, _ = pq_codebooks(train, m_sub, dsub_default, ks, lloyd_iters)
+    sub = _subvectors(emb, "vec_id", m_sub, dsub_default)
     enc = _pq_assign(sub, cent).select("vec_id", "sub_id", "code")
     queries = emb.filter(F.col("vec_id") % query_mod == 0)
     qsub = _subvectors(queries, "vec_id", m_sub, dsub_default)
@@ -991,6 +1003,7 @@ def _knn_pq_sql(
     ks: int = PQ_KS,
     lloyd_iters: int = 2,
     rerank: int = 3,
+    train_mod: int = 1,
 ) -> str:
     """DuckDB twin of :func:`knn_pq`: the simultaneous per-subspace
     k-means replay (sub_id-keyed, Lloyd rounds unrolled — same
@@ -1010,12 +1023,15 @@ WITH v0 AS MATERIALIZED (
 ), sub AS MATERIALIZED (
     SELECT vec_id, t.j AS sub_id, list_slice(v, t.j*{dsub}+1, t.j*{dsub}+{dsub}) AS sv
     FROM emb CROSS JOIN generate_series(0, {m_sub - 1}) t(j)
+), tsub AS MATERIALIZED (
+    SELECT * FROM sub WHERE vec_id % {train_mod} = 0
 ), seed AS MATERIALIZED (
     SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
-    FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {ks})
+    FROM (SELECT vec_id FROM emb WHERE vec_id % {train_mod} = 0
+          ORDER BY vec_id LIMIT {ks})
 ), cent0 AS MATERIALIZED (
     SELECT s.sub_id, sd.code, s.sv AS cv
-    FROM sub s JOIN seed sd USING (vec_id)
+    FROM tsub s JOIN seed sd USING (vec_id)
 )"""
     ]
     for i in range(1, lloyd_iters + 1):
@@ -1025,7 +1041,7 @@ WITH v0 AS MATERIALIZED (
         SELECT s.vec_id, s.sub_id, s.sv, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub_id
                    ORDER BY {sqd.format(a="s.sv")}, c.code) AS r
-        FROM sub s JOIN cent{i - 1} c USING (sub_id)
+        FROM tsub s JOIN cent{i - 1} c USING (sub_id)
     ) WHERE r = 1
 ), cent{i} AS MATERIALIZED (
     SELECT sub_id, code, list(m ORDER BY pos) AS cv
