@@ -132,6 +132,11 @@ EXTENDED_QUERIES = (
     "q_gopher_rules",
     "q_span_dedup",
     "q_knn_sq8",
+    "q_bloom_decontam",
+    "q_quality_classifier",
+    "q_mix_temperature",
+    "q_knn_pq",
+    "q_hard_negatives",
 )
 
 
