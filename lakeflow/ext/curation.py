@@ -142,8 +142,16 @@ def curated_docs(
 
     # semantic clustering: keep only the cluster canonical (min vec_id
     # ≡ the cluster_id itself); split rides the same frame
+    # pinned (bits, bands) = the certified cluster-family parameters
+    # (identical to the adaptive default at every certification SF) so
+    # the end-to-end audit oracle can replay the banding
     clusters = cluster_split(
-        spark, sf_dir, threshold=cluster_threshold, bucket_cap=cluster_bucket_cap
+        spark,
+        sf_dir,
+        threshold=cluster_threshold,
+        bucket_cap=cluster_bucket_cap,
+        bits=5,
+        bands=38,
     ).select(
         F.col("vec_id").alias("doc_id"),
         (F.col("vec_id") == F.col("cluster_id")).alias("keep_canonical"),
@@ -302,3 +310,91 @@ def _funnel(flagged: DataFrame) -> dict[str, int]:
         F.countDistinct(F.when(F.col("kept"), F.col("split"))).alias("splits"),
     ).collect()[0]
     return {k: int(row[k] or 0) for k in row.asDict()}
+
+
+def curation_audit_sql(
+    rep_token_max: float = 0.68,
+    rep_trigram_max: float = 0.05,
+    ppl_lo: float = 27.5,
+    ppl_hi: float = 32.0,
+    span_dup_max: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`curated_docs` — the END-TO-END curation
+    audit table, oracle-certified as one query. Each stage's already-
+    certified SQL embeds as a subquery (nested WITH / WITH RECURSIVE
+    are legal in DuckDB subqueries); the funnel logic on top is the
+    same coalesce/AND lattice the Spark side builds. Thresholds must
+    mirror :func:`curated_docs`'s defaults; the cluster stage replays
+    the pinned (bits=5, bands=38) banding."""
+    from lakeflow.ext.dedup import CLUSTER_SPLIT_LSH_SQL, EXACT_DEDUP_SQL
+    from lakeflow.ext.lm import BIGRAM_LM_SQL
+    from lakeflow.ext.text import (
+        BLOOM_DECONTAM_SQL,
+        GOPHER_RULES_SQL,
+        QUALITY_CLASSIFIER_SQL,
+        REPETITION_SQL,
+        SPAN_DEDUP_SQL,
+    )
+
+    bucket = (
+        "(strpos('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), 2, 1)) - 1)"
+    )
+    doc_bucket = bucket.format(key="d.doc_id")
+    return f"""
+WITH docs AS (
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE text IS NOT NULL
+), ex AS (
+    SELECT keep_doc_id AS doc_id, true AS keep_exact FROM ({EXACT_DEDUP_SQL})
+), bd AS (
+    SELECT doc_id, false AS keep_decontam FROM ({BLOOM_DECONTAM_SQL})
+), rep AS (
+    SELECT doc_id,
+           (dup_token_ratio <= {rep_token_max} AND dup_trigram_ratio <= {rep_trigram_max}) AS q_rep
+    FROM ({REPETITION_SQL})
+), ppl AS (
+    SELECT doc_id, perplexity BETWEEN {ppl_lo} AND {ppl_hi} AS q_ppl
+    FROM ({BIGRAM_LM_SQL})
+), gop AS (
+    SELECT doc_id, keep AS q_gopher FROM ({GOPHER_RULES_SQL})
+), mdl AS (
+    SELECT doc_id, keep AS keep_model FROM ({QUALITY_CLASSIFIER_SQL})
+), sp AS (
+    SELECT doc_id, coalesce(dup_frac <= {span_dup_max}, true) AS keep_spans
+    FROM ({SPAN_DEDUP_SQL})
+), cl AS (
+    SELECT vec_id AS doc_id, (vec_id = cluster_id) AS keep_canonical, split
+    FROM ({CLUSTER_SPLIT_LSH_SQL})
+), flagged AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           coalesce(ex.keep_exact, false) AS keep_exact,
+           coalesce(bd.keep_decontam, true) AS keep_decontam,
+           (coalesce(rep.q_rep, false) AND coalesce(ppl.q_ppl, false)
+            AND coalesce(gop.q_gopher, false)) AS keep_quality,
+           coalesce(mdl.keep_model, false) AS keep_model,
+           coalesce(sp.keep_spans, false) AS keep_spans,
+           coalesce(cl.keep_canonical, true) AS keep_canonical,
+           coalesce(cl.split,
+                    CASE WHEN {doc_bucket} < 204 THEN 'train'
+                         WHEN {doc_bucket} < 230 THEN 'val'
+                         ELSE 'test' END) AS split,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS shard_id
+    FROM docs d
+    LEFT JOIN ex USING (doc_id)
+    LEFT JOIN bd USING (doc_id)
+    LEFT JOIN rep USING (doc_id)
+    LEFT JOIN ppl USING (doc_id)
+    LEFT JOIN gop USING (doc_id)
+    LEFT JOIN mdl USING (doc_id)
+    LEFT JOIN sp USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+)
+SELECT *,
+       (keep_exact AND keep_decontam AND keep_quality AND keep_model
+        AND keep_spans AND keep_canonical) AS kept
+FROM flagged
+ORDER BY doc_id
+"""
+
+
+CURATION_AUDIT_SQL = curation_audit_sql()

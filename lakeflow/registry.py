@@ -23,6 +23,7 @@ from lakeflow import io as lio
 from lakeflow.claims import NOW_SPARK, oracle
 from lakeflow.ext import (
     bpe,
+    curation,
     dedup,
     events,
     graph,
@@ -567,6 +568,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         dedup.CLUSTER_SPLIT_SQL,
     ),
     "q_dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
+    # END-TO-END curation audit (r6, late): the flagship composition —
+    # normalize → exact dedup → Bloom decontam → rule+LM+model quality
+    # → span dedup → cluster-canonical keep → leakage-safe split →
+    # shard — certified as ONE query: every stage's SQL twin embeds as
+    # a subquery and the funnel lattice replays value-by-value
+    "q_curation_audit": (
+        lambda spark, sf: curation.curated_docs(spark, sf),
+        curation.CURATION_AUDIT_SQL,
+    ),
     "q_scd2_history": (events.scd2_history, events.SCD2_SQL),
     "q_gap_fill": (events.gap_fill, events.GAP_FILL_SQL),
     "q_unpivot": (relational.unpivot_metrics, relational.UNPIVOT_SQL),

@@ -90,6 +90,9 @@ HEAVY = [
     # semantic dedup (r6): k-means seeds/means + within-cluster pair
     # volume are both corpus-size-sensitive
     "q_semdedup",
+    # END-TO-END curation audit (r6): every stage's scale sensitivity
+    # at once — the composition certifies a decade up or not at all
+    "q_curation_audit",
     # profile/drift (float accumulation + quantile grids)
     "q_drift_ks",
     "q_drift_psi",
