@@ -387,3 +387,60 @@ def _duck_rel_only(sf_dir: str):
             path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+# --------------------------------------------------------------------------
+# Composed-pipeline fuzz: the end-to-end curation audit on random corpora
+# --------------------------------------------------------------------------
+# The capstone q_curation_audit composes eight certified stages plus a
+# coalesce lattice whose FALLBACK arms the fixed corpora never reach:
+# the driver SFs ship |documents| == |embeddings| with aligned ids, so
+# keep_canonical/split fallbacks for UN-embedded docs (and clusters
+# over ids with no document) only fire here. Docs and embeddings are
+# drawn with INDEPENDENT sizes to force both mismatch directions.
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    doc_rows=st.lists(_row, min_size=1, max_size=15),
+    emb_rows=st.lists(_emb_row, min_size=1, max_size=10),
+)
+def test_curation_audit_matches_duckdb_on_random_corpora(
+    spark, tmp_path_factory, doc_rows, emb_rows
+):
+    sf_dir = str(tmp_path_factory.mktemp("cfuzz") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (i, text, lang, source, len(text) if text is not None else None)
+            for i, (text, lang, source) in enumerate(doc_rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    spark.createDataFrame(
+        [(i, vec, label) for i, (vec, label) in enumerate(emb_rows)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet', '*.parquet')}')"
+            )
+        fn, sql = registry.ALL_QUERIES["q_curation_audit"]
+        compare(fn(spark, sf_dir), con, sql, "fuzz:q_curation_audit")
+    finally:
+        if con is not None:
+            con.close()
