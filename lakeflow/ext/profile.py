@@ -597,3 +597,125 @@ SELECT bin_id, cnt_ref, cnt_cur,
        round(max(abs(cdf_ref - cdf_cur)) OVER (), 6) AS ks_stat
 FROM cum ORDER BY bin_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch with portable hashes (r6)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # hash rows
+# width 16 < the ~31-token synthetic vocabulary, so collisions (and the
+# one-sided overcount they cause) actually OCCUR at test scale — a
+# sketch whose error path never fires is untested. Production sizes
+# w = ceil(e/eps): the cells stay d×w regardless of corpus size.
+CM_WIDTH = 16  # buckets per row
+
+
+def _cm_bucket(key: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row``'s bucket for a key: the portable md5-derived 32-bit
+    hash (dedup._md5h32 arithmetic) salted by the row index, mod
+    width — bit-identical in any md5-bearing engine."""
+    from lakeflow.ext.dedup import _md5h32
+
+    return F.pmod(_md5h32(F.concat(F.lit(f"cm{row}#"), key)), F.lit(width))
+
+
+def cm_sketch_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) over the
+    corpus token stream, with the estimates audited against true
+    counts: build the d×w counter table, then answer the true top-k
+    tokens' frequency queries from the sketch. ``overcount`` =
+    estimate − truth is the sketch's collision error, ≥ 0 by the CM
+    guarantee (an estimate can never undercount).
+
+    Why this exists beside q_approx_distinct/q_approx_percentiles
+    (rows-only sketches): with PORTABLE hash rows the CM table is a
+    deterministic function of the data, so the sketch itself — table,
+    estimates, and collision error — certifies value-by-value in
+    DuckDB. Approximation and certification are orthogonal.
+
+    Scale shape: the build is one map (d bucket columns per token
+    instance) + one groupBy into d×w BOUNDED cells — constant state at
+    any corpus size, the same property that makes CM the streaming
+    frequency sketch. The query side broadcast-joins the tiny cell
+    table; truth (for the audit) reuses the token-count aggregate any
+    corpus profile already runs.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    toks = (
+        tokenized(normalized_docs(spark, sf_dir))
+        .select(F.explode("tokens").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    buckets = F.array(
+        *[_cm_bucket(F.col("tok"), i, width) for i in range(depth)]
+    )
+    cm = (
+        toks.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(k)
+    )
+    probes = truth.select(
+        "tok", "true_count", F.posexplode(buckets.alias("b")).alias("row", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cm), ["row", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            "tok",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), "tok")
+    )
+
+
+def _cm_sql(depth: int = CM_DEPTH, width: int = CM_WIDTH, k: int = 20) -> str:
+    bucket = (
+        "CAST('0x' || substr(md5('cm' || {i} || '#' || tok), 1, 8) AS BIGINT) % "
+        + str(width)
+    )
+    rows = ", ".join(f"[{i}, {bucket.format(i=i)}]" for i in range(depth))
+    return rf"""
+WITH toks AS (
+    SELECT unnest(list_filter(
+        string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+'),
+        t -> t <> '')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), rb AS (
+    SELECT tok, p[1] AS row, p[2] AS bucket
+    FROM toks, UNNEST([{rows}]) t(p)
+), cm AS (
+    SELECT row, bucket, count(*) AS cell FROM rb GROUP BY row, bucket
+), truth AS (
+    SELECT tok, count(*) AS true_count FROM toks GROUP BY tok
+    ORDER BY true_count DESC, tok LIMIT {k}
+), probes AS (
+    SELECT t.tok, t.true_count, p[1] AS row, p[2] AS bucket
+    FROM truth t, UNNEST([{rows}]) x(p)
+)
+SELECT p.tok, CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(min(c.cell) AS BIGINT) AS cm_estimate,
+       CAST(min(c.cell) - p.true_count AS BIGINT) AS overcount
+FROM probes p JOIN cm c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY p.tok, p.true_count
+ORDER BY true_count DESC, tok
+"""
+
+
+CM_SKETCH_SQL = _cm_sql()

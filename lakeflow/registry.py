@@ -582,6 +582,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_unpivot": (relational.unpivot_metrics, relational.UNPIVOT_SQL),
     "q_histogram": (profile.histogram, profile.HISTOGRAM_SQL),
     "q_heavy_hitters": (profile.heavy_hitters, profile.HEAVY_HITTERS_SQL),
+    # count-min sketch (r6, late): PORTABLE hash rows make the sketch —
+    # cells, estimates, and the one-sided collision error — a
+    # deterministic function of the data, so this sketch certifies
+    # value-by-value (unlike the rows-only HLL/KLL pair); d×w bounded
+    # state, the streaming frequency-sketch shape
+    "q_cm_sketch": (profile.cm_sketch_tokens, profile.CM_SKETCH_SQL),
     "q_scalar_subquery": (
         relational.scalar_subquery_above_avg,
         relational.SCALAR_SUBQUERY_SQL,

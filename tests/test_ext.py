@@ -1284,3 +1284,17 @@ def test_hard_negatives_mining_invariants(spark, sf_dir):
             assert r.label == "positive"
         else:
             assert r.label == "hard_negative"
+
+
+def test_cm_sketch_one_sided_error(spark, sf_dir):
+    """The CM guarantee: estimate ≥ truth for EVERY queried key (a
+    negative overcount means the hash replay is broken); at width 16 <
+    the corpus vocabulary, collisions must actually occur so the error
+    path is exercised, not vacuously zero."""
+    from lakeflow.ext import profile as profile_ops
+
+    rows = profile_ops.cm_sketch_tokens(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cm_estimate == r.true_count + r.overcount for r in rows)
+    assert any(r.overcount > 0 for r in rows)  # collisions exercised

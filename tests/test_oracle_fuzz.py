@@ -78,6 +78,9 @@ FUZZ_QUERIES = (
     # temperature mixing (r6): NULL sources group, NULL-text token
     # counts, single-source corpora (share = 1.0 exactly)
     "q_mix_temperature",
+    # count-min sketch (r6): random vocabularies change which tokens
+    # collide — the overcount column must replay exactly anyway
+    "q_cm_sketch",
 )
 
 
