@@ -719,3 +719,136 @@ ORDER BY true_count DESC, tok
 
 
 CM_SKETCH_SQL = _cm_sql()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with portable hashes (r6)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_ALPHA64 = 0.709  # the published constant for m = 64 (Flajolet et al. 2007)
+
+
+def hll_sketch(
+    spark: SparkSession, sf_dir: str, p: int = HLL_P
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
+    public) with PORTABLE hashes, audited against the true count:
+    register index = low ``p`` bits of the md5-derived 32-bit hash,
+    rho = leading-zero rank of the remaining (32−p)-bit word, register
+    = max(rho), estimate = alpha·m²/Σ2^(−rho) with the small-range
+    linear-counting correction. One summary row: registers hit, raw +
+    corrected estimates, truth, relative error.
+
+    Certification (why this sketch oracles where q_approx_distinct is
+    rows-only): every step is integer arithmetic on the portable hash
+    EXCEPT the final harmonic sum — and that sum is EXACTLY order-free
+    in IEEE double, because each term 2^(−rho) with rho ≤ 27 is a
+    power of two and the 64-term sum spans < 52 mantissa bits, so no
+    addition ever rounds. Engine-native HLLs (Spark's HLL++) use
+    engine-private hashes/encodings and can never replay; the sketch
+    MATH was always replayable.
+
+    Scale shape: one map + groupBy into m bounded registers (constant
+    state at any corpus size — the mergeable-sketch property), then an
+    m-row finish. The audit's true count is the one full distinct the
+    sketch exists to avoid; it stays in the query because the output
+    IS the accuracy audit.
+    """
+    from lakeflow.ext.dedup import _md5h32
+
+    m = 1 << p
+    wbits = 32 - p
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    h = _md5h32(F.col("key").cast("string"))
+    bucket = F.pmod(h, F.lit(m))
+    w = F.shiftright(h, p)
+    # rho = (32-p)-bit leading-zero count + 1 = (32-p) + 1 - bitlen(w);
+    # bitlen via the minimal binary string (both engines agree, incl.
+    # the w=0 edge handled explicitly)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        li.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = (
+        spark.range(m)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    sketch = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.sum((F.col("rho") == 0).cast("int")).alias("zeros"),
+        F.sum((F.col("rho") > 0).cast("int")).alias("registers_hit"),
+    )
+    raw = F.lit(HLL_ALPHA64 * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    truth = li.agg(F.countDistinct("key").alias("true_distinct"))
+    return (
+        sketch.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(m).alias("m"),
+            F.col("registers_hit").cast("int").alias("registers_hit"),
+            F.round(raw, 6).alias("estimate_raw"),
+            F.round(est, 6).alias("estimate"),
+            F.col("true_distinct").cast("bigint").alias("true_distinct"),
+            F.round(
+                F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+def _hll_sql(p: int = HLL_P) -> str:
+    m = 1 << p
+    wbits = 32 - p
+    return rf"""
+WITH keys AS (
+    SELECT l_partkey AS key FROM lineitem
+), hashed AS (
+    SELECT CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT) AS h
+    FROM keys
+), br AS (
+    SELECT h % {m} AS bucket,
+           CASE WHEN (h >> {p}) = 0 THEN {wbits + 1}
+                ELSE {wbits + 1} - length(bin(h >> {p})) END AS rho
+    FROM hashed
+), regs AS (
+    SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
+), allregs AS (
+    SELECT coalesce(r.rho, 0) AS rho
+    FROM generate_series(0, {m - 1}) g(bucket)
+    LEFT JOIN regs r ON r.bucket = g.bucket
+), sk AS (
+    SELECT sum(pow(2.0, -rho)) AS s,
+           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
+           sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS registers_hit
+    FROM allregs
+), t AS (
+    SELECT count(DISTINCT key) AS true_distinct FROM keys
+)
+SELECT {m} AS m,
+       CAST(registers_hit AS INTEGER) AS registers_hit,
+       round({HLL_ALPHA64 * m * m} / s, 6) AS estimate_raw,
+       round(CASE WHEN {HLL_ALPHA64 * m * m} / s <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / zeros)
+                  ELSE {HLL_ALPHA64 * m * m} / s END, 6) AS estimate,
+       CAST(true_distinct AS BIGINT) AS true_distinct,
+       round(abs(CASE WHEN {HLL_ALPHA64 * m * m} / s <= {2.5 * m} AND zeros > 0
+                      THEN {float(m)} * ln({float(m)} / zeros)
+                      ELSE {HLL_ALPHA64 * m * m} / s END - true_distinct)
+             / true_distinct, 6) AS rel_error
+FROM sk CROSS JOIN t
+"""
+
+
+HLL_SKETCH_SQL = _hll_sql()

@@ -588,6 +588,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # value-by-value (unlike the rows-only HLL/KLL pair); d×w bounded
     # state, the streaming frequency-sketch shape
     "q_cm_sketch": (profile.cm_sketch_tokens, profile.CM_SKETCH_SQL),
+    # portable-hash HyperLogLog (r6, late): integer register math +
+    # an EXACTLY order-free harmonic sum (64 power-of-two terms span
+    # < 52 mantissa bits — no addition ever rounds), so the estimate
+    # AND its accuracy audit certify; q_approx_distinct keeps the
+    # engine-native HLL++ as the rows-only twin
+    "q_hll_sketch": (profile.hll_sketch, profile.HLL_SKETCH_SQL),
     "q_scalar_subquery": (
         relational.scalar_subquery_above_avg,
         relational.SCALAR_SUBQUERY_SQL,

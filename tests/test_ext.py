@@ -1298,3 +1298,17 @@ def test_cm_sketch_one_sided_error(spark, sf_dir):
     assert all(r.overcount >= 0 for r in rows)
     assert all(r.cm_estimate == r.true_count + r.overcount for r in rows)
     assert any(r.overcount > 0 for r in rows)  # collisions exercised
+
+
+def test_hll_sketch_accuracy_envelope(spark, sf_dir):
+    """HLL with m=64 registers has relative standard error
+    1.04/√64 ≈ 13% — the estimate must land within a generous 4σ of
+    the truth (a blown envelope means broken register math, not bad
+    luck), and the register population must be consistent."""
+    from lakeflow.ext import profile as profile_ops
+
+    r = profile_ops.hll_sketch(spark, sf_dir).collect()[0]
+    assert r.m == 64
+    assert 0 < r.registers_hit <= min(r.m, r.true_distinct)
+    assert r.rel_error < 4 * 1.04 / (r.m ** 0.5)
+    assert r.estimate > 0

@@ -328,6 +328,10 @@ REL_FUZZ_QUERIES = (
     "q_winsorize",
     "q_tpch_q1",
     "q_tpch_q6",
+    # portable HLL (r6): tiny corpora (≤5 distinct keys) force the
+    # small-range linear-counting branch — both the correction and the
+    # raw path must replay
+    "q_hll_sketch",
 )
 
 
