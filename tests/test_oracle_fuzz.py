@@ -244,6 +244,10 @@ EMB_FUZZ_QUERIES = (
     # exact scale/code replay; the all-zero vector hits the s=0 →
     # code-0 → NULL-quantized-cosine path
     "q_knn_sq8",
+    # PCA power iteration (r6): 4-dim corpora, constant clouds
+    # (zero covariance → NULL-normalized iterates must propagate
+    # identically), single-vector corpora
+    "q_embed_pca",
 )
 
 

@@ -97,6 +97,13 @@ HEAVY = [
     "q_drift_ks",
     "q_drift_psi",
     "q_column_profile",
+    # certified sketches (r6): collision profile (CM) and the
+    # correction-branch flip (HLL raw vs linear counting) are both
+    # cardinality-dependent — exactly what a decade up changes
+    "q_cm_sketch",
+    "q_hll_sketch",
+    # retrieval mining (r6): BM25-bound over 10× the corpus
+    "q_hard_negatives",
 ]
 
 _missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
