@@ -137,6 +137,10 @@ EXTENDED_QUERIES = (
     "q_mix_temperature",
     "q_knn_pq",
     "q_hard_negatives",
+    "q_cm_sketch",
+    "q_hll_sketch",
+    "q_embed_pca",
+    "q_curation_audit",
 )
 
 
