@@ -421,11 +421,19 @@ def anomaly_zscore(
         "event_type",
         (F.col("s1") / F.col("n")).alias("mu"),
         # n=1 groups have no sample variance (ANSI: (n-1)=0 would abort
-        # the job); sigma NULL -> z NULL -> row filtered, in BOTH engines
+        # the job); sigma NULL -> z NULL -> row filtered, in BOTH engines.
+        # greatest(0, ...): the sums are exact but the DOUBLE expression
+        # s2 - s1²/n can land at -1ulp on a zero-variance group
+        # (catastrophic cancellation) — Spark would yield sigma=NaN while
+        # DuckDB ABORTS on sqrt(negative); the clamp makes both engines
+        # yield sigma=0 -> filtered (fuzz-found, constant-value groups)
         F.when(
             F.col("n") > 1,
             F.sqrt(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+                )
                 / (F.col("n") - 1)
             ),
         ).alias("sigma"),
@@ -455,7 +463,7 @@ WITH sums AS (
 ), stats AS (
     SELECT event_type, s1 / n AS mu,
            CASE WHEN n > 1
-                THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sigma
+                THEN sqrt(greatest(0, s2 - s1 * s1 / n) / (n - 1)) END AS sigma
     FROM sums
 )
 SELECT event_id, e.event_type, value,

@@ -882,7 +882,9 @@ def embed_pca(
     PCA: one pass for moments, then iterate on d² numbers.
 
     Certification: covariance cells are 9dp-rounded averages of exact
-    products; each iterate renormalizes and 9dp-rounds, so both
+    products; each iterate renormalizes and 6dp-rounds (the
+    repo-wide certified quantum — the fuzz gate proved 9dp sits close
+    enough to sum-order drift to flip a half-way case), so both
     engines walk the identical vector sequence (sign fixed by flipping
     on a negative leading coordinate). Convergence after ``iters``
     steps is approximate — deliberately: what certifies is the
@@ -927,7 +929,12 @@ def embed_pca(
             y.crossJoin(F.broadcast(nrm))
             .select(
                 F.col("i").alias("j"),
-                F.round(F.try_divide(F.col("y"), F.col("n")), 9).alias("vj"),
+                # 6dp, not 9: the iterate divide carries ~1e-16 sum-order
+                # drift, and a flip probability scales with drift/quantum —
+                # the fuzz gate caught a 9dp half-way case (…7115) landing
+                # on different sides per engine; at 6dp the same drift is
+                # 10^3× below the boundary (the repo-wide certified quantum)
+                F.round(F.try_divide(F.col("y"), F.col("n")), 6).alias("vj"),
             )
             .localCheckpoint(eager=False)
         )
@@ -947,7 +954,7 @@ def embed_pca(
         .crossJoin(F.broadcast(sgn))
         .select(
             F.col("j").alias("pos"),
-            F.round(F.col("vj") * F.col("sgn"), 9).alias("pc1"),
+            F.round(F.col("vj") * F.col("sgn"), 6).alias("pc1"),
             F.round("lam", 6).alias("eigenvalue"),
             F.round(F.try_divide(F.col("lam"), F.col("tr")), 6).alias("var_share"),
         )
@@ -985,7 +992,7 @@ WITH xs AS MATERIALIZED (
     FROM cov JOIN v{k - 1} v ON v.j = cov.j
     GROUP BY cov.i
 ), v{k} AS MATERIALIZED (
-    SELECT y.i AS j, round(y.y / nullif(n.n, 0), 9) AS vj
+    SELECT y.i AS j, round(y.y / nullif(n.n, 0), 6) AS vj
     FROM y{k} y CROSS JOIN (SELECT sqrt(sum(y * y)) AS n FROM y{k}) n
 )"""
         )
@@ -1000,7 +1007,7 @@ WITH xs AS MATERIALIZED (
     SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM v{L} WHERE j = 0
 )
 SELECT CAST(v.j AS INTEGER) AS pos, mu.mu AS mu,
-       round(v.vj * sgn.sgn, 9) AS pc1,
+       round(v.vj * sgn.sgn, 6) AS pc1,
        round(lam.lam, 6) AS eigenvalue,
        round(lam.lam / nullif(tr.tr, 0), 6) AS var_share
 FROM v{L} v
