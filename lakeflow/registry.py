@@ -599,6 +599,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # iterative-algorithm pattern (BPE/IVF) applied to linear algebra;
     # oracle replays covariance, every iterate, and the Rayleigh audit
     "q_embed_pca": (profile.embed_pca, profile.EMBED_PCA_SQL),
+    # all-but-the-top cleanup (r6, late): consumes the certified PCA;
+    # corrected norm via the unit-vector identity ‖c−⟨c,v⟩v‖² =
+    # ‖c‖²−⟨c,v⟩², so removal is ONE aggregate pass per vector
+    "q_embed_abtt": (profile.embed_abtt, profile.EMBED_ABTT_SQL),
     "q_scalar_subquery": (
         relational.scalar_subquery_above_avg,
         relational.SCALAR_SUBQUERY_SQL,

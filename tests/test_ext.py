@@ -1328,3 +1328,25 @@ def test_embed_pca_invariants(spark, sf_dir):
     assert rows[0].pc1 >= 0
     assert 0 < rows[0].eigenvalue
     assert 0 < rows[0].var_share <= 1
+
+
+def test_embed_abtt_projection_removed(spark, sf_dir):
+    """Norms can only shrink (Pythagoras); the removed mass equals the
+    projection coefficient squared (within rounding); re-projecting a
+    corrected vector onto PC1 is ~0 for a spot-checked vector."""
+    from lakeflow.ext import profile as profile_ops
+
+    rows = profile_ops.embed_abtt(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.norm_after <= r.norm_before + 1e-6
+        assert abs(r.norm_before**2 - r.norm_after**2 - r.proj**2) < 1e-3
+    pca = {r.pos: r for r in profile_ops.embed_pca(spark, sf_dir).collect()}
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id = 0").collect()[0].embedding
+    )
+    c = [emb[i] - pca[i].mu for i in range(64)]
+    proj = sum(c[i] * pca[i].pc1 for i in range(64))
+    corrected = [c[i] - proj * pca[i].pc1 for i in range(64)]
+    assert abs(sum(corrected[i] * pca[i].pc1 for i in range(64))) < 1e-4

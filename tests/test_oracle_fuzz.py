@@ -248,6 +248,9 @@ EMB_FUZZ_QUERIES = (
     # (zero covariance → NULL-normalized iterates must propagate
     # identically), single-vector corpora
     "q_embed_pca",
+    # all-but-the-top (r6): inherits PCA's degenerate paths plus the
+    # vector-along-pc1 cancellation (norm_after clamped at 0)
+    "q_embed_abtt",
 )
 
 
