@@ -104,6 +104,10 @@ HEAVY = [
     "q_hll_sketch",
     # retrieval mining (r6): BM25-bound over 10× the corpus
     "q_hard_negatives",
+    # PCA family (r6): covariance cells + iterate roundings over 10×
+    # the vectors — float-accumulation sensitivity is the whole risk
+    "q_embed_pca",
+    "q_embed_abtt",
 ]
 
 _missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
