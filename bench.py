@@ -140,6 +140,7 @@ EXTENDED_QUERIES = (
     "q_cm_sketch",
     "q_hll_sketch",
     "q_embed_pca",
+    "q_embed_abtt",
     "q_curation_audit",
 )
 

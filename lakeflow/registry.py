@@ -13,6 +13,8 @@ rank/year outputs to INTEGER where Spark yields int).
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -792,143 +794,44 @@ _BY_NAME: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # Driver-certification ordering.  The driver's CORRECTNESS check walks
-# ALL_QUERIES in dict insertion order and (round 1) evaluated exactly the
-# first 50 entries, so ordering is part of the driver contract:
-#  1. two regression sentinels that were green in round 1,
-#  2. every oracle-bearing query that has NOT yet received a driver
-#     CORRECTNESS row (the round-1 unchecked tail), so they certify first,
-#  3. a spread of already-green queries for re-certification,
-#  4. the remaining already-green queries,
-#  5. rows-only queries (no oracle SQL → the driver can only record an
+# ALL_QUERIES in dict insertion order and evaluates the first 50 entries,
+# so ordering is part of the driver contract.  Since round 7 the window is
+# built programmatically from lakeflow/driver_green.json (regenerated per
+# round by tools/gen_driver_green.py from the CORRECTNESS_r{N}.json files):
+#  1. two regression sentinels that have been green every round,
+#  2. every oracle-bearing query WITHOUT a driver-green row yet (new this
+#     round, or added after the previous round's window froze) — these
+#     certify first, in registration order,
+#  3. all remaining oracle-bearing queries ordered oldest-driver-green
+#     first (freshness rotation: no green goes stale indefinitely),
+#  4. rows-only queries (no oracle SQL -> the driver can only record an
 #     `err: no_oracle` row, never a green one) at the very end so they
 #     never displace a certifiable query from the checked window.
-_CERT_FIRST: list[str] = [
-    # -- sentinels (green in r01) --------------------------------------
-    "q_silver_pipeline",
-    "q_tpch_q1",
-    # -- r6: new queries / swapped oracles — certify FIRST ---------------
-    "q_dedup_clusters",  # r5 red twin: oracle now replays the banding
-    "q_cluster_split",  # r5 red row: same banding-replay oracle swap
-    "q_dedup_incremental",  # new: batch-vs-corpus near-dup
-    "q_semdedup",  # new: k-means + within-cluster cosine dedup
-    "q_gopher_rules",  # new: rule-cascade quality filter
-    "q_span_dedup",  # new: exact substring (word 8-gram) dedup
-    "q_knn_sq8",  # new: int8 scalar-quantized ANN + exact rerank
-    # -- r5: newly oracled / fixed — certify FIRST -----------------------
-    "q_tpch_q12",  # r4 red row: oracle typing fixed (CAST SUM AS BIGINT)
-    "q_mmr_rerank",  # greedy replayed via unrolled DuckDB CTEs
-    "q_bronze_metadata",  # pinned clock + total-order head
-    "q_knn_ivf",  # deterministic k-means replay (rounded assign/means)
-    "q_dedup_clusters_exact",  # scale-up cert twins (sf0.1 gate)
-    "q_cluster_split_exact",
-    "q_dedup_embedding",  # LSH defaults: banding replayed via portable hyperplanes
-    "q_degree_dist",
-    "q_triangles",
-    "q_audio_meta",  # r5: real WAV codec end-to-end, closed-form oracle
-    # -- r4 certifications ------------------------------------------------
-    "q_lm_perplexity",
-    "q_rrf_fusion",
-    "q_containment_pairs",
-    "q_dsir_weights",
-    "q_source_overlap",
-    "q_token_entropy",
-    "q_target_encoding",
-    "q_drift_ks",
-    "q_k_anonymity",
-    "q_events_variant",
-    "q_bpe_merges",
-    "q_winsorize",
-    "q_fk_integrity",
-    "q_dedup_near",
-    "q_knn_lsh",
-    "q_shard_manifest",
-    "q_drift_psi",
-    "q_bpe_apply",
-    "q_dedup_simhash",
-    "q_winnow_fingerprints",
-    "q_knn_pandas",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_degree_dist_exact",
-    "q_triangles_exact",
-    "q_dedup_embedding_exact",
-    "q_chunk_docs",
-    "q_pack_sequences",
-    "q_mix_plan",
-    # -- r3 certifications ----------------------------------------------
-    "q_tpch_q21",
-    "q_tpch_q20",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_tpch_q22",
-    "q_sample_stratified",
-    "q_dq_report",
-    "q_ngram_jaccard",
-    "q_pii_redact",
-    "q_contamination",
-    "q_repetition",
-    "q_bm25",
-    # -- round-1 unchecked, oracle-bearing: certify these ---------------
-    "q_retention",
-    "q_anomaly_zscore",
-    "q_attribution",
-    "q_label_centroids",
-    "q_tfidf_top_terms",
-    "q_session_window",
-    "q_token_counts",
-    "q_text_stats",
-    "q_doc_quality",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_dedup_keep_best",
-    "q_scd2_history",
-    "q_gap_fill",
-    "q_unpivot",
-    "q_histogram",
-    "q_heavy_hitters",
-    "q_scalar_subquery",
-    "q_window_distribution",
-    "q_sample_weighted",
-    "q_sample_capped",
-    "q_char_pairs",
-    "q_ntile_binning",
-    "q_corr",
-    "q_column_profile",
-    "q_mad",
-    "q_percentile_multi",
-    "q_embed_norms",
-    "q_knn_bruteforce",
-    "q_multimodal_meta",
-    "q_frame_sample",
-    "q_sample_hash",
-    "q_train_test_split",
-    # -- new this round: never checked ----------------------------------
-    "q_tpch_q4",
-    "q_tpch_q17",
-    "q_fuzzy_join",
-    # -- re-certification spread of round-1 greens ----------------------
-    "q_claims_summary",
-    "q_join_snowflake",
-    "q_window_analytics",
-    "q_cube",
-    "q_sessionize",
-    "q_events_props",
-    "q_asof_join",
-    "q_median_by_group",
-]
+
+_SENTINELS: list[str] = ["q_silver_pipeline", "q_tpch_q1"]
+
+with open(os.path.join(os.path.dirname(__file__), "driver_green.json")) as _f:
+    #: query name -> last round with a fully green driver CORRECTNESS row.
+    LAST_DRIVER_GREEN: dict[str, int] = json.load(_f)
+
+
+def _cert_order() -> list[str]:
+    oracled = [n for n, (_, sql) in _BY_NAME.items() if sql is not None]
+    never = [
+        n for n in oracled if n not in LAST_DRIVER_GREEN and n not in _SENTINELS
+    ]
+    stale = sorted(
+        (n for n in oracled if n in LAST_DRIVER_GREEN and n not in _SENTINELS),
+        key=lambda n: (LAST_DRIVER_GREEN[n], n),
+    )
+    rows_only = [n for n, (_, sql) in _BY_NAME.items() if sql is None]
+    return _SENTINELS + never + stale + rows_only
+
+
+_CERT_FIRST: list[str] = _cert_order()
 
 assert all(name in _BY_NAME for name in _CERT_FIRST), "stale _CERT_FIRST entry"
+assert len(_CERT_FIRST) == len(_BY_NAME), "cert order dropped a query"
 
 ALL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     name: _BY_NAME[name] for name in _CERT_FIRST
