@@ -98,13 +98,26 @@ FROM embeddings ORDER BY vec_id
 
 
 def knn_bruteforce(
-    spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    corpus_mod: int = 1,
 ) -> DataFrame:
     """Exact cosine top-k: query set = vec_id % query_mod == 0.
 
     Broadcast the small query side; cosine via zip_with/aggregate;
     row_number window per query for top-k. Rounded to 6dp with vec_id
     tiebreak → deterministic result set.
+
+    This is the O(|queries|·|corpus|) ground-truth recall baseline for
+    the four ANN paths (LSH/IVF/SQ8/PQ) — intentionally quadratic.
+    ``corpus_mod > 1`` caps the blast radius for large-SF sweeps by
+    scanning only the deterministic ``vec_id % corpus_mod == 0`` corpus
+    slice (the same pinned-modulus sampling the PQ ``train_mod`` knob
+    uses), so a recall measurement at sf10+ never pays the measured
+    147 s full-corpus scan (SCALE.md). The registered default
+    (corpus_mod=1) preserves the certified full-corpus output.
     """
     # Norms are per-VECTOR quantities — compute them in the projection,
     # not per pair (per-pair norms would triple the flops of the
@@ -112,6 +125,8 @@ def knn_bruteforce(
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     ).select("vec_id", "v", _norm("v").alias("nv"))
+    if corpus_mod > 1:
+        emb = emb.filter(F.col("vec_id") % corpus_mod == 0)
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
@@ -214,7 +229,11 @@ ORDER BY q_id, rnk
 
 
 def knn_bruteforce_pandas(
-    spark: SparkSession, sf_dir: str, k: int = 5, query_mod: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    corpus_mod: int = 1,
 ) -> DataFrame:
     """Arrow-vectorized twin of knn_bruteforce: cosine via a scalar
     pandas_udf (numpy batch einsum) instead of zip_with/aggregate.
@@ -227,10 +246,15 @@ def knn_bruteforce_pandas(
     summation and the JVM left-fold agree at the 6dp rounding on this
     data (verified at sf0.01 and sf0.1; a last-digit flip would need a
     cosine within ~1e-13 of a 5e-7 rounding boundary).
+
+    ``corpus_mod``: same large-SF blast-radius cap as
+    :func:`knn_bruteforce` (default 1 = certified full corpus).
     """
     emb = io.read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
+    if corpus_mod > 1:
+        emb = emb.filter(F.col("vec_id") % corpus_mod == 0)
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
@@ -892,6 +916,45 @@ def pq_codebooks(
     return cent, sub
 
 
+def _adc_rerank(
+    adc: DataFrame, emb: DataFrame, queries: DataFrame, k: int, mcand: int
+) -> DataFrame:
+    """Shared PQ tail (:func:`knn_pq` / :func:`knn_ivfpq`): cut the ADC
+    scores to ``mcand`` candidates per query (asc distance, vec_id
+    tiebreak), then re-score only those at full precision and rank.
+    ``queries`` is the (vec_id, v, nv) query frame; both the candidate
+    and query relations are tiny by construction, so both rerank joins
+    broadcast."""
+    w1 = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= mcand)
+        .select("q_id", "vec_id", "adc_dist")
+    )
+    queries_x = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    scored = (
+        emb.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries_x), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cosine(_dot("qv", "v"), F.col("nq"), F.col("nv")), 6).alias(
+                "cosine"
+            ),
+            "adc_dist",
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "adc_dist", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
 def knn_pq(
     spark: SparkSession,
     sf_dir: str,
@@ -960,40 +1023,39 @@ def knn_pq(
         .groupBy("q_id", "vec_id")
         .agg((F.sum("dd") / F.lit(1e6)).alias("adc_dist"))
     )
-    w1 = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    cand = (
-        adc.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= mcand)
-        .select("q_id", "vec_id", "adc_dist")
-    )
-    queries_x = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
-    )
-    scored = (
-        emb.join(broadcast(cand), "vec_id")
-        .join(broadcast(queries_x), "q_id")
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(_cosine(_dot("qv", "v"), F.col("nq"), F.col("nv")), 6).alias(
-                "cosine"
-            ),
-            "adc_dist",
-        )
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "vec_id", "cosine", "adc_dist", "rnk")
-        .orderBy("q_id", "rnk")
-    )
+    return _adc_rerank(adc, emb, queries, k, mcand)
 
 
 _PQ_SQD = (
     "round(list_aggregate(list_transform(list_zip({a}, c.cv), "
     "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)"
 )
+
+
+def _adc_tail_sql(k: int, rerank: int) -> str:
+    """Shared DuckDB replay of :func:`_adc_rerank` — consumes the
+    ``adc``, ``emb`` and ``queries`` CTEs of the surrounding statement
+    (defined by both :func:`_knn_pq_sql` and :func:`_knn_ivfpq_sql`)."""
+    return f""", cand AS (
+    SELECT q_id, vec_id, adc_dist FROM (
+        SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS r
+        FROM adc
+    ) WHERE r <= {k * rerank}
+), exact AS (
+    SELECT cd.q_id, cd.vec_id, cd.adc_dist,
+           round(list_aggregate(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), 'sum')
+                 / (q.nq * e.nv), 6) AS cosine
+    FROM cand cd
+    JOIN emb e ON e.vec_id = cd.vec_id
+    JOIN queries q ON q.q_id = cd.q_id
+)
+SELECT q_id, vec_id, cosine, adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+FROM exact
+QUALIFY rnk <= {k}
+ORDER BY q_id, rnk
+"""
 
 
 def _knn_pq_sql(
@@ -1077,28 +1139,208 @@ WITH v0 AS MATERIALIZED (
     FROM enc e JOIN dtab d ON d.sub_id = e.sub_id AND d.code = e.code
     WHERE e.vec_id != d.q_id
     GROUP BY d.q_id, e.vec_id
-), cand AS (
-    SELECT q_id, vec_id, adc_dist FROM (
-        SELECT q_id, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS r
-        FROM adc
-    ) WHERE r <= {k * rerank}
-), exact AS (
-    SELECT cd.q_id, cd.vec_id, cd.adc_dist,
-           round(list_aggregate(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), 'sum')
-                 / (q.nq * e.nv), 6) AS cosine
-    FROM cand cd
-    JOIN emb e ON e.vec_id = cd.vec_id
-    JOIN queries q ON q.q_id = cd.q_id
-)
-SELECT q_id, vec_id, cosine, adc_dist,
-       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
-FROM exact
-QUALIFY rnk <= {k}
-ORDER BY q_id, rnk
-"""
+)"""
     )
+    parts.append(_adc_tail_sql(k, rerank))
     return "".join(parts)
 
 
 KNN_PQ_SQL = _knn_pq_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (r7): coarse pruning + compressed-domain scan
+# ---------------------------------------------------------------------------
+
+
+def knn_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    query_mod: int = 100,
+    n_lists: int = 8,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    pq_iters: int = 2,
+    rerank: int = 3,
+    train_mod: int = 1,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFADC shape, Jégou et al. 2011 §IV):
+    coarse k-means inverted lists prune the corpus to ``nprobe``
+    probed lists per query, and the scan inside those lists runs in the
+    compressed PQ domain (ADC lookups, never a float dot product),
+    followed by an exact top-``k·rerank`` rerank.
+
+    Composition of the two certified halves: the coarse quantizer is
+    :func:`kmeans_centroids` + :func:`_nearest_lists` (exactly
+    :func:`knn_ivf`'s index) and the fine codes are
+    :func:`pq_codebooks` + :func:`_pq_assign` (exactly :func:`knn_pq`'s
+    encoding, on the RAW vectors — FAISS ``by_residual=false``; raw
+    coding keeps both halves' replay oracles untouched and composable).
+
+    Why this beats pure PQ at scale: :func:`knn_pq`'s ADC scans all N
+    codes per query; here the byte codes join the tiny broadcast probe
+    relation FIRST, so only ~``nprobe/n_lists`` of the corpus codes are
+    touched per query — sub-linear query cost at fixed recall, which is
+    what a 100 TB corpus needs. The list assignment joins the codes once
+    (vec_id-keyed, index-build time); everything query-side is broadcast
+    (probes, distance tables, candidates) + one partial-aggregated ADC
+    shuffle.
+
+    Certification: both halves' determinism recipes compose — 6dp
+    assignment distances with id tiebreaks, 9dp centroid means, integer
+    micro-unit ADC partial sums — so the oracle replays the coarse
+    build, the per-subspace codebooks, encoding, probing, restricted
+    ADC, and both ranking cuts (KNN_IVFPQ_SQL).
+    """
+    mcand = k * rerank
+    dsub = 64 // m_sub
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    # coarse quantizer + inverted lists (knn_ivf's certified index)
+    cent = kmeans_centroids(emb, n_lists, coarse_iters)
+    lists = _nearest_lists(emb, cent, "v", 1).select("vec_id", "list_id")
+    # per-subspace codebooks + full-corpus byte codes (knn_pq's encode)
+    train = emb if train_mod == 1 else emb.filter(F.col("vec_id") % train_mod == 0)
+    pcent, _ = pq_codebooks(train, m_sub, dsub, ks, pq_iters)
+    sub = _subvectors(emb, "vec_id", m_sub, dsub)
+    enc = _pq_assign(sub, pcent).select("vec_id", "sub_id", "code")
+    # the IVFADC index: codes tagged with their coarse list (one
+    # vec_id-keyed join at build time; at deployment this is the stored
+    # index layout, not a per-query cost)
+    enc_l = enc.join(lists, "vec_id")
+    queries = emb.filter(F.col("vec_id") % query_mod == 0)
+    probes = (
+        _nearest_lists(
+            queries.select(
+                F.col("vec_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+            ),
+            cent,
+            "qv",
+            nprobe,
+        )
+        .select(F.col("vec_id").alias("q_id"), "list_id")
+    )
+    qsub = _subvectors(queries, "vec_id", m_sub, dsub)
+    dd = F.floor(_sq_dist("sv", "cv") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    dtab = qsub.join(broadcast(pcent), "sub_id").select(
+        F.col("vec_id").alias("q_id"), "sub_id", "code", dd.alias("dd")
+    )
+    # restricted ADC: probe join FIRST (broadcast) prunes the code scan
+    # to the probed lists, then the distance-table lookup + map-side
+    # partial integer sums
+    adc = (
+        enc_l.join(broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(broadcast(dtab), ["q_id", "sub_id", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg((F.sum("dd") / F.lit(1e6)).alias("adc_dist"))
+    )
+    return _adc_rerank(adc, emb, queries, k, mcand)
+
+
+def _knn_ivfpq_sql(
+    k: int = 5,
+    query_mod: int = 100,
+    n_lists: int = 8,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    pq_iters: int = 2,
+    rerank: int = 3,
+    train_mod: int = 1,
+) -> str:
+    """DuckDB twin of :func:`knn_ivfpq`: the coarse index replay is
+    :func:`_ivf_index_sql` VERBATIM (emb/cent{i}/lists CTEs), the PQ
+    half re-emits :func:`_knn_pq_sql`'s codebook/encode CTEs under
+    ``p``-prefixed names (pseed/pcent{i}/passign{i}) to avoid colliding
+    with the coarse k-means CTEs, and the tail is the shared
+    :func:`_adc_tail_sql` — structural composition of the two certified
+    replays, no string surgery on rendered SQL."""
+    dsub = 64 // m_sub
+    sqd = _PQ_SQD
+    L = coarse_iters
+    parts = [_ivf_index_sql(n_lists, coarse_iters)]
+    parts.append(
+        f""", sub AS MATERIALIZED (
+    SELECT vec_id, t.j AS sub_id, list_slice(v, t.j*{dsub}+1, t.j*{dsub}+{dsub}) AS sv
+    FROM emb CROSS JOIN generate_series(0, {m_sub - 1}) t(j)
+), tsub AS MATERIALIZED (
+    SELECT * FROM sub WHERE vec_id % {train_mod} = 0
+), pseed AS MATERIALIZED (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+    FROM (SELECT vec_id FROM emb WHERE vec_id % {train_mod} = 0
+          ORDER BY vec_id LIMIT {ks})
+), pcent0 AS MATERIALIZED (
+    SELECT s.sub_id, sd.code, s.sv AS cv
+    FROM tsub s JOIN pseed sd USING (vec_id)
+)"""
+    )
+    for i in range(1, pq_iters + 1):
+        parts.append(
+            f""", passign{i} AS MATERIALIZED (
+    SELECT vec_id, sub_id, sv, code FROM (
+        SELECT s.vec_id, s.sub_id, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                   ORDER BY {sqd.format(a="s.sv")}, c.code) AS r
+        FROM tsub s JOIN pcent{i - 1} c USING (sub_id)
+    ) WHERE r = 1
+), pcent{i} AS MATERIALIZED (
+    SELECT sub_id, code, list(m ORDER BY pos) AS cv
+    FROM (
+        SELECT a.sub_id, a.code, t.pos, round(avg(a.sv[t.pos]), 9) AS m
+        FROM passign{i} a CROSS JOIN generate_series(1, {dsub}) t(pos)
+        WHERE t.pos <= len(a.sv)
+        GROUP BY a.sub_id, a.code, t.pos
+    ) GROUP BY sub_id, code
+)"""
+        )
+    P = pq_iters
+    parts.append(
+        f""", enc AS MATERIALIZED (
+    SELECT vec_id, sub_id, code FROM (
+        SELECT s.vec_id, s.sub_id, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                   ORDER BY {sqd.format(a="s.sv")}, c.code) AS r
+        FROM sub s JOIN pcent{P} c USING (sub_id)
+    ) WHERE r = 1
+), encl AS MATERIALIZED (
+    SELECT e.vec_id, e.sub_id, e.code, l.list_id
+    FROM enc e JOIN lists l USING (vec_id)
+), queries AS MATERIALIZED (
+    SELECT vec_id AS q_id, v AS qv, nv AS nq FROM emb WHERE vec_id % {query_mod} = 0
+), probes AS MATERIALIZED (
+    SELECT q_id, list_id FROM (
+        SELECT q.q_id, c.list_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {sqd.format(a="q.qv")}, c.list_id) AS r
+        FROM queries q CROSS JOIN cent{L} c
+    ) WHERE r <= {nprobe}
+), qsub AS MATERIALIZED (
+    SELECT q_id, t.j AS sub_id, list_slice(qv, t.j*{dsub}+1, t.j*{dsub}+{dsub}) AS sv
+    FROM queries CROSS JOIN generate_series(0, {m_sub - 1}) t(j)
+), dtab AS MATERIALIZED (
+    SELECT q.q_id, c.sub_id, c.code,
+           CAST(floor(list_aggregate(list_transform(list_zip(q.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 1000000 + 0.5) AS BIGINT) AS dd
+    FROM qsub q JOIN pcent{P} c USING (sub_id)
+), adc AS MATERIALIZED (
+    SELECT p.q_id, e.vec_id, SUM(d.dd) / 1000000.0 AS adc_dist
+    FROM encl e
+    JOIN probes p ON p.list_id = e.list_id
+    JOIN dtab d ON d.q_id = p.q_id AND d.sub_id = e.sub_id AND d.code = e.code
+    WHERE e.vec_id != p.q_id
+    GROUP BY p.q_id, e.vec_id
+)"""
+    )
+    parts.append(_adc_tail_sql(k, rerank))
+    return "".join(parts)
+
+
+KNN_IVFPQ_SQL = _knn_ivfpq_sql()

@@ -652,6 +652,11 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # ONE sub_id-keyed k-means flow, byte codes + integer-micro ADC
     # lookups; oracle replays codebooks, encoding, and both cuts
     "q_knn_pq": (similarity.knn_pq, similarity.KNN_PQ_SQL),
+    # IVF-PQ composition (r7, FAISS IVFADC shape): coarse inverted
+    # lists prune the ADC scan to nprobe lists per query — sub-linear
+    # query cost vs q_knn_pq's full-code scan; oracle composes the two
+    # certified replays structurally
+    "q_knn_ivfpq": (similarity.knn_ivfpq, similarity.KNN_IVFPQ_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),

