@@ -45,15 +45,25 @@ from lakeflow.txlog import TxTable
 
 APP_ID = "lakeflow-curation"
 
+# Default gate thresholds, calibrated to the synthetic corpus's measured
+# distributions (see curated_docs docstring). Module-level so the Spark
+# defaults and the DuckDB audit oracle (curation_audit_sql) consume ONE
+# set of literals — a change to either side cannot silently
+# desynchronize the other.
+REP_TOKEN_MAX = 0.68
+REP_TRIGRAM_MAX = 0.05
+PPL_BAND = (27.5, 32.0)
+SPAN_DUP_MAX = 0.5
+
 
 def curated_docs(
     spark: SparkSession,
     sf_dir: str,
-    rep_token_max: float = 0.68,
-    rep_trigram_max: float = 0.05,
-    ppl_band: tuple[float, float] = (27.5, 32.0),
-    span_dup_max: float = 0.5,
-    cluster_threshold: float = 0.4,
+    rep_token_max: float = REP_TOKEN_MAX,
+    rep_trigram_max: float = REP_TRIGRAM_MAX,
+    ppl_band: tuple[float, float] = PPL_BAND,
+    span_dup_max: float = SPAN_DUP_MAX,
+    cluster_threshold: float | None = None,
     cluster_bucket_cap: int | None = None,
 ) -> DataFrame:
     """The curation plan: documents with per-stage survival flags.
@@ -76,17 +86,24 @@ def curated_docs(
     """
     from lakeflow.ext import lm
     from lakeflow.ext.dedup import (
+        LSH_BANDS,
+        LSH_BITS,
+        LSH_THRESHOLD,
         cluster_split,
         exact_dedup,
         normalized_docs,
     )
     from lakeflow.ext.text import (
+        BLOOM_EVAL_MOD,
         bloom_decontam,
         gopher_rules,
         quality_classifier,
         repetition,
         span_dedup,
     )
+
+    if cluster_threshold is None:
+        cluster_threshold = LSH_THRESHOLD
 
     docs = normalized_docs(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
@@ -100,7 +117,11 @@ def curated_docs(
     # benchmark decontamination: anything the Bloom filter flags is
     # dropped — false positives included (the standard conservative
     # policy: at a ~3% FP rate the collateral is a tail, and dropping
-    # it needs no second exact pass)
+    # it needs no second exact pass). The eval-slice documents
+    # THEMSELVES (doc_id % BLOOM_EVAL_MOD == 0 — the synthetic
+    # stand-in for held-out benchmarks) are dropped too, below: a
+    # benchmark doc is by definition not trainable, and keeping it
+    # while dropping its mere near-duplicates would invert the policy.
     decon = bloom_decontam(spark, sf_dir).select(
         "doc_id", F.lit(False).alias("keep_decontam")
     )
@@ -150,8 +171,8 @@ def curated_docs(
         sf_dir,
         threshold=cluster_threshold,
         bucket_cap=cluster_bucket_cap,
-        bits=5,
-        bands=38,
+        bits=LSH_BITS,
+        bands=LSH_BANDS,
     ).select(
         F.col("vec_id").alias("doc_id"),
         (F.col("vec_id") == F.col("cluster_id")).alias("keep_canonical"),
@@ -189,8 +210,12 @@ def curated_docs(
             "source",
             "n_chars",
             F.coalesce("keep_exact", F.lit(False)).alias("keep_exact"),
-            # absent from the Bloom drop list ⇒ clean
-            F.coalesce("keep_decontam", F.lit(True)).alias("keep_decontam"),
+            # absent from the Bloom drop list AND not an eval-slice
+            # doc ⇒ clean (benchmark docs are never trainable)
+            (
+                F.coalesce("keep_decontam", F.lit(True))
+                & (F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+            ).alias("keep_decontam"),
             (
                 F.coalesce("q_rep", F.lit(False))
                 & F.coalesce("q_ppl", F.lit(False))
@@ -313,22 +338,25 @@ def _funnel(flagged: DataFrame) -> dict[str, int]:
 
 
 def curation_audit_sql(
-    rep_token_max: float = 0.68,
-    rep_trigram_max: float = 0.05,
-    ppl_lo: float = 27.5,
-    ppl_hi: float = 32.0,
-    span_dup_max: float = 0.5,
+    rep_token_max: float = REP_TOKEN_MAX,
+    rep_trigram_max: float = REP_TRIGRAM_MAX,
+    ppl_lo: float = PPL_BAND[0],
+    ppl_hi: float = PPL_BAND[1],
+    span_dup_max: float = SPAN_DUP_MAX,
 ) -> str:
     """DuckDB twin of :func:`curated_docs` — the END-TO-END curation
     audit table, oracle-certified as one query. Each stage's already-
     certified SQL embeds as a subquery (nested WITH / WITH RECURSIVE
     are legal in DuckDB subqueries); the funnel logic on top is the
-    same coalesce/AND lattice the Spark side builds. Thresholds must
-    mirror :func:`curated_docs`'s defaults; the cluster stage replays
-    the pinned (bits=5, bands=38) banding."""
+    same coalesce/AND lattice the Spark side builds. Thresholds are
+    the SAME module-level constants :func:`curated_docs` defaults to,
+    and the cluster stage replays the pinned banding via
+    CLUSTER_SPLIT_LSH_SQL — itself built from the cluster family's
+    (LSH_THRESHOLD, LSH_BITS, LSH_BANDS), so neither side can drift."""
     from lakeflow.ext.dedup import CLUSTER_SPLIT_LSH_SQL, EXACT_DEDUP_SQL
     from lakeflow.ext.lm import BIGRAM_LM_SQL
     from lakeflow.ext.text import (
+        BLOOM_EVAL_MOD,
         BLOOM_DECONTAM_SQL,
         GOPHER_RULES_SQL,
         QUALITY_CLASSIFIER_SQL,
@@ -368,7 +396,8 @@ WITH docs AS (
 ), flagged AS (
     SELECT d.doc_id, d.lang, d.source, d.n_chars,
            coalesce(ex.keep_exact, false) AS keep_exact,
-           coalesce(bd.keep_decontam, true) AS keep_decontam,
+           (coalesce(bd.keep_decontam, true)
+            AND d.doc_id % {BLOOM_EVAL_MOD} <> 0) AS keep_decontam,
            (coalesce(rep.q_rep, false) AND coalesce(ppl.q_ppl, false)
             AND coalesce(gop.q_gopher, false)) AS keep_quality,
            coalesce(mdl.keep_model, false) AS keep_model,

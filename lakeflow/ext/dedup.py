@@ -1671,10 +1671,17 @@ SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b
 """
 
 
-# q_dedup_embedding's registered params: threshold 0.4 with the n-free
-# tuning (5 bits × 38 bands) — identical to the footer-adaptive default
-# at every certification SF (the size floor engages only past n=4096)
-EMBEDDING_LSH_SQL = lsh_pairs_sql(0.4, bits=5, bands=38)
+# The cluster family's certified registered tuning: threshold 0.4 over
+# 5-bit × 38-band signatures — the n-free tuning, identical to the
+# footer-adaptive default at every certification SF (the size floor
+# engages only past n=4096). Consumers that pin the banding (registry,
+# curation) import these instead of re-pinning literals, so the pinned
+# parameters cannot desynchronize from the certified family.
+LSH_THRESHOLD = 0.4
+LSH_BITS = 5
+LSH_BANDS = 38
+
+EMBEDDING_LSH_SQL = lsh_pairs_sql(LSH_THRESHOLD, bits=LSH_BITS, bands=LSH_BANDS)
 
 
 def _lsh_closure_with(threshold: float, bits: int, bands: int, seed: int) -> str:
@@ -1752,8 +1759,12 @@ ORDER BY vec_id
 # the registered cluster-family params: same pinned (5 bits × 38 bands)
 # as q_dedup_embedding — one shared LSH pair materialization serves the
 # pair, cluster, split, and graph queries in a session
-DEDUP_CLUSTERS_LSH_SQL = dedup_clusters_lsh_sql(0.4, bits=5, bands=38)
-CLUSTER_SPLIT_LSH_SQL = cluster_split_lsh_sql(0.4, bits=5, bands=38)
+DEDUP_CLUSTERS_LSH_SQL = dedup_clusters_lsh_sql(
+    LSH_THRESHOLD, bits=LSH_BITS, bands=LSH_BANDS
+)
+CLUSTER_SPLIT_LSH_SQL = cluster_split_lsh_sql(
+    LSH_THRESHOLD, bits=LSH_BITS, bands=LSH_BANDS
+)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

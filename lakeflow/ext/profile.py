@@ -881,10 +881,10 @@ def embed_pca(
     the certified BPE and IVF builds, and how a 100 TB corpus computes
     PCA: one pass for moments, then iterate on d² numbers.
 
-    Certification: covariance cells are 9dp-rounded averages of exact
-    products; each iterate renormalizes and 6dp-rounds (the
-    repo-wide certified quantum — the fuzz gate proved 9dp sits close
-    enough to sum-order drift to flip a half-way case), so both
+    Certification: covariance cells and iterates both carry the 6dp
+    certified quantum (the fuzz gate proved 9dp sits close enough to
+    sum-order drift to flip a half-way case — cov cells subtract an
+    order-dependent avg-of-products, same class), so both
     engines walk the identical vector sequence (sign fixed by flipping
     on a negative leading coordinate). Convergence after ``iters``
     steps is approximate — deliberately: what certifies is the
@@ -909,7 +909,11 @@ def embed_pca(
         prod.join(mu.select(F.col("i"), F.col("mu").alias("mi")), "i")
         .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("mj")), "j")
         .select(
-            "i", "j", F.round(F.col("exy") - F.col("mi") * F.col("mj"), 9).alias("c")
+            # 6dp, not 9: exy is a sum-order-dependent average of exact
+            # products, the same drift class the fuzz gate caught for
+            # the power iterate — the certified quantum puts the
+            # ~1e-15 drift 10^8× below the rounding boundary
+            "i", "j", F.round(F.col("exy") - F.col("mi") * F.col("mj"), 6).alias("c")
         )
         .localCheckpoint(eager=False)
     )
@@ -964,7 +968,12 @@ def embed_pca(
     )
 
 
-def _pca_sql(iters: int = PCA_ITERS, d: int = 64) -> str:
+def _pca_cte_sql(iters: int = PCA_ITERS, d: int = 64) -> str:
+    """The PCA replay's CTE prefix (xs/mu/cov/power iterates/lam/tr/sgn,
+    NO final SELECT) — shared STRUCTURALLY by :data:`EMBED_PCA_SQL` and
+    :data:`EMBED_ABTT_SQL`, so neither needs string surgery on the
+    other's rendered SQL (a trailing-subquery edit to one final SELECT
+    can no longer silently corrupt the other oracle)."""
     parts = [
         f"""
 WITH xs AS MATERIALIZED (
@@ -976,7 +985,7 @@ WITH xs AS MATERIALIZED (
 ), mu AS MATERIALIZED (
     SELECT i, round(avg(x), 9) AS mu FROM xs GROUP BY i
 ), cov AS MATERIALIZED (
-    SELECT p.i, p.j, round(p.exy - a.mu * b.mu, 9) AS c
+    SELECT p.i, p.j, round(p.exy - a.mu * b.mu, 6) AS c
     FROM (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
           FROM xs a JOIN xs b USING (vec_id) GROUP BY a.i, b.i) p
     JOIN mu a ON a.i = p.i
@@ -1005,18 +1014,22 @@ WITH xs AS MATERIALIZED (
     SELECT sum(c) AS tr FROM cov WHERE i = j
 ), sgn AS (
     SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM v{L} WHERE j = 0
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _pca_sql(iters: int = PCA_ITERS, d: int = 64) -> str:
+    return _pca_cte_sql(iters, d) + f"""
 SELECT CAST(v.j AS INTEGER) AS pos, mu.mu AS mu,
        round(v.vj * sgn.sgn, 6) AS pc1,
        round(lam.lam, 6) AS eigenvalue,
        round(lam.lam / nullif(tr.tr, 0), 6) AS var_share
-FROM v{L} v
+FROM v{iters} v
 JOIN mu ON mu.i = v.j
 CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn
 ORDER BY pos
 """
-    )
-    return "".join(parts)
 
 
 EMBED_PCA_SQL = _pca_sql()
@@ -1072,7 +1085,7 @@ def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_ABTT_SQL = (
-    EMBED_PCA_SQL.rstrip()[: EMBED_PCA_SQL.rstrip().rfind("SELECT")].rstrip()
+    _pca_cte_sql()
     + f""", pca AS (
     SELECT CAST(v.j AS INTEGER) AS i, mu.mu AS mu,
            round(v.vj * sgn.sgn, 6) AS pc1

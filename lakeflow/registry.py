@@ -449,7 +449,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # pairs by construction. Exact twin below keeps the exhaustive
     # all-pairs closure as the recall baseline.
     "q_cluster_split": (
-        lambda spark, sf: dedup.cluster_split(spark, sf, bits=5, bands=38),
+        lambda spark, sf: dedup.cluster_split(
+            spark, sf, bits=dedup.LSH_BITS, bands=dedup.LSH_BANDS
+        ),
         dedup.CLUSTER_SPLIT_LSH_SQL,
     ),
     "q_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
@@ -543,7 +545,8 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # banding itself via portable hyperplanes (r5)
     "q_dedup_embedding": (
         lambda spark, sf: dedup.embedding_near_dups_lsh(
-            spark, sf, threshold=0.4, bits=5, bands=38
+            spark, sf, threshold=dedup.LSH_THRESHOLD,
+            bits=dedup.LSH_BITS, bands=dedup.LSH_BANDS
         ),
         dedup.EMBEDDING_LSH_SQL,
     ),
@@ -558,7 +561,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # one borderline pair at sf0.01, VERDICT r5 finding #1). The
     # *_exact twins keep the exhaustive closure as the recall baseline.
     "q_dedup_clusters": (
-        lambda spark, sf: dedup.dedup_clusters(spark, sf, bits=5, bands=38),
+        lambda spark, sf: dedup.dedup_clusters(
+            spark, sf, bits=dedup.LSH_BITS, bands=dedup.LSH_BANDS
+        ),
         dedup.DEDUP_CLUSTERS_LSH_SQL,
     ),
     "q_dedup_clusters_exact": (
