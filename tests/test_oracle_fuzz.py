@@ -295,6 +295,56 @@ def _duck_embeddings_only(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 64-dim embeddings fuzz: the PQ/IVF-PQ subspace geometry (VERDICT r6 #7)
+# --------------------------------------------------------------------------
+
+# The 4-dim corpus above cannot exercise PQ's 8×8-dim subspace slicing,
+# the per-subspace codebook seeds, or the d=64 covariance — this draw
+# runs the quantization family on its real geometry. Same 1/64 grid
+# (exact float32) including all-zero vectors; corpora smaller than the
+# ks=8 codebook / n_lists=8 coarse seeds exercise the short-seed paths.
+_vec64 = st.lists(_coord, min_size=64, max_size=64)
+_emb64_row = st.tuples(_vec64, st.sampled_from([0, 1, None]))
+
+EMB64_FUZZ_QUERIES = (
+    "q_knn_sq8",
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_embed_pca",
+    "q_embed_abtt",
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=st.lists(_emb64_row, min_size=1, max_size=12))
+def test_quantization_family_matches_duckdb_on_random_64dim_corpora(
+    spark, tmp_path_factory, rows
+):
+    sf_dir = str(tmp_path_factory.mktemp("vfuzz64") / uuid.uuid4().hex[:8])
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, vec, label) for i, (vec, label) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = None
+    try:
+        con = _duck_embeddings_only(sf_dir)
+        for name in EMB64_FUZZ_QUERIES:
+            fn, sql = registry.ALL_QUERIES[name]
+            compare(fn(spark, sf_dir), con, sql, f"fuzz64:{name}")
+    finally:
+        if con is not None:
+            con.close()
+
+
+# --------------------------------------------------------------------------
 # Relational (orders/lineitem) fuzz: profiling + scan-agg families
 # --------------------------------------------------------------------------
 # Data stays inside the TPC-H-ish contract (quantity >= 1, prices >= 0,
