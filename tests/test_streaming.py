@@ -393,3 +393,22 @@ def test_rollup_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     }
     assert after == before  # no double-counting
     assert tx.latest_version() == version_before  # replays committed nothing
+
+
+def test_streaming_ingest_demo_end_to_end(spark, sf_dir, tmp_path):
+    """The README demo: bronze exactly-once ingest → gold watermarked
+    rollup → /metrics scrape, with the stream≡batch agreement asserted
+    over the SAME bronze table, and a re-run ingesting nothing new."""
+    from lakeflow.demo import streaming_ingest_demo
+
+    s = streaming_ingest_demo(spark, sf_dir, str(tmp_path))
+    assert s["bronze_rows"] > 0
+    assert s["gold_windows"] > 0
+    assert s["stream_matches_batch"]
+    assert s["metrics_scraped"]
+    # idempotence: the checkpointed file source re-ingests nothing and
+    # the gold drain emits no new batch (exactly-once on both tiers)
+    s2 = streaming_ingest_demo(spark, sf_dir, str(tmp_path))
+    assert s2["bronze_rows"] == s["bronze_rows"]
+    assert s2["gold_windows"] == 0
+    assert s2["stream_matches_batch"] is None

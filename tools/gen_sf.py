@@ -148,6 +148,9 @@ def gen_embeddings(k: int, dst: str, rng: np.random.Generator) -> None:
 
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sfdata/sf1"
+    if dst.startswith("-"):
+        # a flag-looking dst has twice created a 164 MB "--help" dir
+        sys.exit(f"usage: gen_sf.py [dst_dir] [k]   (got dst={dst!r})")
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     rng = np.random.default_rng(42)
