@@ -1106,3 +1106,97 @@ FROM agg
 ORDER BY vec_id
 """
 )
+
+
+RP_K = 16  # output dimensionality of the sparse random projection
+
+
+def embed_rp(
+    spark: SparkSession, sf_dir: str, k: int = RP_K, d: int = 64
+) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003, public: JL-type
+    embedding with database-friendly ±1 entries at density 1/3) —
+    the cheap dimensionality cut a 100 TB pipeline runs BEFORE
+    LSH/clustering/ANN when the raw embedding width is the cost
+    driver: y = sqrt(3/k) · Rᵀx with R_ij ∈ {+1, −1, 0} drawn with
+    probabilities {1/6, 1/6, 2/3}.
+
+    The projection matrix is PORTABLE, not random-state: R_ij is
+    derived from the md5 hash of "i_j" (mod 6 → {+1 on 0, −1 on 1,
+    0 otherwise} — exactly Achlioptas's distribution), so the matrix
+    is a pure function both engines rebuild bit-identically; no RNG,
+    no broadcast of driver state. Plan: the d×k sign matrix (d·k/3
+    nonzero rows) broadcast-joins the exploded coordinates and one
+    partial-aggregated (vec_id, j) sum produces the projection — a
+    single shuffle of k·N rows regardless of d, and the zero entries
+    never enter the join.
+
+    Output: (vec_id, pos, y) long form, 6dp (signed double sums are
+    shuffle-order-dependent — the certified quantum). Unbiasedness
+    E‖y‖² = ‖x‖² is asserted in tests; the replay oracle rebuilds R
+    from the same md5 in SQL.
+    """
+    from lakeflow.ext.dedup import _md5h32
+    from lakeflow.ext.similarity import _dvec
+
+    scale = (3.0 / k) ** 0.5
+    sign = (
+        spark.range(d)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(k).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.pmod(_md5h32(F.concat_ws("_", "i", "j")), F.lit(6)).alias("h"),
+        )
+        .select(
+            "i",
+            "j",
+            F.when(F.col("h") == 0, 1).when(F.col("h") == 1, -1).otherwise(0).alias(
+                "r"
+            ),
+        )
+        .filter(F.col("r") != 0)
+    )
+    xs = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", F.posexplode("v").alias("i", "x"))
+    )
+    return (
+        xs.join(F.broadcast(sign), "i")
+        .groupBy("vec_id", F.col("j").alias("pos"))
+        .agg(F.round(F.sum(F.col("x") * F.col("r")) * F.lit(scale), 6).alias("y"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+def _embed_rp_sql(k: int = RP_K, d: int = 64) -> str:
+    scale = (3.0 / k) ** 0.5
+    return f"""
+WITH v0 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), xs AS (
+    SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
+    FROM v0 CROSS JOIN generate_series(1, {d}) t(i)
+    WHERE t.i <= len(v)
+), sign AS (
+    SELECT i, j, CASE h WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+    FROM (
+        SELECT gi.i, gj.j,
+               CAST('0x' || substr(md5(CAST(gi.i AS VARCHAR) || '_' ||
+                    CAST(gj.j AS VARCHAR)), 1, 8) AS BIGINT) % 6 AS h
+        FROM generate_series(0, {d - 1}) gi(i)
+        CROSS JOIN generate_series(0, {k - 1}) gj(j)
+    )
+)
+SELECT xs.vec_id, CAST(s.j AS INTEGER) AS pos,
+       round(sum(xs.x * s.r) * {scale!r}, 6) AS y
+FROM xs JOIN sign s ON s.i = xs.i AND s.r <> 0
+GROUP BY xs.vec_id, s.j
+ORDER BY vec_id, pos
+"""
+
+
+EMBED_RP_SQL = _embed_rp_sql()

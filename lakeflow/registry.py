@@ -610,6 +610,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # corrected norm via the unit-vector identity ‖c−⟨c,v⟩v‖² =
     # ‖c‖²−⟨c,v⟩², so removal is ONE aggregate pass per vector
     "q_embed_abtt": (profile.embed_abtt, profile.EMBED_ABTT_SQL),
+    # sparse random projection (r7, Achlioptas): portable md5-derived
+    # ±1 sign matrix at density 1/3 — the pre-LSH/ANN dimensionality
+    # cut; one broadcast join + one partial-aggregated (vec, dim) sum
+    "q_embed_rp": (profile.embed_rp, profile.EMBED_RP_SQL),
     "q_scalar_subquery": (
         relational.scalar_subquery_above_avg,
         relational.SCALAR_SUBQUERY_SQL,

@@ -1390,3 +1390,29 @@ def test_knn_ivfpq_composition_invariants(spark, sf_dir):
         probed.setdefault(r.vec_id, set()).add(r.list_id)
     for r in ivfpq_rows:
         assert lists[r.vec_id] in probed[r.q_id], (r.q_id, r.vec_id)
+
+
+def test_embed_rp_unbiased_and_sparse(spark, sf_dir):
+    """JL unbiasedness: E‖y‖² = ‖x‖², so the corpus-mean norm ratio
+    must sit near 1 (var 2/k per vector → the 500-vector mean is tight);
+    the portable sign matrix must have ~1/3 density (Achlioptas), and
+    every vector must project to at most k output rows."""
+    from lakeflow.ext import profile as profile_ops
+
+    rows = profile_ops.embed_rp(spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.y)
+    assert all(len(ys) <= profile_ops.RP_K for ys in by_vec.values())
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    ratios = []
+    for vid, ys in by_vec.items():
+        nx2 = sum(float(x) * float(x) for x in emb[vid])
+        if nx2 > 0:
+            ratios.append(sum(y * y for y in ys) / nx2)
+    assert ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, f"JL unbiasedness violated: mean ratio {mean}"

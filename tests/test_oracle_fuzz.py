@@ -251,6 +251,9 @@ EMB_FUZZ_QUERIES = (
     # all-but-the-top (r6): inherits PCA's degenerate paths plus the
     # vector-along-pc1 cancellation (norm_after clamped at 0)
     "q_embed_abtt",
+    # sparse random projection (r7): len(v) < 64 exercises the partial
+    # sign-matrix join; all-zero vectors project to exact zeros
+    "q_embed_rp",
 )
 
 
@@ -312,6 +315,7 @@ EMB64_FUZZ_QUERIES = (
     "q_knn_ivfpq",
     "q_embed_pca",
     "q_embed_abtt",
+    "q_embed_rp",
 )
 
 

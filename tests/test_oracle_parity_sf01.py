@@ -111,6 +111,9 @@ HEAVY = [
     # the vectors — float-accumulation sensitivity is the whole risk
     "q_embed_pca",
     "q_embed_abtt",
+    # sparse random projection (r7): signed double sums over 10× the
+    # vectors — same float-accumulation risk class as the PCA family
+    "q_embed_rp",
 ]
 
 _missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
