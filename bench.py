@@ -142,6 +142,11 @@ EXTENDED_QUERIES = (
     "q_embed_pca",
     "q_embed_abtt",
     "q_curation_audit",
+    "q_knn_ivfpq",
+    "q_embed_rp",
+    "q_ann_recall",
+    "q_quantile_hist",
+    "q_source_kl",
 )
 
 

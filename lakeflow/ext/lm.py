@@ -810,3 +810,110 @@ SELECT doc_id, bm25, cosine,
 FROM scored
 ORDER BY bm25 DESC, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution divergence (r7)
+# ---------------------------------------------------------------------------
+
+
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the mixture-design diagnostic that ranks
+    sources by how far their token statistics sit from the blend the
+    model will actually train on (the quantity temperature mixing /
+    DSIR reweighting then act on). KL(source ‖ corpus) =
+    Σ_w p_s(w)·ln(p_s(w)/p_c(w)), computed from exact integer counts:
+    per-token terms c_sw·(ln c_sw − ln n_s − ln C_w + ln N) are
+    quantized to integer micro-units (floor(x·1e6 + 0.5)) BEFORE the
+    vocabulary sum, so the reduction is an order-free integer sum — the
+    same portability recipe as q_quality_classifier's milli-unit
+    features — and the final division + 6dp round certifies in DuckDB.
+    KL ≥ 0 always; 0 iff the source's distribution equals the corpus's.
+
+    Plan shape: one corpus-sized explode → (source, token) partial-agg
+    groupBy (the only instance-scale shuffle); corpus token totals
+    derive from the per-source counts by a second, vocabulary-sized
+    aggregate — never a second corpus scan; scalar totals broadcast
+    back via 1-row cross joins. State is vocabulary-sized throughout.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    tok = (
+        tokenized(normalized_docs(spark, sf_dir), "source")
+        .select("source", F.explode("tokens").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    from pyspark import StorageLevel
+
+    # the vocabulary-sized (source, token) counts feed THREE branches
+    # (per-source totals, corpus token totals, the term join) — without
+    # the persist each branch re-derives the corpus explode + shuffle;
+    # cached, the corpus is scanned once and everything downstream is
+    # vocabulary-sized (same tier discipline as normalized_docs)
+    c_sw = (
+        tok.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_s = c_sw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    c_w = c_sw.groupBy("tok").agg(F.sum("c").alias("cw"))
+    n = c_w.agg(F.sum("cw").alias("n_total"))
+    term = (
+        F.col("c")
+        * (F.log("c") - F.log("n_s") - F.log("cw") + F.log("n_total"))
+    )
+    terms = (
+        c_sw.join(c_w, "tok")
+        .join(F.broadcast(n_s), "source")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("ti"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.count("*").alias("n_vocab"), F.sum("ti").alias("ti_sum"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            F.round(F.col("ti_sum") / F.lit(1e6) / F.col("n_s"), 6).alias(
+                "kl_vs_corpus"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_KL_SQL = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+), c_sw AS (
+    SELECT source, tok, count(*) AS c FROM tok WHERE tok != '' GROUP BY 1, 2
+), n_s AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM c_sw GROUP BY source
+), c_w AS (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS cw FROM c_sw GROUP BY tok
+), n AS (
+    SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM c_w
+), terms AS (
+    SELECT s.source, ns.n_s,
+           CAST(floor(s.c * (ln(s.c) - ln(ns.n_s) - ln(w.cw) + ln(n.n_total)) * 1000000 + 0.5) AS BIGINT) AS ti
+    FROM c_sw s
+    JOIN c_w w USING (tok)
+    JOIN n_s ns USING (source)
+    CROSS JOIN n
+)
+SELECT source,
+       n_s AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       round(CAST(sum(ti) AS BIGINT) / 1000000.0 / n_s, 6) AS kl_vs_corpus
+FROM terms
+GROUP BY source, n_s
+ORDER BY source
+"""

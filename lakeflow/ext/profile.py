@@ -1200,3 +1200,183 @@ ORDER BY vec_id, pos
 
 
 EMBED_RP_SQL = _embed_rp_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid quantile sketch (r7)
+# ---------------------------------------------------------------------------
+
+QH_BINS = 256  # grid resolution; error bound = (max-min)/QH_BINS per estimate
+QH_PS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def quantile_hist(
+    spark: SparkSession,
+    sf_dir: str,
+    bins: int = QH_BINS,
+    ps: tuple[float, ...] = QH_PS,
+) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch over ``l_extendedprice``:
+    one global [min,max] grid of ``bins`` equal-width cells, per-group
+    (``l_returnflag``) bin counts, quantile answers read off the
+    cumulative counts — with the merged corpus sketch (scope ``ALL``)
+    built by ADDING the per-group bin counts, never by re-scanning the
+    data. That merge-by-addition is the whole point: it is the property
+    the exact PERCENTILE_DISC family (q_median_by_group,
+    q_percentile_multi — full sort per group) cannot have, and the
+    property a 100 TB deployment needs (per-partition sketches sum
+    into the global answer; state is ``bins`` cells regardless of
+    corpus size, the same bounded-state shape as q_cm_sketch /
+    q_hll_sketch).
+
+    Unlike Spark's built-in approxQuantile (Greenwald-Khanna, a
+    driver-side sketch with no SQL twin), every step here is
+    engine-portable arithmetic — single IEEE subtract/divide/floor per
+    row for bin assignment, integer cumulative counts, upper-edge
+    estimates ``min + (bin+1)·w`` rounded at 6dp — so the sketch, the
+    merge, and the estimates all certify value-by-value in DuckDB
+    (QUANTILE_HIST_SQL). Estimate error is ≤ one cell width by
+    construction (upper-edge rule), audited in tests against the exact
+    percentiles.
+
+    Scale shape: one scalar min/max aggregate (broadcast back as a
+    1-row frame — the scalar-subquery pattern, never a collect), one
+    map stage for bin assignment, one partial-agg groupBy into
+    |groups|·bins bounded cells; everything after the sketch is
+    sketch-sized (windows/joins over ≤ (|groups|+1)·bins rows).
+    """
+    from pyspark import StorageLevel
+
+    li = (
+        io.read_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    # the 1-row grid bounds and the bounded sketch are each consumed by
+    # several downstream branches; without persisting them Catalyst
+    # re-derives the whole corpus pipeline per consumer (measured: 9
+    # parquet scans, 23 exchanges at sf0.001) — persisting the TINY
+    # frames pins the corpus work to its information-theoretic minimum
+    # of two passes (min/max, then counts), the same tier discipline as
+    # normalized_docs; CacheManager dedupes the plan across calls
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    binned = li.join(F.broadcast(stats)).select(
+        F.col("l_returnflag").alias("scope"),
+        # degenerate range (mx == mn, e.g. a constant column under the
+        # fuzz gate) pins everything to bin 0 explicitly — the raw
+        # division would be 0/0 = NaN, and NULL-vs-NaN inside
+        # least()/floor() is exactly the kind of engine edge the
+        # oracle gate exists to keep out of the plan
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("mn")) / width
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    per = (
+        binned.groupBy("scope", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merged = (
+        per.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("scope"), "bin", "cnt")
+    )
+    sk = per.unionByName(merged)
+    wn = Window.partitionBy("scope").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(wn)).select("scope", "bin", "cum")
+    tot = sk.groupBy("scope").agg(F.sum("cnt").alias("n_rows"))
+    qs = (
+        tot.select(
+            "scope",
+            "n_rows",
+            F.explode(F.array([F.lit(p) for p in ps])).alias("p"),
+        )
+        .withColumn(
+            "rank_target", F.ceil(F.col("p") * F.col("n_rows")).cast("bigint")
+        )
+    )
+    sel = (
+        qs.join(cum, "scope")
+        .filter(F.col("cum") >= F.col("rank_target"))
+        .groupBy("scope", "p", "n_rows", "rank_target")
+        .agg(F.min("bin").alias("sel_bin"))
+    )
+    return (
+        sel.join(F.broadcast(stats))
+        .select(
+            "scope",
+            "p",
+            "n_rows",
+            "rank_target",
+            F.round(
+                F.col("mn")
+                + (F.col("sel_bin") + F.lit(1))
+                * ((F.col("mx") - F.col("mn")) / F.lit(float(bins))),
+                6,
+            ).alias("est"),
+        )
+        .orderBy("scope", "p")
+    )
+
+
+def _quantile_hist_sql(bins: int = QH_BINS, ps: tuple[float, ...] = QH_PS) -> str:
+    """DuckDB twin of :func:`quantile_hist`: identical single-op IEEE
+    bin assignment, integer cumulative counts (explicit BIGINT casts —
+    DuckDB SUM widens to HUGEINT), and the same upper-edge estimate.
+    """
+    plist = ", ".join(repr(p) for p in ps)
+    return f"""
+WITH li AS (
+    SELECT l_returnflag, l_extendedprice FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+), st AS (
+    SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM li
+), binned AS (
+    SELECT l_returnflag AS scope,
+           CASE WHEN mx = mn THEN 0
+                ELSE LEAST({bins - 1},
+                           CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / {float(bins)!r})) AS INT))
+           END AS bin
+    FROM li CROSS JOIN st
+), per AS (
+    SELECT scope, bin, COUNT(*) AS cnt FROM binned GROUP BY scope, bin
+), mrg AS (
+    SELECT 'ALL' AS scope, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM per GROUP BY bin
+), sk AS (
+    SELECT * FROM per UNION ALL SELECT * FROM mrg
+), cum AS (
+    SELECT scope, bin,
+           SUM(cnt) OVER (PARTITION BY scope ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM sk
+), tot AS (
+    SELECT scope, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM sk GROUP BY scope
+), qs AS (
+    SELECT scope, n_rows, p,
+           CAST(CEIL(p * n_rows) AS BIGINT) AS rank_target
+    FROM tot CROSS JOIN (SELECT UNNEST([{plist}]) AS p) ptab
+), sel AS (
+    SELECT q.scope, q.p, q.n_rows, q.rank_target, MIN(c.bin) AS sel_bin
+    FROM qs q JOIN cum c ON c.scope = q.scope AND c.cum >= q.rank_target
+    GROUP BY q.scope, q.p, q.n_rows, q.rank_target
+)
+SELECT scope, p, n_rows, rank_target,
+       ROUND(mn + (sel_bin + 1) * ((mx - mn) / {float(bins)!r}), 6) AS est
+FROM sel CROSS JOIN st
+ORDER BY scope, p
+"""
+
+
+QUANTILE_HIST_SQL = _quantile_hist_sql()

@@ -1344,3 +1344,96 @@ def _knn_ivfpq_sql(
 
 
 KNN_IVFPQ_SQL = _knn_ivfpq_sql()
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k certification of the ANN family against the exact
+    brute-force ground truth — the "measure, don't guess" capstone for
+    the similarity module: every approximate index in the repo
+    (sign-LSH buckets, IVF inverted lists, SQ8 scalar quantization,
+    IVF-PQ compressed-domain ADC) is scored against
+    :func:`knn_bruteforce` in ONE declarative plan, and the whole
+    evaluation (ground truth, all four ANN pipelines, the recall join)
+    replays in DuckDB (ANN_RECALL_SQL), so the recall numbers
+    themselves are oracle-certified, not just eyeballed.
+
+    Output: one row per method — pairs returned, ground-truth hits,
+    ground-truth pairs, recall@k — the table a 100 TB deployment reads
+    before picking its index (together with the measured latency
+    decades in SCALE.md). All parameters are the registered defaults of
+    the underlying queries so each sub-pipeline is byte-identical to
+    its own certified registry entry.
+
+    Scale shape: the four ANN plans and the brute-force plan each keep
+    their own certified scale story; everything downstream of them is
+    top-k-sized (n_queries·k rows per method), so the recall join and
+    the per-method aggregate are broadcast-small regardless of corpus
+    size.
+    """
+    gt = knn_bruteforce(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    methods = [
+        ("ivf", knn_ivf),
+        ("ivfpq", knn_ivfpq),
+        ("lsh", knn_lsh),
+        ("sq8", knn_sq8),
+    ]
+    tagged = None
+    for name, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "q_id", "vec_id"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    total = gt.agg(F.count("*").alias("gt_pairs"))
+    per = (
+        tagged.join(broadcast(gt), ["q_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("returned_pairs"),
+            F.count("hit").alias("hits"),
+        )
+    )
+    return (
+        per.crossJoin(broadcast(total))
+        .select(
+            "method",
+            "returned_pairs",
+            "hits",
+            "gt_pairs",
+            F.round(F.col("hits") / F.col("gt_pairs"), 6).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+#: DuckDB twin of :func:`ann_recall` — structural composition of the
+#: five certified replays (each inlined as a parenthesized subquery, so
+#: their CTE namespaces stay scoped and cannot collide), with the same
+#: COUNT-based hit accounting (COUNT(g.q_id) keeps BIGINT on both
+#: engines; SUM would widen to HUGEINT in DuckDB).
+ANN_RECALL_SQL = f"""
+WITH gt AS MATERIALIZED (
+    SELECT q_id, vec_id FROM ({KNN_BRUTEFORCE_SQL})
+), ann AS MATERIALIZED (
+    SELECT 'ivf' AS method, q_id, vec_id FROM ({KNN_IVF_SQL})
+    UNION ALL
+    SELECT 'ivfpq' AS method, q_id, vec_id FROM ({KNN_IVFPQ_SQL})
+    UNION ALL
+    SELECT 'lsh' AS method, q_id, vec_id FROM ({KNN_LSH_SQL})
+    UNION ALL
+    SELECT 'sq8' AS method, q_id, vec_id FROM ({KNN_SQ8_SQL})
+), tot AS (
+    SELECT COUNT(*) AS gt_pairs FROM gt
+)
+SELECT a.method,
+       COUNT(*) AS returned_pairs,
+       COUNT(g.q_id) AS hits,
+       t.gt_pairs,
+       ROUND(CAST(COUNT(g.q_id) AS DOUBLE) / t.gt_pairs, 6) AS recall_at_k
+FROM ann a
+LEFT JOIN gt g ON g.q_id = a.q_id AND g.vec_id = a.vec_id
+CROSS JOIN tot t
+GROUP BY a.method, t.gt_pairs
+ORDER BY method
+"""

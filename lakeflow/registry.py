@@ -496,6 +496,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_mmr_rerank": (lm.mmr_rerank, lm.MMR_RERANK_SQL),
     # per-language unigram entropy / vocabulary stats (two partial aggs)
     "q_token_entropy": (lm.token_entropy, lm.TOKEN_ENTROPY_SQL),
+    # per-source KL divergence from the corpus unigram mix (r7): the
+    # mixture-design diagnostic; vocabulary terms quantized to integer
+    # micro-units BEFORE the sum → order-free reduction, certifiable
+    "q_source_kl": (lm.source_kl, lm.SOURCE_KL_SQL),
     # grid-evaluated KS drift: the sup-CDF-gap companion to q_drift_psi
     # (exact KS needs a global sort — the grid keeps it aggregate-shaped)
     "q_drift_ks": (profile.drift_ks, profile.DRIFT_KS_SQL),
@@ -601,6 +605,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # AND its accuracy audit certify; q_approx_distinct keeps the
     # engine-native HLL++ as the rows-only twin
     "q_hll_sketch": (profile.hll_sketch, profile.HLL_SKETCH_SQL),
+    # mergeable fixed-grid quantile sketch (r7): bounded |groups|·bins
+    # state, merge = bin-count ADDITION (scope ALL never re-scans), all
+    # arithmetic engine-portable — the certifiable percentile sketch
+    # beside the exact PERCENTILE_DISC family and the rows-only
+    # approxQuantile; error ≤ one cell width, audited in tests
+    "q_quantile_hist": (profile.quantile_hist, profile.QUANTILE_HIST_SQL),
     # embedding PCA by power iteration (r6, late): one corpus pass for
     # the d² covariance, then bounded d²-row iterates — the certified
     # iterative-algorithm pattern (BPE/IVF) applied to linear algebra;
@@ -666,6 +676,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # query cost vs q_knn_pq's full-code scan; oracle composes the two
     # certified replays structurally
     "q_knn_ivfpq": (similarity.knn_ivfpq, similarity.KNN_IVFPQ_SQL),
+    # recall@k certification of the whole ANN family vs the brute-force
+    # ground truth in ONE plan (r7): the recall numbers themselves are
+    # oracle-replayed, so index quality is certified, not eyeballed
+    "q_ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),

@@ -1416,3 +1416,79 @@ def test_embed_rp_unbiased_and_sparse(spark, sf_dir):
     assert ratios
     mean = sum(ratios) / len(ratios)
     assert 0.75 < mean < 1.25, f"JL unbiasedness violated: mean ratio {mean}"
+
+
+def test_quantile_hist_error_bound_and_merge(spark, sf_dir):
+    """The fixed-grid sketch's upper-edge estimates must land within
+    one cell width ABOVE the exact percentile (never below it — the
+    selected bin's upper edge covers the target rank by construction),
+    and the merged ALL sketch must account for exactly the sum of the
+    per-group counts."""
+    from pyspark.sql import functions as F
+
+    from lakeflow import io as io_mod
+    from lakeflow.ext import profile as profile_ops
+
+    rows = profile_ops.quantile_hist(spark, sf_dir).collect()
+    li = (
+        io_mod.read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    width = (mx - mn) / profile_ops.QH_BINS
+
+    grouped = {}
+    for r in rows:
+        grouped.setdefault(r.scope, []).append(r)
+    assert "ALL" in grouped and len(grouped) >= 2
+    n_all = grouped["ALL"][0].n_rows
+    assert n_all == sum(g[0].n_rows for s, g in grouped.items() if s != "ALL")
+
+    for scope, g in grouped.items():
+        flt = li if scope == "ALL" else li.filter(F.col("l_returnflag") == scope)
+        for r in g:
+            exact = flt.agg(
+                F.expr(
+                    f"percentile_disc({r.p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+                )
+            ).first()[0]
+            assert exact <= r.est + 1e-6, (scope, r.p, exact, r.est)
+            assert r.est - exact <= width + 1e-6, (scope, r.p, exact, r.est)
+
+
+def test_ann_recall_invariants(spark, sf_dir):
+    """Every method's recall is a valid fraction of the shared ground
+    truth; SQ8 (quantize + exact rerank, no candidate pruning beyond
+    k·rerank) must achieve perfect recall on the fixture corpus; each
+    method returns exactly the ground-truth pair count (k per query)."""
+    from lakeflow.ext import similarity as sim
+
+    rows = sim.ann_recall(spark, sf_dir).collect()
+    assert sorted(r.method for r in rows) == ["ivf", "ivfpq", "lsh", "sq8"]
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.hits <= r.returned_pairs == r.gt_pairs
+    by = {r.method: r for r in rows}
+    assert by["sq8"].recall_at_k == 1.0
+
+
+def test_source_kl_invariants(spark, sf_dir):
+    """Gibbs' inequality: KL(source ‖ corpus) ≥ 0 for every source
+    (up to the 1e-6 quantization floor), with equality only for a
+    distribution identical to the corpus mix; token totals must sum to
+    the corpus total."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.ext import lm as lm_ops
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    rows = lm_ops.source_kl(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert all(r.kl_vs_corpus >= -1e-6 for r in rows)
+    total = (
+        tokenized(normalized_docs(spark, sf_dir))
+        .select(F.explode("tokens").alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == total

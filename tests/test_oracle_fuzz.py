@@ -81,6 +81,10 @@ FUZZ_QUERIES = (
     # count-min sketch (r6): random vocabularies change which tokens
     # collide — the overcount column must replay exactly anyway
     "q_cm_sketch",
+    # per-source KL (r7): single-source corpora (KL must be exactly 0),
+    # NULL sources, shared-vocab degenerate draws — the ln-term
+    # micro-unit quantization must replay across all of them
+    "q_source_kl",
 )
 
 
@@ -393,6 +397,10 @@ REL_FUZZ_QUERIES = (
     # small-range linear-counting branch — both the correction and the
     # raw path must replay
     "q_hll_sketch",
+    # fixed-grid quantile sketch (r7): constant-price corpora force the
+    # degenerate mx == mn branch (bin 0 everywhere), single-row tables
+    # force 1-bin cumulative ranks — both grid edges must replay
+    "q_quantile_hist",
 )
 
 

@@ -114,6 +114,16 @@ HEAVY = [
     # sparse random projection (r7): signed double sums over 10× the
     # vectors — same float-accumulation risk class as the PCA family
     "q_embed_rp",
+    # ANN recall certification (r7): one plan composing all four
+    # approximate indexes + the brute-force ground truth — every
+    # scale-sensitive sub-pipeline above, certified together
+    "q_ann_recall",
+    # mergeable quantile sketch (r7): grid width/bin-edge flips are
+    # data-range-sensitive — a decade up changes min/max and every edge
+    "q_quantile_hist",
+    # per-source KL (r7): ln-term micro-unit sums over 10× the
+    # vocabulary instances — float-portability risk scales with corpus
+    "q_source_kl",
 ]
 
 _missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
