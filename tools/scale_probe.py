@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Decade-sweep probe: time registered queries (or ad-hoc variants) at a
+local sf dir with cold + N warm runs, one JSON line per query.
+
+Usage:
+    LAKEFLOW_DRIVER_MEM=64g python tools/scale_probe.py <sf_dir> q1 q2 ...
+    python tools/scale_probe.py <sf_dir> --variant ivfpq64   # free-param runs
+
+Unlike bench.py --solo (fixed 6 warm runs, one query per process) this
+amortizes one session across the battery — matching how SCALE.md §15/§19
+recorded sf10 rows — and supports the documented free-parameter variants
+(semdedup n_lists, PQ train_mod, IVF-PQ n_lists/nprobe) that the pinned
+registry defaults exclude by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WARM = int(os.environ.get("PROBE_WARM", "3"))  # 0 → cold-only single runs
+# (the right mode for the big ANN scans: they persist no tiers, so a
+# warm run just repeats the cold one at 4× the wall-clock)
+
+
+def variant_curation_capped(spark, sf_dir):
+    """The deployment-shaped audit: cluster_bucket_cap=128 (SCALE.md §16
+    cap economics) — byte-identical funnel at the measured corpora, -69%
+    LSH candidates; the certified default stays uncapped."""
+    from lakeflow.ext import curation
+
+    return curation.curated_docs(spark, sf_dir, cluster_bucket_cap=128)
+
+
+def variant_ivfpq64(spark, sf_dir):
+    """IVF-PQ at deployment-shaped pruning (n_lists=64, nprobe=8 → 1/8 of
+    the corpus codes ADC-scanned per query) — the free-parameter scale
+    story beside the oracle-pinned 8/4 default, same train_mod recipe."""
+    from lakeflow.ext import similarity
+
+    return similarity.knn_ivfpq(spark, sf_dir, n_lists=64, nprobe=8, train_mod=10)
+
+
+def variant_pq_train10(spark, sf_dir):
+    from lakeflow.ext import similarity
+
+    return similarity.knn_pq(spark, sf_dir, train_mod=10)
+
+
+VARIANTS = {
+    "ivfpq64": variant_ivfpq64,
+    "pq_train10": variant_pq_train10,
+    "curation_capped": variant_curation_capped,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    from bench import calibration
+
+    from lakeflow import registry
+    from lakeflow.session import get_session
+
+    spark = get_session("lakeflow-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+    cal = calibration(spark)
+    print(json.dumps({"sf_dir": sf_dir, **cal}), flush=True)
+    i = 0
+    while i < len(names):
+        if names[i] == "--variant":
+            name, fn = names[i + 1], VARIANTS[names[i + 1]]
+            i += 2
+        else:
+            name, fn = names[i], qmap[names[i]]
+            i += 1
+        try:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            cold = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(WARM):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(round(time.perf_counter() - t0, 3))
+            rec = {
+                "q": name,
+                "median_warm": sorted(runs)[len(runs) // 2] if runs else None,
+                "cold": cold,
+                "runs": runs,
+                "rows": n,
+            }
+        except Exception as e:  # record, keep probing
+            rec = {"q": name, "err": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(rec), flush=True)
+        spark.catalog.clearCache()  # tiers must not leak across queries
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
