@@ -147,6 +147,7 @@ EXTENDED_QUERIES = (
     "q_ann_recall",
     "q_quantile_hist",
     "q_source_kl",
+    "q_knn_ivfpq_hi",
 )
 
 

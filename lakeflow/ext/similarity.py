@@ -1437,3 +1437,18 @@ CROSS JOIN tot t
 GROUP BY a.method, t.gt_pairs
 ORDER BY method
 """
+
+
+def knn_ivfpq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-resolution IVF-PQ (SCALE.md §20.4): the registered
+    default pins ks=8 codebooks for oracle-replay economy and pays for
+    it in recall (0.058 at sf1); this twin carries the measured remedy
+    — ks=64 subspace codebooks (6-bit codes), rerank=10, nprobe=6 —
+    at ~7× the default's recall (0.414 at sf1), still fully
+    oracle-replayed: the codebook CTEs just grow to ks rows per
+    subspace. Registered so the driver certifies the deployment shape,
+    not only the certification pin."""
+    return knn_ivfpq(spark, sf_dir, ks=64, rerank=10, nprobe=6)
+
+
+KNN_IVFPQ_HI_SQL = _knn_ivfpq_sql(ks=64, rerank=10, nprobe=6)

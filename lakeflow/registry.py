@@ -676,6 +676,9 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # query cost vs q_knn_pq's full-code scan; oracle composes the two
     # certified replays structurally
     "q_knn_ivfpq": (similarity.knn_ivfpq, similarity.KNN_IVFPQ_SQL),
+    # deployment-resolution IVF-PQ (r7): ks=64/rerank=10/nprobe=6, the
+    # measured recall remedy for the certification pin (SCALE.md §20.4)
+    "q_knn_ivfpq_hi": (similarity.knn_ivfpq_hi, similarity.KNN_IVFPQ_HI_SQL),
     # recall@k certification of the whole ANN family vs the brute-force
     # ground truth in ONE plan (r7): the recall numbers themselves are
     # oracle-replayed, so index quality is certified, not eyeballed

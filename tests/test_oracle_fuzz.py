@@ -317,6 +317,9 @@ EMB64_FUZZ_QUERIES = (
     "q_knn_sq8",
     "q_knn_pq",
     "q_knn_ivfpq",
+    # deployment-resolution twin (r7): corpora smaller than the ks=64
+    # codebook exercise the short-seed path at 8× the pinned width
+    "q_knn_ivfpq_hi",
     "q_embed_pca",
     "q_embed_abtt",
     "q_embed_rp",

@@ -90,6 +90,9 @@ HEAVY = [
     # IVF-PQ composition (r7): coarse-pruned ADC — list-assignment
     # flips and probe-set membership are the scale-sensitive parts
     "q_knn_ivfpq",
+    # deployment-resolution twin (r7): ks=64 codebooks mean 8× the
+    # centroid-assignment ties to replay — more flip surface, same risk
+    "q_knn_ivfpq_hi",
     # semantic dedup (r6): k-means seeds/means + within-cluster pair
     # volume are both corpus-size-sensitive
     "q_semdedup",
