@@ -148,6 +148,7 @@ EXTENDED_QUERIES = (
     "q_quantile_hist",
     "q_source_kl",
     "q_knn_ivfpq_hi",
+    "q_pagerank",
 )
 
 

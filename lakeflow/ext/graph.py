@@ -167,3 +167,144 @@ SELECT CAST(count(*) AS BIGINT) AS triangles FROM e e1
 JOIN e e2 ON e2.s = e1.d
 JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (r7)
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_TOP = 20
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    top: int = PR_TOP,
+    edge_source: str = "lsh",
+    bits: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """Bounded-iteration PageRank over the near-dup similarity graph —
+    the centrality ranking a curation pipeline reads to find the
+    template/boilerplate hubs its degree histogram only hints at
+    (a high-PageRank doc is near-duplicated by docs that are
+    themselves widely near-duplicated: the root of a template family).
+
+    The certified iterative-algorithm pattern (BPE / IVF / PCA)
+    applied to graph propagation: per round, each node's outgoing
+    contribution r/deg is quantized to integer NANO-units
+    (floor(x·1e9 + 0.5)) BEFORE the per-target sum — an order-free
+    integer reduction — and the updated rank is 9dp-rounded, so every
+    round is bit-identical across engines and PAGERANK_SQL replays the
+    whole loop UNROLLED into chained CTEs. Undirected edges walk both
+    directions; every edge endpoint has ≥1 in-edge, so no dangling
+    mass term is needed.
+
+    Scale shape: state per round is one (node, rank) frame —
+    node-count-sized, shuffled once per round on the edge key, the
+    canonical distributed PageRank plan. ``localCheckpoint`` truncates
+    each round's lineage exactly as the k-means/BPE loops do;
+    iterations are a fixed small constant (ranking stabilizes long
+    before convergence matters for hub TRIAGE, and certification needs
+    a pinned loop count).
+    """
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands)
+    und = e.unionAll(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist()
+    deg = und.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    nn = deg.agg(F.count("*").alias("n"))
+    base = F.lit(1.0 - damping)
+    ranks = deg.join(F.broadcast(nn)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks, "s")
+            .join(deg, "s")
+            .select(
+                F.col("d"),
+                F.floor(F.col("r") / F.col("deg") * F.lit(1e9) + F.lit(0.5))
+                .cast("bigint")
+                .alias("ci"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("d")
+            .agg(F.sum("ci").alias("si"))
+            .join(F.broadcast(nn))
+            .select(
+                F.col("d").alias("s"),
+                F.round(
+                    base / F.col("n")
+                    + F.lit(damping) * (F.col("si") / F.lit(1e9)),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        ranks.join(deg, "s")
+        .select(
+            F.col("s").alias("vec_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("r").alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("vec_id"))
+        .limit(top)
+    )
+    # materialize while the edge/degree caches are alive, then release
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    deg.unpersist()
+    return out
+
+
+def _pagerank_sql(
+    threshold: float = 0.3,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    top: int = PR_TOP,
+) -> str:
+    """DuckDB twin: the LSH banding replay (shared `_lsh_cte`) plus the
+    rank loop unrolled into one CTE pair per round — identical
+    nano-unit quantization, identical 9dp rounding."""
+    parts = [
+        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7)},",
+        """
+e AS (SELECT vec_a AS s, vec_b AS d FROM pairs),
+und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY s),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT s, CAST(1.0 AS DOUBLE) / n AS r FROM deg CROSS JOIN nn)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+c{t} AS (
+    SELECT u.d,
+           SUM(CAST(floor(r.r / dg.deg * 1000000000.0 + 0.5) AS BIGINT)) AS si
+    FROM und u JOIN r{t - 1} r ON r.s = u.s JOIN deg dg ON dg.s = u.s
+    GROUP BY u.d
+), r{t} AS (
+    SELECT c{t}.d AS s,
+           round({1.0 - damping!r} / n + {damping!r} * (si / 1000000000.0), 9) AS r
+    FROM c{t} CROSS JOIN nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r.s AS vec_id, dg.deg AS degree, r.r AS pagerank
+FROM r{iters} r JOIN deg dg ON dg.s = r.s
+ORDER BY pagerank DESC, vec_id
+LIMIT {top}"""
+    )
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()

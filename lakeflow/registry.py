@@ -534,6 +534,14 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: graph.triangle_count(spark, sf, bits=4, bands=29),
         graph.TRIANGLES_LSH_SQL,
     ),
+    # bounded-iteration PageRank over the LSH near-dup graph (r7):
+    # nano-unit integer contributions per round (order-free sums) +
+    # 9dp rank rounding make the loop bit-identical across engines;
+    # the oracle unrolls all rounds into chained CTEs (BPE pattern)
+    "q_pagerank": (
+        lambda spark, sf: graph.pagerank(spark, sf, bits=4, bands=29),
+        graph.PAGERANK_SQL,
+    ),
     "q_degree_dist_exact": (
         lambda spark, sf: graph.degree_distribution(spark, sf, edge_source="exact"),
         graph.DEGREE_DIST_SQL,

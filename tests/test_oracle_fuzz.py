@@ -240,6 +240,11 @@ EMB_FUZZ_QUERIES = (
     # any corpus this generator emits.
     "q_dedup_clusters",
     "q_cluster_split",
+    # PageRank (r7): random corpora exercise empty edge sets (empty
+    # result in BOTH engines), single-edge graphs (rank mass swapping
+    # between two nodes), and planted hubs — the nano-unit loop must
+    # replay on all of them
+    "q_pagerank",
     # SemDeDup (r6): tiny corpora mean fewer vectors than n_lists and
     # zero-norm twins — seeds, Lloyd rounds, and the NULL-cosine guard
     # must all replay

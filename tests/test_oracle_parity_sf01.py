@@ -55,6 +55,10 @@ HEAVY = [
     "q_cluster_split",
     "q_degree_dist",
     "q_triangles",
+    # PageRank (r7): edge volume and hub structure are both
+    # corpus-size-sensitive; the unrolled-loop replay rides the same
+    # LSH banding as the cluster family
+    "q_pagerank",
     "q_ngram_jaccard",
     "q_containment_pairs",
     "q_winnow_fingerprints",
