@@ -47,10 +47,12 @@ def _edges(
     edge_source: str,
     bits: int | None = None,
     bands: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     if edge_source == "lsh":
         pairs = dedup.embedding_near_dups_lsh(
-            spark, sf_dir, threshold, bits=bits, bands=bands
+            spark, sf_dir, threshold, bits=bits, bands=bands,
+            bucket_cap=bucket_cap,
         )
     elif edge_source == "exact":
         pairs = dedup.embedding_near_dups(spark, sf_dir, threshold)
@@ -66,9 +68,14 @@ def degree_distribution(
     edge_source: str = "lsh",
     bits: int | None = None,
     bands: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Degree histogram of the near-dup graph: (degree, node count)."""
-    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands)
+    """Degree histogram of the near-dup graph: (degree, node count).
+
+    ``bucket_cap`` (opt-in, deployment knob — see SCALE.md §16/§20.3)
+    passes through to the LSH edge generator; certification paths
+    leave it None so the oracle banding replay is untouched."""
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap)
     und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = und.groupBy("s").agg(F.count("*").cast("int").alias("degree"))
     return (
@@ -100,6 +107,7 @@ def triangle_count(
     edge_source: str = "lsh",
     bits: int | None = None,
     bands: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Total triangles in the near-dup graph (single-row result).
 
@@ -107,7 +115,9 @@ def triangle_count(
     (e3.s, e3.d) = (e1.s, e2.d). The edge list is persisted once and
     reused by all three legs (CacheManager shares the generator's
     block-then-verify subtree)."""
-    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands).persist()
+    e = _edges(
+        spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap
+    ).persist()
     try:
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
@@ -188,6 +198,7 @@ def pagerank(
     edge_source: str = "lsh",
     bits: int | None = None,
     bands: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Bounded-iteration PageRank over the near-dup similarity graph —
     the centrality ranking a curation pipeline reads to find the
@@ -213,7 +224,7 @@ def pagerank(
     before convergence matters for hub TRIAGE, and certification needs
     a pinned loop count).
     """
-    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands)
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap)
     und = e.unionAll(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).persist()

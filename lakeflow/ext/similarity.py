@@ -1370,9 +1370,16 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-method aggregate are broadcast-small regardless of corpus
     size.
     """
+    from pyspark import StorageLevel
+
+    # the ground truth feeds both the recall join and the gt_pairs
+    # total; persisting the TINY (n_queries·k)-row frame keeps the
+    # brute-force scan — the evaluation's dominant cost — to exactly
+    # one pass (without it, Catalyst re-derives the whole O(Nq·N)
+    # pipeline for the 1-row count aggregate)
     gt = knn_bruteforce(spark, sf_dir).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     methods = [
         ("ivf", knn_ivf),
         ("ivfpq", knn_ivfpq),
