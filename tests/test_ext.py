@@ -1492,3 +1492,25 @@ def test_source_kl_invariants(spark, sf_dir):
         .count()
     )
     assert sum(r.n_tokens for r in rows) == total
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Rank mass is conserved (no dangling nodes in the undirected
+    graph, so Σ ranks = 1 up to the per-round nano-quantization), every
+    rank is positive, and the top-k cut is ordered rank-desc with the
+    vec_id tiebreak."""
+    from lakeflow.ext import graph as graph_ops
+
+    rows = graph_ops.pagerank(spark, sf_dir, top=10**6).collect()
+    assert rows, "near-dup graph should be non-empty at fixture SF"
+    total = sum(r.pagerank for r in rows)
+    # iters rounds × n nodes × 1e-9 quantum bounds the drift
+    assert abs(total - 1.0) < graph_ops.PR_ITERS * len(rows) * 2e-9 + 1e-6
+    assert all(r.pagerank > 0 for r in rows)
+    top = graph_ops.pagerank(spark, sf_dir).collect()
+    assert [
+        (r.vec_id, r.pagerank) for r in top
+    ] == [
+        (r.vec_id, r.pagerank)
+        for r in sorted(rows, key=lambda r: (-r.pagerank, r.vec_id))[: len(top)]
+    ]
