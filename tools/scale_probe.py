@@ -36,6 +36,16 @@ def variant_curation_capped(spark, sf_dir):
     return curation.curated_docs(spark, sf_dir, cluster_bucket_cap=128)
 
 
+def variant_pagerank_adaptive(spark, sf_dir):
+    """PageRank on the footer-adaptive LSH banding (bits=None → the
+    occupancy-targeted depth) — the deployment config; the registered
+    4-bit pin is a certification artifact whose bucket occupancy grows
+    linearly with corpus size and cannot scale past ~sf1."""
+    from lakeflow.ext import graph
+
+    return graph.pagerank(spark, sf_dir)
+
+
 def variant_ivfpq64(spark, sf_dir):
     """IVF-PQ at deployment-shaped pruning (n_lists=64, nprobe=8 → 1/8 of
     the corpus codes ADC-scanned per query) — the free-parameter scale
@@ -55,6 +65,7 @@ VARIANTS = {
     "ivfpq64": variant_ivfpq64,
     "pq_train10": variant_pq_train10,
     "curation_capped": variant_curation_capped,
+    "pagerank_adaptive": variant_pagerank_adaptive,
 }
 
 
