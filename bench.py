@@ -149,6 +149,7 @@ EXTENDED_QUERIES = (
     "q_source_kl",
     "q_knn_ivfpq_hi",
     "q_pagerank",
+    "q_curation_audit_capped",
 )
 
 
@@ -329,12 +330,41 @@ def sweep() -> None:
     spark.stop()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:  # sampled BEFORE this process starts its own burst
+LOAD_THRESHOLD = 2.0  # 1-min load above this before the suite = noisy host
+
+
+def _sample_load(max_wait_sec: int = 90) -> tuple[list[float] | None, bool]:
+    """Pre-suite host-load sample with a bounded settle wait.
+
+    The r7 driver bench fired at load_avg 7.43 and recorded a false +17%
+    regression that took a first-hand quiet-host re-adjudication to
+    clear (VERDICT r7 'What's wrong' #4). If the 1-min load exceeds
+    LOAD_THRESHOLD, wait up to ``max_wait_sec`` (re-sampling every 15 s)
+    for the co-tenant burst to pass; if it never does, proceed anyway
+    and return host_loaded=True so the JSON self-annotates and the
+    round-over-round comparison can discount the run instead of
+    re-litigating it."""
+    try:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
-        load = None
+        return None, False
+    waited = 0
+    while load[0] > LOAD_THRESHOLD and waited < max_wait_sec:
+        print(
+            f"# host loaded (1-min {load[0]:.2f} > {LOAD_THRESHOLD}); "
+            f"waiting 15s ({waited}/{max_wait_sec}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = [round(x, 2) for x in os.getloadavg()]
+    return load, load[0] > LOAD_THRESHOLD
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sampled BEFORE this process starts its own burst
+    load, host_loaded = _sample_load()
     from lakeflow import registry
     from lakeflow.session import get_session
 
@@ -439,6 +469,10 @@ def main() -> None:
         # 1/5/15-min load BEFORE this process's own burst, cores,
         # and the repeat count behind each median
         "load_avg": load,
+        # True = the suite started on a host whose 1-min load still
+        # exceeded LOAD_THRESHOLD after the settle wait; treat the
+        # timings as upper bounds, not a regression signal
+        "host_loaded": host_loaded,
         "cpus": os.cpu_count(),
         "repeats": repeats,
         # round-over-round comparability controls (VERDICT r3 #2):

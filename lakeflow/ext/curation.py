@@ -55,6 +55,14 @@ REP_TRIGRAM_MAX = 0.05
 PPL_BAND = (27.5, 32.0)
 SPAN_DUP_MAX = 0.5
 
+# The deployment twin's LSH bucket-occupancy cap (q_curation_audit_capped).
+# 128 is the measured knob from SCALE.md §16/§20.3: at sf10 it cut the
+# 891M-candidate self-join by 69% (the uncapped certification pin died
+# ENOSPC there) while leaving the funnel byte-identical; the oracle
+# replays the same cap inside the LSH pair CTE so both engines drop the
+# same over-cap buckets by construction.
+CLUSTER_BUCKET_CAP = 128
+
 
 def curated_docs(
     spark: SparkSession,
@@ -343,6 +351,7 @@ def curation_audit_sql(
     ppl_lo: float = PPL_BAND[0],
     ppl_hi: float = PPL_BAND[1],
     span_dup_max: float = SPAN_DUP_MAX,
+    cluster_bucket_cap: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`curated_docs` — the END-TO-END curation
     audit table, oracle-certified as one query. Each stage's already-
@@ -353,7 +362,13 @@ def curation_audit_sql(
     and the cluster stage replays the pinned banding via
     CLUSTER_SPLIT_LSH_SQL — itself built from the cluster family's
     (LSH_THRESHOLD, LSH_BITS, LSH_BANDS), so neither side can drift."""
-    from lakeflow.ext.dedup import CLUSTER_SPLIT_LSH_SQL, EXACT_DEDUP_SQL
+    from lakeflow.ext.dedup import (
+        EXACT_DEDUP_SQL,
+        LSH_BANDS,
+        LSH_BITS,
+        LSH_THRESHOLD,
+        cluster_split_lsh_sql,
+    )
     from lakeflow.ext.lm import BIGRAM_LM_SQL
     from lakeflow.ext.text import (
         BLOOM_EVAL_MOD,
@@ -364,6 +379,12 @@ def curation_audit_sql(
         SPAN_DEDUP_SQL,
     )
 
+    cluster_sql = cluster_split_lsh_sql(
+        LSH_THRESHOLD,
+        bits=LSH_BITS,
+        bands=LSH_BANDS,
+        bucket_cap=cluster_bucket_cap,
+    )
     bucket = (
         "(strpos('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), 1, 1)) - 1) * 16"
         " + (strpos('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), 2, 1)) - 1)"
@@ -392,7 +413,7 @@ WITH docs AS (
     FROM ({SPAN_DEDUP_SQL})
 ), cl AS (
     SELECT vec_id AS doc_id, (vec_id = cluster_id) AS keep_canonical, split
-    FROM ({CLUSTER_SPLIT_LSH_SQL})
+    FROM ({cluster_sql})
 ), flagged AS (
     SELECT d.doc_id, d.lang, d.source, d.n_chars,
            coalesce(ex.keep_exact, false) AS keep_exact,
@@ -427,3 +448,11 @@ ORDER BY doc_id
 
 
 CURATION_AUDIT_SQL = curation_audit_sql()
+
+# The deployment twin's oracle: identical lattice, identical thresholds,
+# the occupancy cap REPLAYED inside the LSH pair CTE — the oracle misses
+# the same over-cap buckets the Spark plan drops, by construction, so
+# the certification does not lean on §16's funnel-transitivity argument.
+CURATION_AUDIT_CAPPED_SQL = curation_audit_sql(
+    cluster_bucket_cap=CLUSTER_BUCKET_CAP
+)

@@ -1609,15 +1609,36 @@ def _hex8_int(col: str) -> str:
     )
 
 
-def _lsh_cte(threshold: float, bits: int, bands: int, seed: int) -> str:
+def _lsh_cte(
+    threshold: float,
+    bits: int,
+    bands: int,
+    seed: int,
+    bucket_cap: int | None = None,
+) -> str:
     """WITH-clause body replaying the banded sign-LSH pair generator in
     DuckDB: portable hyperplanes (same md5→Box-Muller derivation as
     :func:`_portable_hyperplanes`), per-(vector, plane) sign dots, band
     bucket packing, bucket-join candidates, exact-cosine verify.
     Yields a ``pairs(vec_a, vec_b, cosine)`` CTE. MATERIALIZED
     throughout — every stage is referenced downstream and DuckDB's
-    inlining would re-run the hyperplane cross join per reference."""
+    inlining would re-run the hyperplane cross join per reference.
+
+    ``bucket_cap`` replays the Spark side's opt-in occupancy filter
+    (:func:`embedding_near_dups_lsh`): over-cap (band, bucket) groups
+    are dropped BEFORE the candidate self-join, so a capped deployment
+    plan certifies against an oracle that misses the same pairs by
+    construction — the same replay-the-approximation principle the
+    pinned banding itself uses."""
     n_planes = bands * bits
+    cand_src = "buckets"
+    cap_cte = ""
+    if bucket_cap is not None:
+        cand_src = "buckets_capped"
+        cap_cte = f""", buckets_capped AS MATERIALIZED (
+    SELECT vec_id, band, bucket FROM buckets
+    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {bucket_cap}
+)"""
     return f"""v0 AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -1644,9 +1665,9 @@ def _lsh_cte(threshold: float, bits: int, bands: int, seed: int) -> str:
     SELECT vec_id, (p // {bits}) AS band,
            CAST(sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << (p % {bits})) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id, (p // {bits})
-), cand AS MATERIALIZED (
+){cap_cte}, cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM buckets a JOIN buckets b
+    FROM {cand_src} a JOIN {cand_src} b
       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), pairs AS MATERIALIZED (
     SELECT vec_a, vec_b, cosine FROM (
@@ -1684,14 +1705,20 @@ LSH_BANDS = 38
 EMBEDDING_LSH_SQL = lsh_pairs_sql(LSH_THRESHOLD, bits=LSH_BITS, bands=LSH_BANDS)
 
 
-def _lsh_closure_with(threshold: float, bits: int, bands: int, seed: int) -> str:
+def _lsh_closure_with(
+    threshold: float,
+    bits: int,
+    bands: int,
+    seed: int,
+    bucket_cap: int | None = None,
+) -> str:
     """WITH-clause prefix shared by the cluster-family LSH oracles: the
     LSH-replayed pair CTE (:func:`_lsh_cte` at PINNED params) feeding
     the recursive transitive closure. Ends at ``comp(vec_id,
     cluster_id)`` — every embedding seeds `reach`, so singletons keep
     their own id as cluster_id, matching the Spark side's left-join +
     coalesce over the full vector table."""
-    return f"""WITH RECURSIVE {_lsh_cte(threshold, bits, bands, seed)},
+    return f"""WITH RECURSIVE {_lsh_cte(threshold, bits, bands, seed, bucket_cap)},
 edges AS (
     SELECT vec_a AS src, vec_b AS dst FROM pairs
     UNION ALL
@@ -1731,12 +1758,15 @@ def cluster_split_lsh_sql(
     seed: int = 7,
     train_256: int = 204,
     val_256: int = 230,
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`cluster_split` with the LSH edge source at
     PINNED (bits, bands) — :func:`dedup_clusters_lsh_sql`'s closure
-    plus the md5(cluster_id) bucket map."""
+    plus the md5(cluster_id) bucket map. ``bucket_cap`` replays the
+    deployment occupancy filter inside the pair CTE (see
+    :func:`_lsh_cte`)."""
     return f"""
-{_lsh_closure_with(threshold, bits, bands, seed)},
+{_lsh_closure_with(threshold, bits, bands, seed, bucket_cap)},
 sized AS (
     SELECT vec_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size

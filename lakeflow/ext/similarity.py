@@ -989,6 +989,15 @@ def knn_pq(
     (floor(d·1e6 + 0.5) — explicit half-up) so the per-candidate sum
     is order-free and exact; the oracle replays seeds, both Lloyd
     rounds, encoding, distance tables, and both ranking cuts.
+
+    DEPLOYMENT NOTE (r8): this registered default scans EVERY corpus
+    code per query — ADC makes each comparison cheap, not the scan
+    sub-linear. Measured LINEAR in Nq·N at sf10 (714.9 s cold vs
+    IVF-PQ's 46.3 s at matched answers — SCALE.md §20.2). It is the
+    compressed-domain building block and recall baseline; the
+    deployment path at any real scale is :func:`knn_ivfpq` /
+    :func:`knn_ivfpq_hi`, whose coarse inverted lists prune the code
+    scan to nprobe/n_lists of the corpus BEFORE any ADC arithmetic.
     """
     mcand = k * rerank
     dsub_default = 64 // m_sub

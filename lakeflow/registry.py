@@ -596,6 +596,19 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: curation.curated_docs(spark, sf),
         curation.CURATION_AUDIT_SQL,
     ),
+    # Deployment twin (r8, VERDICT r7 #1): the SAME audit at the
+    # measured scale dial — cluster_bucket_cap=128 drops over-cap LSH
+    # buckets before the candidate self-join (the uncapped pin died
+    # ENOSPC at sf10; the cap ran in 68.8 s with a byte-identical
+    # funnel, SCALE.md §20.3). The oracle replays the cap inside the
+    # pair CTE, so both engines prune the same buckets by construction
+    # — the q_knn_ivfpq_hi pin+deployment-twin pattern.
+    "q_curation_audit_capped": (
+        lambda spark, sf: curation.curated_docs(
+            spark, sf, cluster_bucket_cap=curation.CLUSTER_BUCKET_CAP
+        ),
+        curation.CURATION_AUDIT_CAPPED_SQL,
+    ),
     "q_scd2_history": (events.scd2_history, events.SCD2_SQL),
     "q_gap_fill": (events.gap_fill, events.GAP_FILL_SQL),
     "q_unpivot": (relational.unpivot_metrics, relational.UNPIVOT_SQL),

@@ -525,6 +525,21 @@ def test_curation_audit_matches_duckdb_on_random_corpora(
             )
         fn, sql = registry.ALL_QUERIES["q_curation_audit"]
         compare(fn(spark, sf_dir), con, sql, "fuzz:q_curation_audit")
+        # the capped deployment twin on the same corpus — and a cap of 2,
+        # low enough that the occupancy filter ENGAGES even on these tiny
+        # corpora (the registered cap=128 is a no-op under 128 vectors,
+        # so without this arm the fuzz would never exercise the replayed
+        # QUALIFY filter against Spark's occupancy aggregate)
+        fn_c, sql_c = registry.ALL_QUERIES["q_curation_audit_capped"]
+        compare(fn_c(spark, sf_dir), con, sql_c, "fuzz:q_curation_audit_capped")
+        from lakeflow.ext import curation
+
+        compare(
+            curation.curated_docs(spark, sf_dir, cluster_bucket_cap=2),
+            con,
+            curation.curation_audit_sql(cluster_bucket_cap=2),
+            "fuzz:q_curation_audit_cap2",
+        )
     finally:
         if con is not None:
             con.close()

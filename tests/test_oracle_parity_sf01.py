@@ -103,6 +103,11 @@ HEAVY = [
     # END-TO-END curation audit (r6): every stage's scale sensitivity
     # at once — the composition certifies a decade up or not at all
     "q_curation_audit",
+    # the capped deployment twin (r8): at sf0.1's bucket occupancies
+    # the cap=128 filter engages heavily — this is the SF where the
+    # replayed-QUALIFY oracle and Spark's occupancy aggregate must
+    # agree over thousands of over-cap buckets
+    "q_curation_audit_capped",
     # profile/drift (float accumulation + quantile grids)
     "q_drift_ks",
     "q_drift_psi",
