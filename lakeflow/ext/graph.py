@@ -199,6 +199,7 @@ def pagerank(
     bits: int | None = None,
     bands: int | None = None,
     bucket_cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bounded-iteration PageRank over the near-dup similarity graph —
     the centrality ranking a curation pipeline reads to find the
@@ -269,6 +270,16 @@ def pagerank(
         .orderBy(F.desc("pagerank"), F.asc("vec_id"))
         .limit(top)
     )
+    if not materialize:
+        # plan-inspection path (ADVICE r7 #1): the eager checkpoint
+        # below truncates the physical plan to a checkpoint scan — 0
+        # visible Exchanges — so the shuffle-budget gate could never
+        # see an added shuffle, and merely CONSTRUCTING the query
+        # executed the whole job. The lazy twin keeps the full
+        # composed plan (persists stay in place; they are idempotent)
+        # for gen_plan_budget/test_plan_budget, which consult
+        # registry.PLAN_VARIANTS.
+        return out
     # materialize while the edge/degree caches are alive, then release
     out = out.localCheckpoint(eager=True)
     und.unpersist()

@@ -1354,15 +1354,20 @@ def _knn_ivfpq_sql(
 
 KNN_IVFPQ_SQL = _knn_ivfpq_sql()
 
+# the deployment-resolution twin's replay (hoisted above ANN_RECALL_SQL,
+# which embeds it as the ivfpq_hi battery branch)
+KNN_IVFPQ_HI_SQL = _knn_ivfpq_sql(ks=64, rerank=10, nprobe=6)
+
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k certification of the ANN family against the exact
     brute-force ground truth — the "measure, don't guess" capstone for
     the similarity module: every approximate index in the repo
     (sign-LSH buckets, IVF inverted lists, SQ8 scalar quantization,
-    IVF-PQ compressed-domain ADC) is scored against
+    IVF-PQ compressed-domain ADC at both the certification pin and the
+    ks=64/rerank=10/nprobe=6 deployment resolution) is scored against
     :func:`knn_bruteforce` in ONE declarative plan, and the whole
-    evaluation (ground truth, all four ANN pipelines, the recall join)
+    evaluation (ground truth, all five ANN pipelines, the recall join)
     replays in DuckDB (ANN_RECALL_SQL), so the recall numbers
     themselves are oracle-certified, not just eyeballed.
 
@@ -1373,7 +1378,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the underlying queries so each sub-pipeline is byte-identical to
     its own certified registry entry.
 
-    Scale shape: the four ANN plans and the brute-force plan each keep
+    Scale shape: the five ANN plans and the brute-force plan each keep
     their own certified scale story; everything downstream of them is
     top-k-sized (n_queries·k rows per method), so the recall join and
     the per-method aggregate are broadcast-small regardless of corpus
@@ -1392,6 +1397,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = [
         ("ivf", knn_ivf),
         ("ivfpq", knn_ivfpq),
+        # the deployment-resolution twin (ks=64/rerank=10/nprobe=6):
+        # with it in the battery, the deployment shape's recall is an
+        # oracle-certified number, not a SCALE.md probe measurement
+        ("ivfpq_hi", knn_ivfpq_hi),
         ("lsh", knn_lsh),
         ("sq8", knn_sq8),
     ]
@@ -1436,6 +1445,8 @@ WITH gt AS MATERIALIZED (
     UNION ALL
     SELECT 'ivfpq' AS method, q_id, vec_id FROM ({KNN_IVFPQ_SQL})
     UNION ALL
+    SELECT 'ivfpq_hi' AS method, q_id, vec_id FROM ({KNN_IVFPQ_HI_SQL})
+    UNION ALL
     SELECT 'lsh' AS method, q_id, vec_id FROM ({KNN_LSH_SQL})
     UNION ALL
     SELECT 'sq8' AS method, q_id, vec_id FROM ({KNN_SQ8_SQL})
@@ -1465,6 +1476,3 @@ def knn_ivfpq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace. Registered so the driver certifies the deployment shape,
     not only the certification pin."""
     return knn_ivfpq(spark, sf_dir, ks=64, rerank=10, nprobe=6)
-
-
-KNN_IVFPQ_HI_SQL = _knn_ivfpq_sql(ks=64, rerank=10, nprobe=6)

@@ -896,6 +896,20 @@ for _name, _entry in _BY_NAME.items():  # rows-only tail
         ALL_QUERIES[_name] = _entry
 
 
+#: Plan-inspection twins (ADVICE r7 #1): queries whose REGISTERED form
+#: eagerly materializes (localCheckpoint) and therefore prints a
+#: truncated physical plan with 0 Exchanges. The shuffle-budget gate
+#: (tools/gen_plan_budget.py, tests/test_plan_budget.py) counts
+#: exchanges on these lazy twins instead, so an added shuffle in the
+#: iterative loop is caught rather than hidden behind the checkpoint.
+#: Execution semantics of the registered query are unchanged.
+PLAN_VARIANTS: dict[str, QueryFn] = {
+    "q_pagerank": lambda spark, sf: graph.pagerank(
+        spark, sf, bits=4, bands=29, materialize=False
+    ),
+}
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 

@@ -1459,17 +1459,26 @@ def test_quantile_hist_error_bound_and_merge(spark, sf_dir):
 def test_ann_recall_invariants(spark, sf_dir):
     """Every method's recall is a valid fraction of the shared ground
     truth; SQ8 (quantize + exact rerank, no candidate pruning beyond
-    k·rerank) must achieve perfect recall on the fixture corpus; each
-    method returns exactly the ground-truth pair count (k per query)."""
+    k·rerank) must achieve perfect recall on the fixture corpus.
+    returned_pairs is a CONTRACT only as an upper bound (k per query):
+    LSH buckets and low-nprobe probed lists can legitimately hold fewer
+    than k candidates, so equality is asserted only for the
+    candidate-complete methods (ADVICE r7 #2)."""
     from lakeflow.ext import similarity as sim
 
     rows = sim.ann_recall(spark, sf_dir).collect()
-    assert sorted(r.method for r in rows) == ["ivf", "ivfpq", "lsh", "sq8"]
+    assert sorted(r.method for r in rows) == [
+        "ivf", "ivfpq", "ivfpq_hi", "lsh", "sq8",
+    ]
     for r in rows:
         assert 0.0 <= r.recall_at_k <= 1.0
-        assert r.hits <= r.returned_pairs == r.gt_pairs
+        assert r.hits <= r.returned_pairs <= r.gt_pairs
     by = {r.method: r for r in rows}
+    # sq8 scans every corpus vector (no candidate pruning): complete
+    assert by["sq8"].returned_pairs == by["sq8"].gt_pairs
     assert by["sq8"].recall_at_k == 1.0
+    # the deployment-resolution twin must not be WORSE than the pin
+    assert by["ivfpq_hi"].recall_at_k >= by["ivfpq"].recall_at_k
 
 
 def test_source_kl_invariants(spark, sf_dir):
@@ -1504,8 +1513,13 @@ def test_pagerank_invariants(spark, sf_dir):
     rows = graph_ops.pagerank(spark, sf_dir, top=10**6).collect()
     assert rows, "near-dup graph should be non-empty at fixture SF"
     total = sum(r.pagerank for r in rows)
-    # iters rounds × n nodes × 1e-9 quantum bounds the drift
-    assert abs(total - 1.0) < graph_ops.PR_ITERS * len(rows) * 2e-9 + 1e-6
+    # drift bound derived from the quantization sites (ADVICE r7 #3):
+    # each round quantizes one contribution per DIRECTED edge (2·|E|,
+    # the undirected graph walks both ways) at ≤0.5e-9 each, plus one
+    # 9dp round per node rank; a 1e-7 tail covers double accumulation
+    n_directed = 2 * graph_ops._edges(spark, sf_dir, 0.3, "lsh").count()
+    bound = graph_ops.PR_ITERS * (n_directed + len(rows)) * 0.5e-9 + 1e-7
+    assert abs(total - 1.0) < bound
     assert all(r.pagerank > 0 for r in rows)
     top = graph_ops.pagerank(spark, sf_dir).collect()
     assert [

@@ -55,6 +55,10 @@ def _cold_cache(spark):
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, sf_dir, name):
     fn, _ = registry.ALL_QUERIES[name]
+    # eager-materializing queries (q_pagerank) truncate their printed
+    # plan to a checkpoint scan; count the lazy twin's exchanges so the
+    # gate can actually see an added shuffle (ADVICE r7 #1)
+    fn = registry.PLAN_VARIANTS.get(name, fn)
     got = _count_exchanges(fn(spark, sf_dir))
     assert got <= BUDGETS[name], (
         f"{name}: plan now has {got} exchanges, budget is {BUDGETS[name]} — "

@@ -56,6 +56,9 @@ def main() -> None:
         key = os.path.basename(sf_dir.rstrip("/"))
         budgets: dict[str, int] = {}
         for name, (fn, _) in sorted(registry.ALL_QUERIES.items()):
+            # eager-materializing queries print a truncated (0-Exchange)
+            # plan; budget their lazy plan-inspection twins instead
+            fn = registry.PLAN_VARIANTS.get(name, fn)
             try:
                 budgets[name] = count_exchanges(fn(spark, sf_dir))
             except Exception as e:  # iterative ops that need state dirs etc.

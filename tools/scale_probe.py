@@ -70,6 +70,14 @@ VARIANTS = {
 
 
 def main() -> None:
+    # argument validation up front (ADVICE r7 #4): a typo'd variant,
+    # a trailing --variant, or a missing sf_dir used to raise OUTSIDE
+    # the per-query try and abort the whole sweep
+    if len(sys.argv) < 2:
+        sys.exit(
+            "usage: scale_probe.py SF_DIR [query | --variant NAME] ...\n"
+            f"variants: {', '.join(sorted(VARIANTS))}"
+        )
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     from bench import calibration
@@ -85,11 +93,20 @@ def main() -> None:
     i = 0
     while i < len(names):
         if names[i] == "--variant":
-            name, fn = names[i + 1], VARIANTS[names[i + 1]]
+            if i + 1 >= len(names):
+                print(json.dumps({"q": "--variant", "err": "missing variant name"}))
+                break
+            name, fn = names[i + 1], VARIANTS.get(names[i + 1])
             i += 2
+            if fn is None:
+                print(json.dumps({"q": name, "err": f"unknown variant (have: {sorted(VARIANTS)})"}))
+                continue
         else:
-            name, fn = names[i], qmap[names[i]]
+            name, fn = names[i], qmap.get(names[i])
             i += 1
+            if fn is None:
+                print(json.dumps({"q": name, "err": "unknown query name"}))
+                continue
         try:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
