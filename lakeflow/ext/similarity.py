@@ -1359,7 +1359,9 @@ KNN_IVFPQ_SQL = _knn_ivfpq_sql()
 KNN_IVFPQ_HI_SQL = _knn_ivfpq_sql(ks=64, rerank=10, nprobe=6)
 
 
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100
+) -> DataFrame:
     """Recall@k certification of the ANN family against the exact
     brute-force ground truth — the "measure, don't guess" capstone for
     the similarity module: every approximate index in the repo
@@ -1383,6 +1385,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k-sized (n_queries·k rows per method), so the recall join and
     the per-method aggregate are broadcast-small regardless of corpus
     size.
+
+    ``query_mod`` is the big-SF sweep lever (VERDICT r7 #8): the
+    ground truth's O(Nq·N) scan is the harness's dominant cost, and
+    Nq = N/query_mod, so raising it thins the QUERY sample — recall
+    stays an unbiased estimate over fewer queries, unlike capping the
+    CORPUS side (corpus_mod), which would change what every index is
+    allowed to return and demand the same cap inside all five ANN
+    pipelines. The registered default (100) is the certified shape.
     """
     from pyspark import StorageLevel
 
@@ -1391,7 +1401,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force scan — the evaluation's dominant cost — to exactly
     # one pass (without it, Catalyst re-derives the whole O(Nq·N)
     # pipeline for the 1-row count aggregate)
-    gt = knn_bruteforce(spark, sf_dir).select(
+    gt = knn_bruteforce(spark, sf_dir, query_mod=query_mod).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     methods = [
@@ -1406,7 +1416,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tagged = None
     for name, fn in methods:
-        part = fn(spark, sf_dir).select(
+        part = fn(spark, sf_dir, query_mod=query_mod).select(
             F.lit(name).alias("method"), "q_id", "vec_id"
         )
         tagged = part if tagged is None else tagged.unionByName(part)
@@ -1466,7 +1476,9 @@ ORDER BY method
 """
 
 
-def knn_ivfpq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivfpq_hi(
+    spark: SparkSession, sf_dir: str, query_mod: int = 100
+) -> DataFrame:
     """Deployment-resolution IVF-PQ (SCALE.md §20.4): the registered
     default pins ks=8 codebooks for oracle-replay economy and pays for
     it in recall (0.058 at sf1); this twin carries the measured remedy
@@ -1475,4 +1487,6 @@ def knn_ivfpq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-replayed: the codebook CTEs just grow to ks rows per
     subspace. Registered so the driver certifies the deployment shape,
     not only the certification pin."""
-    return knn_ivfpq(spark, sf_dir, ks=64, rerank=10, nprobe=6)
+    return knn_ivfpq(
+        spark, sf_dir, query_mod=query_mod, ks=64, rerank=10, nprobe=6
+    )

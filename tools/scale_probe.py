@@ -46,6 +46,26 @@ def variant_pagerank_adaptive(spark, sf_dir):
     return graph.pagerank(spark, sf_dir)
 
 
+def variant_pagerank_capped(spark, sf_dir):
+    """The full graph-family deployment shape (VERDICT r7 #6): adaptive
+    banding AND bucket_cap=128 — the same occupancy knob the curation
+    twin certifies — so the sf10 record has the pin-vs-deployment pair
+    the ANN family got in §20.2."""
+    from lakeflow.ext import graph
+
+    return graph.pagerank(spark, sf_dir, bucket_cap=128)
+
+
+def variant_ann_recall_sparse(spark, sf_dir):
+    """The recall harness's big-SF shape (VERDICT r7 #8): query_mod=1000
+    thins the query SAMPLE 10×, cutting the ground truth's O(Nq·N) scan
+    10× while recall stays an unbiased estimate — the corpus side, which
+    every index must be free to return from, is untouched."""
+    from lakeflow.ext import similarity
+
+    return similarity.ann_recall(spark, sf_dir, query_mod=1000)
+
+
 def variant_ivfpq64(spark, sf_dir):
     """IVF-PQ at deployment-shaped pruning (n_lists=64, nprobe=8 → 1/8 of
     the corpus codes ADC-scanned per query) — the free-parameter scale
@@ -66,6 +86,8 @@ VARIANTS = {
     "pq_train10": variant_pq_train10,
     "curation_capped": variant_curation_capped,
     "pagerank_adaptive": variant_pagerank_adaptive,
+    "pagerank_capped": variant_pagerank_capped,
+    "ann_recall_sparse": variant_ann_recall_sparse,
 }
 
 
