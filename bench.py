@@ -150,6 +150,7 @@ EXTENDED_QUERIES = (
     "q_knn_ivfpq_hi",
     "q_pagerank",
     "q_curation_audit_capped",
+    "q_dup_matrix",
 )
 
 

@@ -334,6 +334,75 @@ ORDER BY doc_a, doc_b
 NEAR_DUP_SQL = _near_dup_oracle_sql()
 
 
+def dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication-flow matrix (r8): for every unordered
+    source pair, the count of verified near-dup pairs whose endpoints
+    live in those sources, plus their mean Jaccard — the
+    corpus-planning diagnostic that decides which source pairs are
+    worth CROSS-deduping at all. `q_source_overlap` answers "do these
+    sources share vocabulary?"; this answers "do they share actual
+    documents?" — the duplication-flow question (e.g. how much of a
+    web crawl is already inside a curated subset of it) that decides
+    dedup topology before anyone pays for it.
+
+    Composition of the certified portable near-dup pipeline
+    (:func:`near_dup_pairs_portable` — md5 MinHash banding + exact
+    Jaccard verify, never all-pairs): the pair list joins the
+    (doc_id, source) projection twice (pair-count-bounded shuffles; at
+    100 TB the pair list is itself the small side and broadcastable),
+    the pair key is normalized with least/greatest so the matrix is
+    one unordered triangle, and the result is |sources|²-bounded.
+    avg_jaccard goes through exact micro-unit integer sums
+    (floor(j·1e6 + 0.5)) so the mean is order-free across engines —
+    the same recipe as the ADC/KL sums.
+    """
+    pairs = near_dup_pairs(spark, sf_dir, portable=True)
+    src = io.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("source", F.lit("(none)")).alias("source")
+    )
+    j6 = F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    tagged = (
+        pairs.join(src.alias("ra"), F.col("doc_a") == F.col("ra.doc_id"))
+        .join(src.alias("rb"), F.col("doc_b") == F.col("rb.doc_id"))
+        .select(
+            F.least("ra.source", "rb.source").alias("source_a"),
+            F.greatest("ra.source", "rb.source").alias("source_b"),
+            j6.alias("j6"),
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("dup_pairs"), F.sum("j6").alias("sj"))
+        .select(
+            "source_a",
+            "source_b",
+            "dup_pairs",
+            F.round(
+                F.col("sj").cast("double") / F.lit(1e6) / F.col("dup_pairs"), 6
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+DUP_MATRIX_SQL = f"""
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS dup_pairs,
+       round(CAST(sum(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS avg_jaccard
+FROM (
+    SELECT least(coalesce(da.source, '(none)'), coalesce(db.source, '(none)')) AS source_a,
+           greatest(coalesce(da.source, '(none)'), coalesce(db.source, '(none)')) AS source_b,
+           p.jaccard
+    FROM ({NEAR_DUP_SQL}) p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+)
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
 def incremental_near_dups(
     spark: SparkSession,
     sf_dir: str,

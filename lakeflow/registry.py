@@ -424,6 +424,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # portable md5 shingle hash: the full MinHash->banding->verify
     # pipeline (including LSH candidate generation) replays in DuckDB
     "q_dedup_near": (dedup.near_dup_pairs_portable, dedup.NEAR_DUP_SQL),
+    # cross-source duplication-flow matrix (r8): which source pairs
+    # share actual near-dup documents (and how strongly) — the
+    # corpus-planning diagnostic that decides dedup topology; composes
+    # the certified portable near-dup pairs with a two-sided source
+    # join into a |sources|²-bounded triangle
+    "q_dup_matrix": (dedup.dup_matrix, dedup.DUP_MATRIX_SQL),
     # incremental (batch-vs-corpus) near-dup (r6): today's batch probes
     # the historical signature buckets — new-keys × old-keys join, cost
     # ∝ |batch| × occupancy, never a history self-join; output is the

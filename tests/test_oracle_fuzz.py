@@ -85,6 +85,11 @@ FUZZ_QUERIES = (
     # NULL sources, shared-vocab degenerate draws — the ln-term
     # micro-unit quantization must replay across all of them
     "q_source_kl",
+    # cross-source duplication-flow matrix (r8): NULL sources must
+    # coalesce identically on both sides of least/greatest, planted dup
+    # texts create real cross-source pairs, and the micro-unit
+    # avg_jaccard must replay on every draw
+    "q_dup_matrix",
 )
 
 

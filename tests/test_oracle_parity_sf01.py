@@ -39,6 +39,9 @@ HEAVY = [
     "q_dedup_incremental",
     "q_dedup_keep_best",
     "q_dedup_simhash",
+    # cross-source dup-flow matrix (r8): pair volume and source mixing
+    # are both corpus-size-sensitive; rides the certified banding
+    "q_dup_matrix",
     # exact twins: the same components/split machinery over the
     # exhaustive pair list, closed by the exhaustive DuckDB oracle
     "q_dedup_clusters_exact",
