@@ -151,6 +151,7 @@ EXTENDED_QUERIES = (
     "q_pagerank",
     "q_curation_audit_capped",
     "q_dup_matrix",
+    "q_quality_blend",
 )
 
 

@@ -1203,3 +1203,118 @@ ORDER BY doc_id
 
 
 QUALITY_CLASSIFIER_SQL = _qc_sql()
+
+
+def quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality score (r8) — the FineWeb-Edu / DCLM "multiple
+    filters, one decision" shape: three certified quality signals are
+    rank-NORMALIZED onto [0, 1] and averaged, so signals with
+    incomparable units (a sigmoid score, a repetition ratio, a
+    stopword count) blend without hand-tuned scaling, and a corpus
+    re-mix can threshold one column instead of re-calibrating three.
+
+    Signals (direction folded into the rank):
+    - ``quality_classifier.score`` — higher is better
+    - ``repetition.dup_token_ratio`` — LOWER is better (rank desc)
+    - ``doc_quality.en_stopword_kinds`` — higher is better
+
+    Scale design — exact percent_rank WITHOUT the corpus-wide window:
+    a global ``Window.orderBy(...)`` puts every row in ONE partition
+    (the single-reducer hazard SCALE.md §9 documents), so each rank is
+    computed from the signal's VALUE HISTOGRAM instead: groupBy(value)
+    → count (partial-aggregable shuffle, |V|-sized result), a running
+    sum over the |V|-row histogram (the only window, bounded by
+    distinct signal values — ≤ 1e6+1 for a 6dp score — never by corpus
+    size), and a broadcast join back onto the doc stream. percent_rank
+    ≡ (#rows strictly better-ranked predecessors)/(n-1) — identical to
+    SQL PERCENT_RANK min-rank semantics, which is exactly what the
+    DuckDB oracle uses (window form), making the two derivations
+    independent. The doc population (docs with all three signals
+    non-null — empty docs have NULL score/ratio) is persisted because
+    it feeds three histograms plus the final projection (the
+    multi-consumer re-derivation trap, measured in quantile_hist).
+    """
+    from pyspark.sql import Window
+
+    base = (
+        quality_classifier(spark, sf_dir)
+        .select("doc_id", "score")
+        .join(repetition(spark, sf_dir).select("doc_id", "dup_token_ratio"), "doc_id")
+        .join(doc_quality(spark, sf_dir).select("doc_id", "en_stopword_kinds"), "doc_id")
+        .filter(F.col("score").isNotNull() & F.col("dup_token_ratio").isNotNull())
+        .persist()
+    )
+    n = base.agg(F.count("*").alias("n"))
+
+    def pct_rank(col: str, ascending: bool, out: str) -> DataFrame:
+        order = F.col(col).asc() if ascending else F.col(col).desc()
+        w = (
+            Window.orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        hist = base.groupBy(col).agg(F.count("*").alias("c"))
+        return (
+            hist.select(
+                col, F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before")
+            )
+            .crossJoin(F.broadcast(n))
+            .select(
+                col,
+                (
+                    F.col("before").cast("double")
+                    / F.greatest(F.col("n") - 1, F.lit(1)).cast("double")
+                ).alias(out),
+            )
+        )
+
+    return (
+        base.join(F.broadcast(pct_rank("score", True, "pr_model")), "score")
+        .join(
+            F.broadcast(pct_rank("dup_token_ratio", False, "pr_repetition")),
+            "dup_token_ratio",
+        )
+        .join(
+            F.broadcast(pct_rank("en_stopword_kinds", True, "pr_stopword")),
+            "en_stopword_kinds",
+        )
+        .select(
+            "doc_id",
+            F.round("pr_model", 6).alias("pr_model"),
+            F.round("pr_repetition", 6).alias("pr_repetition"),
+            F.round("pr_stopword", 6).alias("pr_stopword"),
+            F.round(
+                (
+                    F.col("pr_model")
+                    + F.col("pr_repetition")
+                    + F.col("pr_stopword")
+                )
+                / 3.0,
+                6,
+            ).alias("blend"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_BLEND_SQL = f"""
+WITH base AS (
+    SELECT q.doc_id, q.score, r.dup_token_ratio, d.en_stopword_kinds
+    FROM ({QUALITY_CLASSIFIER_SQL}) q
+    JOIN ({REPETITION_SQL}) r USING (doc_id)
+    JOIN ({DOC_QUALITY_SQL}) d USING (doc_id)
+    WHERE q.score IS NOT NULL AND r.dup_token_ratio IS NOT NULL
+), ranked AS (
+    SELECT doc_id,
+           percent_rank() OVER (ORDER BY score)               AS pr_model,
+           percent_rank() OVER (ORDER BY dup_token_ratio DESC) AS pr_repetition,
+           percent_rank() OVER (ORDER BY en_stopword_kinds)    AS pr_stopword
+    FROM base
+)
+SELECT doc_id,
+       round(pr_model, 6) AS pr_model,
+       round(pr_repetition, 6) AS pr_repetition,
+       round(pr_stopword, 6) AS pr_stopword,
+       round((pr_model + pr_repetition + pr_stopword) / 3.0, 6) AS blend
+FROM ranked
+ORDER BY doc_id
+"""

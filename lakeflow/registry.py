@@ -430,6 +430,14 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the certified portable near-dup pairs with a two-sided source
     # join into a |sources|²-bounded triangle
     "q_dup_matrix": (dedup.dup_matrix, dedup.DUP_MATRIX_SQL),
+    # ensemble quality blend (r8): three certified signals
+    # rank-normalized onto [0,1] and averaged — the FineWeb-Edu/DCLM
+    # multi-filter decision column. Exact percent_rank WITHOUT the
+    # corpus-wide single-partition window: value-histogram cum-counts
+    # (|V|-bounded window) broadcast-joined back; the oracle uses the
+    # plain PERCENT_RANK window form, so the derivations are
+    # independent
+    "q_quality_blend": (text.quality_blend, text.QUALITY_BLEND_SQL),
     # incremental (batch-vs-corpus) near-dup (r6): today's batch probes
     # the historical signature buckets — new-keys × old-keys join, cost
     # ∝ |batch| × occupancy, never a history self-join; output is the

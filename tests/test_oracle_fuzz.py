@@ -90,6 +90,12 @@ FUZZ_QUERIES = (
     # texts create real cross-source pairs, and the micro-unit
     # avg_jaccard must replay on every draw
     "q_dup_matrix",
+    # ensemble quality blend (r8): tiny corpora are ALL ties (every
+    # percent_rank 0), single-doc corpora hit the n-1=0 guard, and
+    # NULL-score/NULL-ratio docs must drop identically before ranking;
+    # the histogram-derived rank must equal the window-derived oracle
+    # rank on every draw
+    "q_quality_blend",
 )
 
 

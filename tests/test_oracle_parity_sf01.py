@@ -42,6 +42,10 @@ HEAVY = [
     # cross-source dup-flow matrix (r8): pair volume and source mixing
     # are both corpus-size-sensitive; rides the certified banding
     "q_dup_matrix",
+    # ensemble quality blend (r8): rank denominators and tie structure
+    # are corpus-size-sensitive; the histogram-vs-window rank
+    # derivations must agree over 10× the distinct values
+    "q_quality_blend",
     # exact twins: the same components/split machinery over the
     # exhaustive pair list, closed by the exhaustive DuckDB oracle
     "q_dedup_clusters_exact",
