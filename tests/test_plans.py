@@ -552,3 +552,23 @@ def test_containment_rides_banding_not_all_pairs(spark, sf_dir):
     p = plan(dd.containment_pairs(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_blend_windows_ride_histograms_not_docs(spark, sf_dir):
+    """quality_blend's whole reason to exist as a distributed plan: the
+    exact percent_rank must come from |V|-bounded value HISTOGRAMS, so
+    every single-partition exchange (the window's required input) must
+    sit directly on a HashAggregate — never on the doc stream. A
+    refactor that reintroduces Window.orderBy over the corpus would put
+    a scan/join under the SinglePartition exchange and trip this."""
+    from lakeflow.ext import text as tx
+
+    p = plan(tx.quality_blend(spark, sf_dir))
+    lines = p.splitlines()
+    sp = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp, "expected the histogram windows' single-partition exchanges"
+    for i in sp:
+        nxt = next(l for l in lines[i + 1:] if l.strip())
+        assert "HashAggregate" in nxt, (
+            "SinglePartition exchange feeds from a non-aggregate:\n" + nxt
+        )
