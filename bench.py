@@ -152,6 +152,7 @@ EXTENDED_QUERIES = (
     "q_curation_audit_capped",
     "q_dup_matrix",
     "q_quality_blend",
+    "q_epoch_shuffle",
 )
 
 

@@ -279,6 +279,69 @@ FROM per ORDER BY shard_id
 """
 
 
+def epoch_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    epoch: int = 0,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Deterministic per-epoch training order (r8) — the reproducible
+    data-ordering step a training run needs on top of
+    :func:`shard_manifest`'s membership: within each shard, documents
+    are ordered by the content-keyed priority md5(epoch ':' doc_id),
+    so (a) every epoch is a DIFFERENT pseudo-random permutation, (b)
+    the same (epoch, corpus) always yields the same order — resumable
+    runs, diffable ablations — and (c) no two engines/cluster sizes
+    disagree (no task RNG, no zipWithIndex).
+
+    Scale shape: this is the "global shuffle without a global sort"
+    trick — the only ordering work is a row_number window PARTITIONED
+    BY shard, so each sort is shard-sized (corpus/n_shards; a real
+    deployment scales n_shards with the corpus, keeping partitions
+    bounded) and shards sort in parallel. A naive orderBy(rand())
+    would be a corpus-wide range-partitioned sort AND unreproducible;
+    a zipWithIndex would serialize on a driver round-trip.
+    """
+    docs = io.read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    shard = F.pmod(F.conv(hx, 16, 10).cast("bigint"), F.lit(n_shards))
+    prio = F.md5(
+        F.concat_ws(":", F.lit(epoch).cast("string"), F.col("doc_id").cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("prio", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard_id"), prio.alias("prio"))
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).alias("position"),
+        )
+        .orderBy("shard_id", "position")
+    )
+
+
+def _epoch_shuffle_sql(epoch: int = 0, n_shards: int = N_SHARDS) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % {n_shards} AS shard_id,
+           md5(CAST({epoch} AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS prio
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY prio, doc_id) AS INTEGER) AS position
+FROM d
+ORDER BY shard_id, position
+"""
+
+
+EPOCH_SHUFFLE_SQL = _epoch_shuffle_sql()
+
+
 MIX_TEMPERATURE = 0.3
 
 

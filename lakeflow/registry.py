@@ -524,6 +524,11 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_target_encoding": (relational.target_encoding, relational.TARGET_ENCODING_SQL),
     # batch-assembly stage (chunk → pack → mix → shard): ext/packing.py
     "q_shard_manifest": (packing.shard_manifest, packing.SHARD_MANIFEST_SQL),
+    # deterministic per-epoch training order (r8): content-keyed
+    # priority row_number within each shard — every epoch a different
+    # reproducible permutation, every sort shard-sized (the global
+    # shuffle without a global sort)
+    "q_epoch_shuffle": (packing.epoch_shuffle, packing.EPOCH_SHUFFLE_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
     "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),

@@ -1528,3 +1528,25 @@ def test_pagerank_invariants(spark, sf_dir):
         (r.vec_id, r.pagerank)
         for r in sorted(rows, key=lambda r: (-r.pagerank, r.vec_id))[: len(top)]
     ]
+
+
+def test_epoch_shuffle_permutes_reproducibly(spark, sf_dir):
+    """Per-epoch order is (a) a complete 1..|shard| numbering within
+    every shard, (b) identical across re-evaluation (content-keyed, no
+    task RNG), (c) a DIFFERENT permutation at a different epoch, with
+    membership (doc -> shard) unchanged."""
+    from lakeflow.ext import packing
+
+    e0 = packing.epoch_shuffle(spark, sf_dir, epoch=0).collect()
+    e0b = packing.epoch_shuffle(spark, sf_dir, epoch=0).collect()
+    e1 = packing.epoch_shuffle(spark, sf_dir, epoch=1).collect()
+    assert e0 == e0b  # reproducible
+    by_shard: dict[int, list[int]] = {}
+    for r in e0:
+        by_shard.setdefault(r.shard_id, []).append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    assert {(r.doc_id, r.shard_id) for r in e0} == {
+        (r.doc_id, r.shard_id) for r in e1
+    }  # membership is epoch-independent
+    assert [r.doc_id for r in e0] != [r.doc_id for r in e1]  # order isn't

@@ -96,6 +96,10 @@ FUZZ_QUERIES = (
     # the histogram-derived rank must equal the window-derived oracle
     # rank on every draw
     "q_quality_blend",
+    # epoch shuffle (r8): the md5 priority string ordering and the
+    # within-shard row numbering must replay byte-for-byte on every
+    # random doc_id population, including shards of size 1
+    "q_epoch_shuffle",
 )
 
 

@@ -46,6 +46,10 @@ HEAVY = [
     # are corpus-size-sensitive; the histogram-vs-window rank
     # derivations must agree over 10× the distinct values
     "q_quality_blend",
+    # epoch shuffle (r8): shard sizes (and therefore every row number)
+    # scale with the corpus; the priority ordering must replay over
+    # 50k docs
+    "q_epoch_shuffle",
     # exact twins: the same components/split machinery over the
     # exhaustive pair list, closed by the exhaustive DuckDB oracle
     "q_dedup_clusters_exact",
