@@ -153,6 +153,10 @@ EXTENDED_QUERIES = (
     "q_dup_matrix",
     "q_quality_blend",
     "q_epoch_shuffle",
+    "q_zorder_layout",
+    "q_skipping_gain",
+    "q_compaction_plan",
+    "q_ngram_novelty",
 )
 
 

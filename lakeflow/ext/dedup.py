@@ -403,6 +403,106 @@ ORDER BY source_a, source_b
 """
 
 
+def ngram_novelty(
+    spark: SparkSession, sf_dir: str, shingle_n: int = 5
+) -> DataFrame:
+    """Per-source n-gram NOVELTY profile — the tail-content diagnostic
+    between exact dedup and near-dup: for each document, the fraction
+    of its distinct 5-gram shingles whose FIRST occurrence (min doc_id
+    over the corpus) is this document. Boilerplate-heavy sources score
+    low (their shingles were already seen), long-tail sources score
+    ~1. This is the corpus-planning number behind "how much of source
+    X is new text vs re-crawl?" — cheaper than pairwise dedup because
+    it never forms pairs at all.
+
+    Plan shape (100 TB): explode distinct shingles (map-side, the same
+    staged-token-array tier MinHash uses), ONE groupBy(shingle) for
+    min(doc_id) — inverted-index-sized state, the same shuffle class
+    as the MinHash signature pass — then a shingle-keyed join back
+    (both sides hash-partitioned on the same key: co-located, no extra
+    exchange) and two partial aggs (doc, then source). No pair
+    formation, no quadratic term anywhere. Per-doc novelty goes
+    through round-half-up integer micro-units ((novel*2e6 + total) DIV
+    (2*total)) so the per-source mean is an order-free integer sum —
+    the ADC/KL recipe.
+    """
+    docs = normalized_docs(spark, sf_dir).withColumn(
+        "src", F.coalesce("source", F.lit("(none)"))
+    )
+    toks = tokenized(docs, "src")
+    sh = toks.select(
+        "doc_id", "src", _shingles(F.col("tokens"), shingle_n).alias("shingles")
+    )
+    ex = sh.select("doc_id", "src", F.explode("shingles").alias("s"))
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "s")
+        .groupBy("doc_id", "src")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "novel"
+            ),
+        )
+        .withColumn("n6", F.expr("(novel * 2000000 + total) DIV (2 * total)"))
+    )
+    return (
+        per_doc.groupBy("src")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("total").alias("total_shingles"),
+            F.sum("novel").alias("novel_shingles"),
+            F.round(
+                F.sum("n6").cast("double") / F.lit(1e6) / F.count("*"), 6
+            ).alias("avg_novelty"),
+            F.sum((F.col("novel") == F.col("total")).cast("bigint")).alias(
+                "fully_novel_docs"
+            ),
+        )
+        .orderBy("src")
+    )
+
+
+def _ngram_novelty_sql(shingle_n: int = 5) -> str:
+    return rf"""
+WITH norm AS (
+    SELECT doc_id, coalesce(source, '(none)') AS src,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')),
+               '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id, src,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - {shingle_n}, 0) + 2),
+                              i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
+    FROM norm
+), ex AS (
+    SELECT doc_id, src, u.s FROM sh, UNNEST(shingles) AS u(s)
+), first AS (
+    SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1
+), per_doc AS (
+    SELECT doc_id, src,
+           count(*) AS total,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel
+    FROM ex JOIN first USING (s)
+    GROUP BY 1, 2
+)
+SELECT src,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(total) AS BIGINT) AS total_shingles,
+       CAST(sum(novel) AS BIGINT) AS novel_shingles,
+       round(CAST(sum((novel * 2000000 + total) // (2 * total)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS avg_novelty,
+       CAST(sum(CASE WHEN novel = total THEN 1 ELSE 0 END) AS BIGINT) AS fully_novel_docs
+FROM per_doc
+GROUP BY src ORDER BY src
+"""
+
+
+NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+
 def incremental_near_dups(
     spark: SparkSession,
     sf_dir: str,

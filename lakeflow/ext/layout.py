@@ -1,0 +1,414 @@
+"""Storage-layout & table-maintenance operators — the OPTIMIZE side of
+a lakehouse (the reference's tables are Delta/Iceberg written by
+`jobs/bronze/ingest_csv_to_delta.py:68-72` and
+`jobs/silver/claims_to_iceberg.py:131`; a production deployment runs
+layout maintenance — compaction + clustering — over exactly those
+tables, which is the surface this module supplies):
+
+- :func:`zorder_layout` — Z-order (Morton-interleaved) clustering of a
+  fact table on two skipping dimensions, audited as per-file ZONE MAPS
+  (min/max per dimension per file). This is what `OPTIMIZE ... ZORDER
+  BY (a, b)` produces; the zone maps are what the scan planner prunes
+  with.
+- :func:`skipping_gain` — the self-evaluation: expected fraction of
+  files a uniform point-lookup must read under the Z-order layout vs a
+  single-dimension linear layout, per dimension. Shows the Z-curve
+  trade (slightly worse than linear on the sorted dim, massively
+  better on the other) with exact integer math.
+- :func:`compaction_plan` — small-file compaction planning (bin
+  packing): greedy next-fit over size-descending files within each
+  table partition, producing ~TARGET_BINS even bins. The metadata-only
+  step an OPTIMIZE job runs before rewriting data files.
+
+Scale design (100 TB):
+- Z-ordering needs only the per-dimension min/max (table stats — one
+  aggregate, or free from existing file footers) broadcast to a
+  map-side bucket+interleave expression; the zone-map audit is a
+  single partial-agg groupBy on file_id. No global sort is required
+  for FIXED-WIDTH z-range files (used here, deterministic and
+  oracle-able); a production rewrite that wants EQUAL-SIZE files
+  range-partitions on the same z key — identical math, one range
+  shuffle, which is the unavoidable cost of physically rewriting
+  layout.
+- Integer-only z math: bucket = (v - min) * 2^B  //  (range+1), Morton
+  interleave as div/mod arithmetic — no floats, so Spark and DuckDB
+  replay bit-for-bit.
+- Compaction planning runs over the FILE INVENTORY (metadata, ~1 row
+  per file — millions of rows at 100 TB, not billions), window-
+  partitioned by table partition so every partition plans in parallel.
+
+Companions elsewhere in the engine: the WRITER side of these ops
+already exists (`io.write_zordered` physically rewrites a table
+z-clustered, `io.write_sorted` linearly, `io.compact` /
+`txlog.TxTable.compact` execute compaction); this module is the
+REGISTERED, ORACLE-CERTIFIED analysis surface — the zone-map audit,
+the skipping self-evaluation, and the compaction plan a maintenance
+job would compute before paying for the rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow import io
+
+# --- Z-order parameters (module constants so oracle SQL and Spark agree)
+ZBITS = 6               # bits per dimension -> 64x64 bucket grid
+ZCELLS = 1 << ZBITS     # 64
+ZFILE_SHIFT = 64        # z DIV 64 keeps the top 6 of 12 bits -> 8x8 tiles
+N_FILES = 64            # resulting file count (z-prefix ranges)
+EPOCH = "1992-01-01"    # TPC-H date anchor for integer ship-day math
+
+
+def _morton12(bx: str, by: str, idiv: str) -> str:
+    """12-bit Morton interleave of two 6-bit bucket expressions as pure
+    div/mod integer arithmetic (portable: no dialect bit operators).
+
+    ``idiv`` is the dialect's integer-division operator ('DIV' for
+    Spark SQL, '//' for DuckDB); %, * and + behave identically on
+    non-negative integers in both.
+    """
+    terms = []
+    for i in range(ZBITS):
+        p = 1 << i
+        terms.append(f"((({bx}) {idiv} {p}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({by}) {idiv} {p}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _line_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projected to the two skipping dims: part key and ship
+    day (integer days since the TPC-H epoch)."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("pk"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit(EPOCH))
+        ).cast("bigint").alias("day"),
+    )
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows with 6-bit bucket ranks per dim and the Morton z value.
+
+    The min/max scalars are one tiny aggregate broadcast-crossed into
+    the scan (at 100 TB these come from table statistics for free);
+    everything after is map-side integer arithmetic.
+    """
+    rows = _line_days(spark, sf_dir)
+    stats = rows.agg(
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+    )
+    b = rows.crossJoin(F.broadcast(stats)).select(
+        "pk",
+        "day",
+        F.expr(
+            f"((pk - pk_min) * {ZCELLS}) DIV (pk_max - pk_min + 1)"
+        ).alias("bx"),
+        F.expr(
+            f"((day - day_min) * {ZCELLS}) DIV (day_max - day_min + 1)"
+        ).alias("by"),
+    )
+    return b.withColumn("z", F.expr(_morton12("bx", "by", "DIV")))
+
+
+def _bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation tier both layout audits share: per BUCKET
+    CELL (bx, by — at most 64x64 = 4096 rows) the row count and the
+    raw-value min/max of both dims.
+
+    This is the load-bearing scale move: the corpus-sized scan pays
+    exactly ONE partial-agg shuffle keyed on the bucket cell, and every
+    layout's per-file statistics (any file assignment that is a
+    FUNCTION of the bucket cell — z prefixes, linear prefixes, coarser
+    grids) re-aggregate the 4096-row summary for free. Without it each
+    layout audit would re-scan the fact table.
+
+    Persisted MEMORY_AND_DISK: the multi-consumer queries
+    (:func:`skipping_gain` reads it 4x) would otherwise re-derive the
+    corpus scan per consumer — measured 8 parquet scans in the static
+    plan without the persist, 2 with (the same multi-consumer
+    re-derivation trap q_ann_recall's GT and q_quantile_hist's stats
+    frame hit; CacheManager dedupes the identical plan across calls).
+    """
+    from pyspark import StorageLevel
+
+    return (
+        _bucketed(spark, sf_dir)
+        .groupBy("bx", "by")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .withColumn("z", F.expr(_morton12("bx", "by", "DIV")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file zone maps under Z-order clustering of lineitem on
+    (l_partkey, ship-day): file_id is the 6-bit z prefix (an 8x8 tile
+    of the 64x64 bucket grid), and each file's min/max of BOTH
+    dimensions is the zone map a scan planner prunes with.
+
+    One scan for min/max stats + one bucket-cell partial agg over the
+    corpus; the file rollup runs on the 4096-row summary. The audit
+    never sorts data. 64 output rows regardless of corpus size.
+    """
+    return (
+        _bucket_summary(spark, sf_dir)
+        .select(F.expr(f"z DIV {ZFILE_SHIFT}").alias("file_id"), "n_rows",
+                "min_pk", "max_pk", "min_day", "max_day")
+        .groupBy("file_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_pk").alias("min_pk"),
+            F.max("max_pk").alias("max_pk"),
+            F.min("min_day").alias("min_day"),
+            F.max("max_day").alias("max_day"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_base_sql(idiv: str = "//") -> str:
+    return f"""
+WITH rows_d AS (
+    SELECT l_partkey AS pk,
+           datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS day
+    FROM lineitem
+), stats AS (
+    SELECT min(pk) AS pk_min, max(pk) AS pk_max,
+           min(day) AS day_min, max(day) AS day_max
+    FROM rows_d
+), bucketed AS (
+    SELECT pk, day,
+           ((pk - pk_min) * {ZCELLS}) {idiv} (pk_max - pk_min + 1) AS bx,
+           ((day - day_min) * {ZCELLS}) {idiv} (day_max - day_min + 1) AS by
+    FROM rows_d CROSS JOIN stats
+), zed AS (
+    SELECT pk, day, {_morton12('bx', 'by', idiv)} AS z, bx, by
+    FROM bucketed
+)
+"""
+
+
+ZORDER_LAYOUT_SQL = (
+    _zorder_base_sql()
+    + f"""
+SELECT z // {ZFILE_SHIFT} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(pk) AS min_pk, max(pk) AS max_pk,
+       min(day) AS min_day, max(day) AS max_day
+FROM zed
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+def skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of the Z-order layout vs a linear
+    (sort-by-partkey) layout, per lookup dimension.
+
+    Metric: for a point lookup uniform over a dimension's value range,
+    a file must be read iff the value falls inside its zone-map span,
+    so E[files read] = sum_f (span_f + 1) / (range + 1) — all integer
+    sums (order-free, exact) with one final division. Reported as the
+    expected FRACTION of files read. The classic result this
+    reproduces: linear wins on its own sort key (span 0 per file),
+    loses catastrophically on the other dim (every file spans the full
+    range); Z-order pays a small factor on each dim but prunes on BOTH
+    — the reason OPTIMIZE ZORDER exists.
+
+    4 output rows (layout x dim), derived entirely from the shared
+    4096-row :func:`_bucket_summary` tier — per-file spans compose
+    from per-bucket min/max (min/max are mergeable), so neither layout
+    re-scans the fact table.
+    """
+    summ = _bucket_summary(spark, sf_dir)
+
+    def per_layout(file_col: str, layout: str) -> DataFrame:
+        files = (
+            summ.select(
+                F.expr(file_col).alias("file_id"),
+                "min_pk", "max_pk", "min_day", "max_day",
+            )
+            .groupBy("file_id")
+            .agg(
+                (F.max("max_pk") - F.min("min_pk") + 1).alias("pk_span1"),
+                (F.max("max_day") - F.min("min_day") + 1).alias("day_span1"),
+            )
+        )
+        stats = summ.agg(
+            (F.max("max_pk") - F.min("min_pk") + 1).alias("pk_range1"),
+            (F.max("max_day") - F.min("min_day") + 1).alias("day_range1"),
+        )
+        agg = files.agg(
+            F.count("*").alias("n_files"),
+            F.sum("pk_span1").alias("pk_spans"),
+            F.sum("day_span1").alias("day_spans"),
+        ).crossJoin(F.broadcast(stats))
+        return agg.selectExpr(
+            f"'{layout}' AS layout",
+            "stack(2, 'pk', pk_spans, pk_range1, 'day', day_spans, day_range1) AS (dim, spans, range1)",
+            "n_files",
+        ).select(
+            "layout",
+            "dim",
+            "n_files",
+            F.round(
+                F.col("spans").cast("double")
+                / F.col("range1")
+                / F.col("n_files"),
+                6,
+            ).alias("exp_read_frac"),
+        )
+
+    z = per_layout(f"z DIV {ZFILE_SHIFT}", "zorder")
+    lin = per_layout("bx", "linear_pk")
+    return z.unionAll(lin).orderBy("layout", "dim")
+
+
+SKIPPING_GAIN_SQL = (
+    _zorder_base_sql()
+    + f"""
+, layouts AS (
+    SELECT 'zorder' AS layout, z // {ZFILE_SHIFT} AS file_id, pk, day FROM zed
+    UNION ALL
+    SELECT 'linear_pk' AS layout, bx AS file_id, pk, day FROM zed
+), files AS (
+    SELECT layout, file_id,
+           max(pk) - min(pk) + 1 AS pk_span1,
+           max(day) - min(day) + 1 AS day_span1
+    FROM layouts GROUP BY 1, 2
+), ranges AS (
+    SELECT max(pk) - min(pk) + 1 AS pk_range1,
+           max(day) - min(day) + 1 AS day_range1
+    FROM rows_d
+), per AS (
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           sum(pk_span1) AS pk_spans,
+           sum(day_span1) AS day_spans
+    FROM files GROUP BY 1
+)
+SELECT layout, dim, n_files, exp_read_frac FROM (
+    SELECT layout, 'pk' AS dim, n_files,
+           round(CAST(pk_spans AS DOUBLE) / pk_range1 / n_files, 6) AS exp_read_frac
+    FROM per CROSS JOIN ranges
+    UNION ALL
+    SELECT layout, 'day', n_files,
+           round(CAST(day_spans AS DOUBLE) / day_range1 / n_files, 6)
+    FROM per CROSS JOIN ranges
+)
+ORDER BY layout, dim
+"""
+)
+
+
+# --- compaction planning ----------------------------------------------------
+
+TARGET_BINS = 8     # plan ~8 compacted files per table partition
+FILE_MOD = 64       # simulated small-file inventory granularity
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: greedy next-fit bin packing of a
+    file inventory into ~TARGET_BINS even bins per table partition.
+
+    The inventory is simulated from documents (one "file" per
+    (source, doc_id % FILE_MOD) group, sized by total chars) — in
+    production it is the table's file listing (Delta add-file entries,
+    ~1 metadata row per file). Algorithm: within each partition, order
+    files size-descending (stable tie-break on file id), take the
+    running sum, and cut bins at multiples of target = ceil(total /
+    TARGET_BINS): bin = cum_before // target. Deterministic, fully
+    SQL-replayable, and window-partitioned by table partition — every
+    partition plans independently and in parallel, which is the 100 TB
+    shape (the plan is metadata-sized; the data rewrite it drives is
+    the expensive part and is embarrassingly parallel per bin).
+
+    Next-fit overflow bound (tested): a bin exceeds target by at most
+    its last-placed file, so bin_bytes < target + max_file_bytes.
+    """
+    from pyspark.sql import Window
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    files = (
+        docs.select(
+            F.coalesce("source", F.lit("(none)")).alias("src"),
+            F.pmod(F.col("doc_id"), F.lit(FILE_MOD)).alias("fid"),
+            F.coalesce("n_chars", F.lit(0)).alias("nc"),
+        )
+        .groupBy("src", "fid")
+        .agg(F.sum("nc").alias("bytes"), F.count("*").alias("n_docs"))
+    )
+    wsrc = Window.partitionBy("src")
+    worder = (
+        Window.partitionBy("src")
+        .orderBy(F.desc("bytes"), F.asc("fid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "src",
+        "fid",
+        "bytes",
+        F.greatest(
+            F.lit(1),
+            F.expr(f"(sum(bytes) OVER (PARTITION BY src) + {TARGET_BINS - 1}) DIV {TARGET_BINS}"),
+        ).alias("target"),
+        F.coalesce(F.sum("bytes").over(worder), F.lit(0)).alias("cum_before"),
+    ).withColumn("bin_id", F.expr("cum_before DIV target"))
+    return (
+        planned.groupBy("src", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+            F.max("target").alias("target"),
+        )
+        .select(
+            "src",
+            "bin_id",
+            "n_files",
+            "bin_bytes",
+            "max_file_bytes",
+            F.round(F.col("bin_bytes").cast("double") / F.col("target"), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("src", "bin_id")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+    SELECT coalesce(source, '(none)') AS src,
+           doc_id % {FILE_MOD} AS fid,
+           sum(coalesce(n_chars, 0)) AS bytes
+    FROM documents GROUP BY 1, 2
+), planned AS (
+    SELECT src, fid, bytes,
+           greatest(1, (sum(bytes) OVER (PARTITION BY src) + {TARGET_BINS - 1}) // {TARGET_BINS}) AS target,
+           coalesce(sum(bytes) OVER (
+               PARTITION BY src ORDER BY bytes DESC, fid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM files
+)
+SELECT src,
+       cum_before // target AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       sum(bytes) AS bin_bytes,
+       max(bytes) AS max_file_bytes,
+       round(CAST(sum(bytes) AS DOUBLE) / max(target), 6) AS fill_ratio
+FROM planned
+GROUP BY src, cum_before // target
+ORDER BY src, bin_id
+"""

@@ -29,6 +29,7 @@ from lakeflow.ext import (
     dedup,
     events,
     graph,
+    layout,
     lm,
     multimodal,
     packing,
@@ -529,6 +530,19 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # reproducible permutation, every sort shard-sized (the global
     # shuffle without a global sort)
     "q_epoch_shuffle": (packing.epoch_shuffle, packing.EPOCH_SHUFFLE_SQL),
+    # storage-layout maintenance (r8, ext/layout.py): the OPTIMIZE side
+    # of the lakehouse the reference writes into. Z-order clustering
+    # audited as per-file zone maps (integer-only Morton math, no sort),
+    # its self-evaluation (expected scan fraction zorder vs linear per
+    # dim), and small-file compaction bin packing (metadata-sized,
+    # window-partitioned per table partition)
+    "q_zorder_layout": (layout.zorder_layout, layout.ZORDER_LAYOUT_SQL),
+    "q_skipping_gain": (layout.skipping_gain, layout.SKIPPING_GAIN_SQL),
+    "q_compaction_plan": (layout.compaction_plan, layout.COMPACTION_PLAN_SQL),
+    # per-source n-gram novelty (r8): first-occurrence share of each
+    # doc's distinct 5-gram shingles — the re-crawl/boilerplate
+    # diagnostic; inverted-index shuffle, no pair formation
+    "q_ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
     "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),

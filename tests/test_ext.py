@@ -1550,3 +1550,109 @@ def test_epoch_shuffle_permutes_reproducibly(spark, sf_dir):
         (r.doc_id, r.shard_id) for r in e1
     }  # membership is epoch-independent
     assert [r.doc_id for r in e0] != [r.doc_id for r in e1]  # order isn't
+
+
+def test_zorder_layout_invariants(spark, sf_dir):
+    """Zone maps partition the corpus: row counts sum to the lineitem
+    count, file ids are valid z prefixes, and each file's bucket-space
+    footprint stays inside its 8x8 z-tile (the clustering property the
+    scan planner prunes with)."""
+    from lakeflow.ext import layout
+
+    rows = layout.zorder_layout(spark, sf_dir).collect()
+    li_count = layout._line_days(spark, sf_dir).count()
+    assert sum(r.n_rows for r in rows) == li_count
+    assert all(0 <= r.file_id < layout.N_FILES for r in rows)
+    assert len({r.file_id for r in rows}) == len(rows)
+    # bucket-space footprint: re-derive each file's bucket spans from
+    # the bucketed scan; a z-prefix file covers exactly one 8x8 tile
+    tile = layout.ZCELLS // 8
+    b = layout._bucketed(spark, sf_dir)
+    spans = (
+        b.selectExpr(f"z DIV {layout.ZFILE_SHIFT} AS file_id", "bx", "by")
+        .groupBy("file_id")
+        .agg(
+            (F.max("bx") - F.min("bx")).alias("sx"),
+            (F.max("by") - F.min("by")).alias("sy"),
+        )
+        .collect()
+    )
+    assert all(r.sx < tile and r.sy < tile for r in spans)
+
+
+def test_skipping_gain_zorder_wins(spark, sf_dir):
+    """The metric reproduces the OPTIMIZE ZORDER rationale: linear
+    layout is unbeatable on its own sort key but reads ~every file on
+    the other dim; z-order prunes on BOTH dims, so its worst dim beats
+    linear's worst dim by a wide margin."""
+    from lakeflow.ext import layout
+
+    rows = layout.skipping_gain(spark, sf_dir).collect()
+    assert len(rows) == 4
+    frac = {(r.layout, r.dim): r.exp_read_frac for r in rows}
+    assert all(0 < v <= 1.0 for v in frac.values())
+    # linear wins its own key outright...
+    assert frac[("linear_pk", "pk")] <= frac[("zorder", "pk")]
+    # ...but its other-dim cost is near-total scan
+    assert frac[("linear_pk", "day")] > 0.9
+    # z-order's WORST dim beats linear's worst dim at least 2x
+    z_worst = max(frac[("zorder", "pk")], frac[("zorder", "day")])
+    lin_worst = max(frac[("linear_pk", "pk")], frac[("linear_pk", "day")])
+    assert z_worst * 2 <= lin_worst
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    """Bin packing conserves the inventory (file count and bytes), cuts
+    at most TARGET_BINS bins per partition, and respects the next-fit
+    overflow bound: a bin exceeds target by less than its largest file
+    (the last file placed is the only overshoot)."""
+    from lakeflow.ext import layout
+
+    rows = layout.compaction_plan(spark, sf_dir).collect()
+    docs = (
+        layout.io.read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "coalesce(source, '(none)') AS src",
+            f"pmod(doc_id, {layout.FILE_MOD}) AS fid",
+            "coalesce(n_chars, 0) AS nc",
+        )
+        .groupBy("src", "fid")
+        .agg(F.sum("nc").alias("bytes"))
+        .collect()
+    )
+    n_files = {}
+    tot_bytes = {}
+    for r in docs:
+        n_files[r.src] = n_files.get(r.src, 0) + 1
+        tot_bytes[r.src] = tot_bytes.get(r.src, 0) + r.bytes
+    assert {r.src for r in rows} == set(n_files)
+    for src in n_files:
+        bins = [r for r in rows if r.src == src]
+        assert sum(r.n_files for r in bins) == n_files[src]
+        assert sum(r.bin_bytes for r in bins) == tot_bytes[src]
+        assert len(bins) <= layout.TARGET_BINS
+        target = max(1, (tot_bytes[src] + layout.TARGET_BINS - 1) // layout.TARGET_BINS)
+        for b in bins:
+            assert b.bin_bytes < target + b.max_file_bytes or b.n_files == 1
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """Novelty is a first-occurrence partition of the shingle
+    postings: novel <= total per source, every distinct shingle in the
+    corpus is novel in EXACTLY one document (so novel sums to the
+    corpus-wide distinct-shingle count), and averages stay in [0, 1]."""
+    from lakeflow.ext import dedup as dd
+
+    rows = dd.ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.avg_novelty <= 1.0 for r in rows)
+    assert all(r.novel_shingles <= r.total_shingles for r in rows)
+    assert all(0 <= r.fully_novel_docs <= r.n_docs for r in rows)
+    distinct_shingles = (
+        dd.tokenized(dd.normalized_docs(spark, sf_dir))
+        .select(F.explode(dd._shingles(F.col("tokens"), 5)).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r.novel_shingles for r in rows) == distinct_shingles

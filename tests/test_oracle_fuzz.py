@@ -96,6 +96,14 @@ FUZZ_QUERIES = (
     # the histogram-derived rank must equal the window-derived oracle
     # rank on every draw
     "q_quality_blend",
+    # compaction bin packing (r8): NULL source/n_chars coalesce, zero-
+    # byte inventories hit the greatest(1, target) guard, and the
+    # size-desc/fid tie-break plus cumulative cut must replay exactly
+    "q_compaction_plan",
+    # n-gram novelty (r8): NULL/empty/whitespace texts collapse to the
+    # '' shingle (first-seen only once corpus-wide), single-doc corpora
+    # are fully novel, planted dup texts zero out the later copy
+    "q_ngram_novelty",
     # epoch shuffle (r8): the md5 priority string ordering and the
     # within-shard row numbering must replay byte-for-byte on every
     # random doc_id population, including shards of size 1

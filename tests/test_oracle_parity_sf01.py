@@ -46,6 +46,13 @@ HEAVY = [
     # are corpus-size-sensitive; the histogram-vs-window rank
     # derivations must agree over 10× the distinct values
     "q_quality_blend",
+    # layout family (r8): z bucket boundaries and zone maps shift with
+    # the 10x value ranges; the compaction cut points move with the
+    # inventory; novelty's first-occurrence winners are corpus-global
+    "q_zorder_layout",
+    "q_skipping_gain",
+    "q_compaction_plan",
+    "q_ngram_novelty",
     # epoch shuffle (r8): shard sizes (and therefore every row number)
     # scale with the corpus; the priority ordering must replay over
     # 50k docs
