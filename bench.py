@@ -157,6 +157,8 @@ EXTENDED_QUERIES = (
     "q_skipping_gain",
     "q_compaction_plan",
     "q_ngram_novelty",
+    "q_lsh_occupancy",
+    "q_length_buckets",
 )
 
 

@@ -183,16 +183,13 @@ def minhash_signatures(
     return hp.select("doc_id", *keep, "shingles", minhashes.alias("minhash"))
 
 
-def _band_candidates(
+def _band_keys(
     sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
 ) -> DataFrame:
-    """LSH banding candidate generation shared by every MinHash consumer:
-    explode the K-vector into B band signatures, self-join on the compact
-    (band, band_sig) key, emit distinct ordered (doc_a, doc_b) pairs.
-
-    Only (doc_id, band, band_sig) crosses the bucket-join shuffle —
-    shingle arrays and passthrough columns never ship through the B×
-    explode. Candidates ∝ Σ_bucket |bucket|², never O(n²)."""
+    """(doc_id, band, band_sig) key rows — the LSH bucket membership
+    every banding consumer shuffles on. Only this compact triple ever
+    crosses the bucket shuffle; shingle arrays and passthrough columns
+    never ship through the B× explode."""
     rows_per_band = num_hashes // bands
 
     def band_sig(b: F.Column) -> F.Column:
@@ -207,7 +204,7 @@ def _band_candidates(
         # default: murmur-compact it so the shuffle key is 4 bytes
         return joined if portable else F.hash(joined)
 
-    keys = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -216,6 +213,17 @@ def _band_candidates(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.band_sig")
+
+
+def _band_candidates(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
+    """LSH banding candidate generation shared by every MinHash consumer:
+    explode the K-vector into B band signatures, self-join on the compact
+    (band, band_sig) key, emit distinct ordered (doc_a, doc_b) pairs.
+
+    Candidates ∝ Σ_bucket |bucket|², never O(n²)."""
+    keys = _band_keys(sig, num_hashes, bands, portable=portable)
     return (
         keys.alias("a")
         .join(
@@ -416,15 +424,21 @@ def ngram_novelty(
     it never forms pairs at all.
 
     Plan shape (100 TB): explode distinct shingles (map-side, the same
-    staged-token-array tier MinHash uses), ONE groupBy(shingle) for
-    min(doc_id) — inverted-index-sized state, the same shuffle class
-    as the MinHash signature pass — then a shingle-keyed join back
-    (both sides hash-partitioned on the same key: co-located, no extra
-    exchange) and two partial aggs (doc, then source). No pair
-    formation, no quadratic term anywhere. Per-doc novelty goes
-    through round-half-up integer micro-units ((novel*2e6 + total) DIV
-    (2*total)) so the per-source mean is an order-free integer sum —
-    the ADC/KL recipe.
+    staged-token-array tier MinHash uses), reduce each shingle to a
+    60-BIT PORTABLE md5 FINGERPRINT before it ships (8-byte shuffle
+    keys instead of ~40-byte 5-gram strings; measured at sf10 this cut
+    the warm median 104 s -> 45 s — SCALE.md §21.5a. 60 bits keeps the
+    '0x'+15-hex cast inside BIGINT in both engines; collisions at 1e8
+    distinct shingles are ~3e-3 expected — the same fingerprint trade
+    q_doc_fingerprint and the winnowing family make), then ONE
+    groupBy(fingerprint) for min(doc_id) — inverted-index-sized state,
+    the same shuffle class as the MinHash signature pass — a
+    fingerprint-keyed join back (both sides hash-partitioned on the
+    same key: co-located, no extra exchange) and two partial aggs
+    (doc, then source). No pair formation, no quadratic term anywhere.
+    Per-doc novelty goes through round-half-up integer micro-units
+    ((novel*2e6 + total) DIV (2*total)) so the per-source mean is an
+    order-free integer sum — the ADC/KL recipe.
     """
     docs = normalized_docs(spark, sf_dir).withColumn(
         "src", F.coalesce("source", F.lit("(none)"))
@@ -433,10 +447,13 @@ def ngram_novelty(
     sh = toks.select(
         "doc_id", "src", _shingles(F.col("tokens"), shingle_n).alias("shingles")
     )
-    ex = sh.select("doc_id", "src", F.explode("shingles").alias("s"))
-    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    fp = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
+    ex = sh.select("doc_id", "src", F.explode("shingles").alias("s")).select(
+        "doc_id", "src", fp.alias("fp")
+    )
+    first = ex.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
-        ex.join(first, "s")
+        ex.join(first, "fp")
         .groupBy("doc_id", "src")
         .agg(
             F.count("*").alias("total"),
@@ -478,14 +495,16 @@ WITH norm AS (
                               i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
     FROM norm
 ), ex AS (
-    SELECT doc_id, src, u.s FROM sh, UNNEST(shingles) AS u(s)
+    SELECT doc_id, src,
+           CAST('0x' || substr(md5(u.s), 1, 15) AS BIGINT) AS fp
+    FROM sh, UNNEST(shingles) AS u(s)
 ), first AS (
-    SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1
+    SELECT fp, min(doc_id) AS first_doc FROM ex GROUP BY 1
 ), per_doc AS (
     SELECT doc_id, src,
            count(*) AS total,
            sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel
-    FROM ex JOIN first USING (s)
+    FROM ex JOIN first USING (fp)
     GROUP BY 1, 2
 )
 SELECT src,
@@ -501,6 +520,123 @@ GROUP BY src ORDER BY src
 
 
 NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+
+# size-class ladder for bucket-occupancy histograms (CASE, not log2:
+# float log at exact powers of two is a portability hazard)
+_OCC_CLASSES: tuple[tuple[str, int], ...] = (
+    ("1", 1),
+    ("2", 2),
+    ("3-4", 4),
+    ("5-8", 8),
+    ("9-16", 16),
+    ("17-32", 32),
+    ("33-64", 64),
+)
+_OCC_OVERFLOW = "65+"
+
+
+def _occ_class_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {hi} THEN '{label}'" for label, hi in _OCC_CLASSES
+    )
+    return f"CASE {whens} ELSE '{_OCC_OVERFLOW}' END"
+
+
+def lsh_occupancy(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """LSH band-bucket occupancy histogram — the SKEW diagnostic for
+    every banding consumer (near-dup, clusters, dup-matrix, the
+    curation audit). Bucket-join cost is Σ_bucket occ·(occ-1)/2, so a
+    handful of giant buckets (template families, boilerplate) can
+    carry essentially ALL the candidate mass — the measured failure
+    mode behind the sf10 curation ENOSPC (SCALE.md §20.3: 891M
+    candidates from dense buckets) and the reason `bucket_cap` exists.
+    This query is the audit a pipeline runs BEFORE paying for the
+    candidate join: per occupancy size class, how many buckets, how
+    many key postings, and — the decision number — how many candidate
+    pairs that class would generate.
+
+    Plan shape: the banding key explode is the SAME compact
+    (doc_id, band, band_sig) projection the candidate join shuffles on
+    (`_band_keys`); one groupBy(band, band_sig) count (bucket-sized
+    state), one 8-row class rollup. Cost ∝ corpus × bands — it never
+    forms a single candidate pair, which is the point: the audit is
+    strictly cheaper than the join it prices.
+    """
+    docs = normalized_docs(spark, sf_dir)
+    sig = minhash_signatures(docs, num_hashes, portable=portable)
+    keys = _band_keys(sig, num_hashes, bands, portable=portable)
+    occ = keys.groupBy("band", "band_sig").agg(F.count("*").alias("occ"))
+    return (
+        occ.withColumn("size_class", F.expr(_occ_class_sql("occ")))
+        .groupBy("size_class")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("occ").alias("total_keys"),
+            F.sum(F.expr("(occ * (occ - 1)) DIV 2")).alias("candidate_pairs"),
+            F.max("occ").alias("max_occ"),
+        )
+        .orderBy("size_class")
+    )
+
+
+def _lsh_occupancy_sql(
+    num_hashes: int = 16, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """DuckDB twin: replays the portable signature + banding keys with
+    the seeded coefficients baked in (same construction as
+    :func:`_near_dup_oracle_sql`), then the occupancy rollup."""
+    coeffs = _mh_coeffs(num_hashes)
+    r = num_hashes // bands
+    fams = ", ".join(
+        f"list_min(list_transform(hp, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in coeffs
+    )
+    bsig = " || ',' || ".join(
+        f"CAST(mh[band * {r} + {i + 1}] AS VARCHAR)" for i in range(r)
+    )
+    return rf"""
+WITH norm AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')),
+               '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(tokens) - {shingle_n}, 0) + 2),
+                              i -> array_to_string(tokens[i:i+{shingle_n - 1}], ' '))) AS shingles
+    FROM norm
+), hp AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_MH_PRIME}) AS hp
+    FROM sh
+), sig AS (
+    SELECT doc_id, [{fams}] AS mh FROM hp
+), keys AS (
+    SELECT doc_id, band, {bsig} AS bsig
+    FROM sig, range(0, {bands}) t(band)
+), occ AS (
+    SELECT band, bsig, count(*) AS occ FROM keys GROUP BY 1, 2
+)
+SELECT {_occ_class_sql('occ')} AS size_class,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(occ) AS BIGINT) AS total_keys,
+       CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(max(occ) AS BIGINT) AS max_occ
+FROM occ
+GROUP BY 1 ORDER BY 1
+"""
+
+
+LSH_OCCUPANCY_SQL = _lsh_occupancy_sql()
 
 
 def incremental_near_dups(

@@ -342,6 +342,84 @@ ORDER BY shard_id, position
 EPOCH_SHUFFLE_SQL = _epoch_shuffle_sql()
 
 
+# power-of-2 length-bucket boundaries: a doc pads to the smallest
+# boundary >= its token count (the bucketed-batching contract); the
+# 2^20 sentinel absorbs pathological outliers without an open bucket
+LENGTH_BUCKET_CAPS: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024,
+                                       2048, 4096, 8192, 16384, 32768, 65536)
+LENGTH_BUCKET_OVERFLOW = 1 << 20
+
+
+def _length_bucket_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {cap} THEN {cap}" for cap in LENGTH_BUCKET_CAPS
+    )
+    return f"CASE {whens} ELSE {LENGTH_BUCKET_OVERFLOW} END"
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste accounting a
+    training data-loader needs before choosing bucket boundaries:
+    every document pads to the smallest power-of-2 boundary >= its
+    whitespace-token count (bucketed batching, the standard fix for
+    the quadratic attention + padding waste of naive global batches),
+    and the audit reports, per bucket, how many docs land there and
+    what fraction of the padded volume is waste.
+
+    Map-only bucketing (a CASE ladder — no float log2, which is a
+    portability hazard at exact powers of two) + ONE partial-agg
+    groupBy into <= 15 rows. At 100 TB this is a single pass over the
+    token-count column of the manifest; there is nothing else to pay.
+    """
+    docs = io.read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    return (
+        toks.withColumn("bucket_cap", F.expr(_length_bucket_sql("tokens")))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_cap")).alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+LENGTH_BUCKETS_SQL = f"""
+WITH toks AS (
+    SELECT CAST(len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS BIGINT) AS tokens
+    FROM documents WHERE text IS NOT NULL
+), bucketed AS (
+    SELECT tokens, {_length_bucket_sql('tokens')} AS bucket_cap FROM toks
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * bucket_cap AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(sum(tokens) AS DOUBLE) / (count(*) * bucket_cap), 6) AS waste_frac
+FROM bucketed
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+"""
+
+
 MIX_TEMPERATURE = 0.3
 
 

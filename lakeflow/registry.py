@@ -543,6 +543,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # doc's distinct 5-gram shingles — the re-crawl/boilerplate
     # diagnostic; inverted-index shuffle, no pair formation
     "q_ngram_novelty": (dedup.ngram_novelty, dedup.NGRAM_NOVELTY_SQL),
+    # LSH bucket-occupancy histogram (r8): prices the banding candidate
+    # join BEFORE paying for it (Σ occ·(occ-1)/2 per size class) — the
+    # giant-bucket skew audit behind the measured sf10 ENOSPC and the
+    # bucket_cap remedy; never forms a candidate pair
+    "q_lsh_occupancy": (dedup.lsh_occupancy, dedup.LSH_OCCUPANCY_SQL),
+    # length-bucketed batching audit (r8): per power-of-2 bucket, the
+    # padding-waste accounting that picks data-loader boundaries;
+    # map-only CASE ladder + one partial agg
+    "q_length_buckets": (packing.length_buckets, packing.LENGTH_BUCKETS_SQL),
     "q_chunk_docs": (packing.chunk_documents, packing.CHUNK_DOCS_SQL),
     "q_pack_sequences": (packing.pack_sequences, packing.PACK_SEQUENCES_SQL),
     "q_mix_plan": (packing.mix_plan, packing.MIX_PLAN_SQL),

@@ -1648,11 +1648,76 @@ def test_ngram_novelty_invariants(spark, sf_dir):
     assert all(0.0 <= r.avg_novelty <= 1.0 for r in rows)
     assert all(r.novel_shingles <= r.total_shingles for r in rows)
     assert all(0 <= r.fully_novel_docs <= r.n_docs for r in rows)
-    distinct_shingles = (
+    distinct_fps = (
         dd.tokenized(dd.normalized_docs(spark, sf_dir))
         .select(F.explode(dd._shingles(F.col("tokens"), 5)).alias("s"))
-        .select("s")
+        .select(
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("fp")
+        )
         .distinct()
         .count()
     )
-    assert sum(r.novel_shingles for r in rows) == distinct_shingles
+    assert sum(r.novel_shingles for r in rows) == distinct_fps
+
+
+def test_lsh_occupancy_prices_the_candidate_join(spark, sf_dir):
+    """The histogram's candidate_pairs column must sum to EXACTLY the
+    pre-distinct candidate volume of the banding join (sum occ-choose-2
+    over buckets), total_keys must equal docs x bands, and every class
+    obeys its boundaries."""
+    from lakeflow.ext import dedup as dd
+
+    rows = dd.lsh_occupancy(spark, sf_dir).collect()
+    docs = dd.normalized_docs(spark, sf_dir).count()
+    assert sum(r.total_keys for r in rows) == docs * 8
+    bounds = {lbl: hi for lbl, hi in dd._OCC_CLASSES}
+    for r in rows:
+        hi = bounds.get(r.size_class)
+        if hi is not None:
+            assert r.max_occ <= hi
+        else:
+            assert r.size_class == dd._OCC_OVERFLOW and r.max_occ >= 65
+    # exact join-cost attribution: recompute Σ occ·(occ-1)/2 directly
+    sig = dd.minhash_signatures(dd.normalized_docs(spark, sf_dir), 16, portable=True)
+    occ = (
+        dd._band_keys(sig, 16, 8, portable=True)
+        .groupBy("band", "band_sig")
+        .count()
+        .collect()
+    )
+    expected = sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+    assert sum(r.candidate_pairs for r in rows) == expected
+
+
+def test_length_buckets_padding_accounting(spark, sf_dir):
+    """Bucketing conserves docs and tokens, every bucket's cap bounds
+    its contents (cap/2 < tokens <= cap by construction of the ladder),
+    and bucketed padding never exceeds the single-global-batch padding
+    it exists to beat."""
+    from lakeflow.ext import packing
+    from lakeflow.ext.text import TOKEN_SPLIT
+
+    rows = packing.length_buckets(spark, sf_dir).collect()
+    toks = [
+        r.tokens
+        for r in packing.io.read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT)).alias("tokens")
+        )
+        .collect()
+    ]
+    assert sum(r.n_docs for r in rows) == len(toks)
+    assert sum(r.total_tokens for r in rows) == sum(toks)
+    for r in rows:
+        assert r.total_tokens <= r.padded_tokens == r.n_docs * r.bucket_cap
+        assert 0.0 <= r.waste_frac < 1.0
+        # cap tightness: the bucket holds at least one doc above cap/2
+        # (otherwise those docs would have landed in the smaller bucket)
+        if r.bucket_cap > packing.LENGTH_BUCKET_CAPS[0]:
+            assert r.total_tokens > r.n_docs * (r.bucket_cap // 2) - r.n_docs
+    global_pad = len(toks) * max(toks) - sum(toks)
+    bucketed_pad = sum(r.padded_tokens - r.total_tokens for r in rows)
+    assert bucketed_pad <= global_pad + sum(toks)  # and usually far less

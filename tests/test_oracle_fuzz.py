@@ -104,6 +104,13 @@ FUZZ_QUERIES = (
     # '' shingle (first-seen only once corpus-wide), single-doc corpora
     # are fully novel, planted dup texts zero out the later copy
     "q_ngram_novelty",
+    # LSH occupancy (r8): random corpora reshuffle which buckets
+    # collide; the size-class cut and the occ-choose-2 pricing must
+    # replay on every draw, incl. all-singleton and planted-dup buckets
+    "q_lsh_occupancy",
+    # length buckets (r8): the CASE ladder boundary (tokens == cap)
+    # and the ''-token count for empty/whitespace docs must agree
+    "q_length_buckets",
     # epoch shuffle (r8): the md5 priority string ordering and the
     # within-shard row numbering must replay byte-for-byte on every
     # random doc_id population, including shards of size 1

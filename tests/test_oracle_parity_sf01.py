@@ -53,6 +53,11 @@ HEAVY = [
     "q_skipping_gain",
     "q_compaction_plan",
     "q_ngram_novelty",
+    # occupancy pricing (r8): bucket sizes are corpus-size-sensitive
+    # (the whole point); length buckets: 10x the docs move the
+    # boundary-hit population
+    "q_lsh_occupancy",
+    "q_length_buckets",
     # epoch shuffle (r8): shard sizes (and therefore every row number)
     # scale with the corpus; the priority ordering must replay over
     # 50k docs
