@@ -159,6 +159,8 @@ EXTENDED_QUERIES = (
     "q_ngram_novelty",
     "q_lsh_occupancy",
     "q_length_buckets",
+    "q_kcore",
+    "q_pmi_bigrams",
 )
 
 

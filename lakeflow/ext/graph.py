@@ -330,3 +330,102 @@ LIMIT {top}"""
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    edge_source: str = "lsh",
+    bits: int | None = None,
+    bands: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Bounded k-core peeling over the near-dup graph — the density
+    filter between the degree histogram (how blobby?) and PageRank
+    (which hubs?): the k-core is what survives repeatedly deleting
+    nodes of degree < k, so it isolates the dense template/boilerplate
+    REGIONS that single-node degree can't see (a node with 3 neighbors
+    that each have 3 neighbors is template tissue; a chance collision
+    chain peels away). Returns one row per peeling round:
+    (round, nodes_kept, edges_kept) — the curve a curation pipeline
+    reads to size its template-removal pass.
+
+    Same certified-iterative-loop pattern as PageRank/BPE: a FIXED
+    small round count (peeling stabilizes in a few rounds at these
+    densities, and certification needs a pinned loop), pure integer
+    state, loop UNROLLED into the DuckDB oracle's chained CTEs. Per
+    round the state is one degree aggregate (node-sized) and two
+    semi joins keyed on edge endpoints — the same one-shuffle-per-
+    round-per-key plan class as the rank loop; ``localCheckpoint``
+    truncates lineage so round R's plan doesn't replay rounds 1..R-1.
+    """
+    e = _edges(spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap)
+    cur = e.unionAll(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist()
+    stats = []
+    for t in range(1, rounds + 1):
+        deg = cur.groupBy("s").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s").persist()
+        cur = (
+            cur.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        stats.append(
+            keep.agg(F.count("*").alias("nodes_kept"))
+            .crossJoin(cur.agg(F.expr("count(*) DIV 2").alias("edges_kept")))
+            .select(
+                F.lit(t).cast("int").alias("round"),
+                "nodes_kept",
+                "edges_kept",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+def _kcore_sql(
+    threshold: float = 0.3,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> str:
+    """DuckDB twin: LSH banding replay + the peeling loop unrolled —
+    per round a degree CTE, a keep CTE, and the pruned edge CTE."""
+    parts = [
+        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7)},",
+        """
+e AS (SELECT vec_a AS s, vec_b AS d FROM pairs),
+u0 AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{t} AS (SELECT s, count(*) AS deg FROM u{t - 1} GROUP BY s),
+k{t} AS (SELECT s FROM d{t} WHERE deg >= {k}),
+u{t} AS (
+    SELECT u.s, u.d FROM u{t - 1} u
+    JOIN k{t} a ON a.s = u.s
+    JOIN k{t} b ON b.s = u.d
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({t} AS INTEGER) AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM k{t}) AS nodes_kept,
+       (SELECT CAST(count(*) // 2 AS BIGINT) FROM u{t}) AS edges_kept"""
+        for t in range(1, rounds + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round")
+    return "".join(parts)
+
+
+KCORE_SQL = _kcore_sql()

@@ -917,3 +917,96 @@ FROM terms
 GROUP BY source, n_s
 ORDER BY source
 """
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 30
+
+
+def pmi_collocations(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    top: int = PMI_TOP,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    bigram stream — the classic corpus-analysis pass (multi-word
+    expressions, named-entity fragments, boilerplate phrases) that
+    feeds tokenizer merge seeding and template detection.
+
+    All probabilities come from the bigram stream itself (the same
+    model-sized-derivation trick as bigram_lm_scores' V): with N total
+    bigram instances, c1 = occurrences of w as LEFT context, c2 = as
+    RIGHT continuation, PMI = ln(c12·N / (c1·c2)). A min_count floor
+    suppresses the rare-pair PMI explosion (the standard correction).
+
+    Plan: one explode over the shared normalized tier, ONE
+    groupBy(w1, w2) into the bigram-type table, then everything else
+    (position marginals, the PMI map, top-k) is MODEL-sized — two
+    partial aggs over bigram types and two type-keyed joins; the
+    corpus never shuffles twice. Top-k is TakeOrderedAndProject on
+    (pmi desc, w1, w2) over the 6dp-rounded score both engines emit.
+    """
+    from pyspark import StorageLevel
+
+    bg = _doc_bigrams(spark, sf_dir)
+    # the bigram-TYPE table feeds four consumers (marginals, N, and the
+    # final join) — persist it so the corpus explode+groupBy runs once
+    # (the q_ann_recall/quantile_hist multi-consumer rule; model-sized,
+    # Heaps-law sublinear in the corpus)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("pair_count").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("pair_count").alias("c2"))
+    nn = c12.agg(F.sum("pair_count").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("pair_count") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(nn))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+
+
+def _pmi_sql(min_count: int = PMI_MIN_COUNT, top: int = PMI_TOP) -> str:
+    return rf"""
+WITH norm AS (
+    SELECT string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')),
+               '\s+') AS tokens
+    FROM documents WHERE text IS NOT NULL
+), bg AS (
+    SELECT tokens[i] AS w1, tokens[i + 1] AS w2
+    FROM norm, UNNEST(range(1, len(tokens))) AS t(i)
+    WHERE len(tokens) >= 2
+), c12 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM bg GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, CAST(sum(pair_count) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), c2 AS (
+    SELECT w2, CAST(sum(pair_count) AS BIGINT) AS c2 FROM c12 GROUP BY 1
+), nn AS (
+    SELECT CAST(sum(pair_count) AS BIGINT) AS n FROM c12
+)
+SELECT w1, w2, pair_count,
+       round(ln((CAST(pair_count AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+WHERE pair_count >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {top}
+"""
+
+
+PMI_SQL = _pmi_sql()

@@ -511,6 +511,10 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_mmr_rerank": (lm.mmr_rerank, lm.MMR_RERANK_SQL),
     # per-language unigram entropy / vocabulary stats (two partial aggs)
     "q_token_entropy": (lm.token_entropy, lm.TOKEN_ENTROPY_SQL),
+    # top-k PMI collocations (r8): multi-word-expression / boilerplate-
+    # phrase mining over the bigram stream; one corpus explode, then
+    # everything model-sized (the bigram_lm V trick)
+    "q_pmi_bigrams": (lm.pmi_collocations, lm.PMI_SQL),
     # per-source KL divergence from the corpus unigram mix (r7): the
     # mixture-design diagnostic; vocabulary terms quantized to integer
     # micro-units BEFORE the sum → order-free reduction, certifiable
@@ -583,6 +587,14 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_pagerank": (
         lambda spark, sf: graph.pagerank(spark, sf, bits=4, bands=29),
         graph.PAGERANK_SQL,
+    ),
+    # bounded k-core peeling (r8): the density filter between the
+    # degree histogram and PageRank — isolates dense template REGIONS;
+    # fixed peeling rounds, integer state, loop unrolled into the
+    # oracle's chained CTEs (the PageRank/BPE pattern)
+    "q_kcore": (
+        lambda spark, sf: graph.kcore(spark, sf, bits=4, bands=29),
+        graph.KCORE_SQL,
     ),
     "q_degree_dist_exact": (
         lambda spark, sf: graph.degree_distribution(spark, sf, edge_source="exact"),

@@ -1721,3 +1721,46 @@ def test_length_buckets_padding_accounting(spark, sf_dir):
     global_pad = len(toks) * max(toks) - sum(toks)
     bucketed_pad = sum(r.padded_tokens - r.total_tokens for r in rows)
     assert bucketed_pad <= global_pad + sum(toks)  # and usually far less
+
+
+def test_kcore_peeling_invariants(spark, sf_dir):
+    """Peeling is monotone (kept nodes/edges never grow), round 1
+    matches the raw degree filter, and the k-core is a subgraph of the
+    triangle-bearing region's closure (every kept edge endpoint is a
+    kept node by construction of the semi joins)."""
+    from lakeflow.ext import graph as graph_ops
+
+    rows = graph_ops.kcore(spark, sf_dir, bits=4, bands=29).collect()
+    assert [r.round for r in rows] == list(range(1, graph_ops.KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.nodes_kept <= a.nodes_kept
+        assert b.edges_kept <= a.edges_kept
+    e = graph_ops._edges(spark, sf_dir, 0.3, "lsh", bits=4, bands=29)
+    und = e.unionAll(e.selectExpr("d AS s", "s AS d"))
+    deg1 = (
+        und.groupBy("s").count().filter(F.col("count") >= graph_ops.KCORE_K).count()
+    )
+    assert rows[0].nodes_kept == deg1
+
+
+def test_pmi_collocations_recompute(spark, sf_dir):
+    """Output respects the min-count floor, descending 6dp-PMI order
+    with the (w1, w2) tiebreak, and the top row's PMI recomputes from
+    raw bigram counts."""
+    import math
+
+    from lakeflow.ext import lm as lm_ops
+
+    rows = lm_ops.pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= lm_ops.PMI_TOP
+    assert all(r.pair_count >= lm_ops.PMI_MIN_COUNT for r in rows)
+    keys = [(-r.pmi, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+    bg = lm_ops._doc_bigrams(spark, sf_dir)
+    n = bg.count()
+    top = rows[0]
+    c12 = bg.filter((F.col("w1") == top.w1) & (F.col("w2") == top.w2)).count()
+    c1 = bg.filter(F.col("w1") == top.w1).count()
+    c2 = bg.filter(F.col("w2") == top.w2).count()
+    assert c12 == top.pair_count
+    assert abs(math.log(c12 * n / (c1 * c2)) - top.pmi) < 1e-5

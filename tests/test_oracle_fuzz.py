@@ -111,6 +111,10 @@ FUZZ_QUERIES = (
     # length buckets (r8): the CASE ladder boundary (tokens == cap)
     # and the ''-token count for empty/whitespace docs must agree
     "q_length_buckets",
+    # PMI collocations (r8): tiny corpora mostly return EMPTY (nothing
+    # reaches the min-count floor) — the empty path must agree; planted
+    # dup texts push exact bigrams over the floor on some draws
+    "q_pmi_bigrams",
     # epoch shuffle (r8): the md5 priority string ordering and the
     # within-shard row numbering must replay byte-for-byte on every
     # random doc_id population, including shards of size 1

@@ -58,6 +58,11 @@ HEAVY = [
     # boundary-hit population
     "q_lsh_occupancy",
     "q_length_buckets",
+    # k-core (r8): the peeling trajectory depends on the whole graph's
+    # degree structure; PMI (r8): marginals and the min-count floor
+    # population shift with 10x the bigram stream
+    "q_kcore",
+    "q_pmi_bigrams",
     # epoch shuffle (r8): shard sizes (and therefore every row number)
     # scale with the corpus; the priority ordering must replay over
     # 50k docs
