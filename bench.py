@@ -161,6 +161,7 @@ EXTENDED_QUERIES = (
     "q_length_buckets",
     "q_kcore",
     "q_pmi_bigrams",
+    "q_tokenizer_coverage",
 )
 
 

@@ -1010,3 +1010,121 @@ LIMIT {top}
 
 
 PMI_SQL = _pmi_sql()
+
+
+VOCAB_STEPS: tuple[int, ...] = (1000, 2000, 4000, 8000, 16000, 32000)
+
+
+def tokenizer_coverage(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[int, ...] = VOCAB_STEPS,
+) -> DataFrame:
+    """Vocabulary-size → corpus-coverage curve: for each candidate
+    vocab size V, the fraction of token INSTANCES covered by the V
+    most frequent types (and the OOV rate, its complement) — the
+    curve a tokenizer design reads to pick vocab size before paying
+    for a BPE run.
+
+    Scale derivation (the quality_blend lesson applied to ranking the
+    vocabulary): NO per-word rank window — a corpus-wide (or even
+    vocab-wide) row_number is the single-partition sort this engine
+    bans. Instead the vocabulary collapses to its COUNT-CLASS
+    histogram (distinct frequency values — Zipf-thin, thousands of
+    rows at any corpus size): per class (count c, n_words, mass c·n),
+    running totals over classes ordered by c desc (a tiny window),
+    then each step V lands in exactly one boundary class and takes
+    (V - words_above) interchangeable words × c tokens from it —
+    deterministic without ANY within-class tie-break, because every
+    word in a class contributes identically. Coverage ratios are
+    exact-integer divisions rounded once.
+    """
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    toks = (
+        tokenized(normalized_docs(spark, sf_dir))
+        .select(F.explode("tokens").alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    classes = counts.groupBy("c").agg(F.count("*").alias("n_words"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    run = classes.select(
+        "c",
+        "n_words",
+        F.coalesce(F.sum("n_words").over(w), F.lit(0)).alias("words_above"),
+        F.coalesce(F.sum(F.col("c") * F.col("n_words")).over(w), F.lit(0)).alias(
+            "mass_above"
+        ),
+    )
+    total = counts.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    step_df = spark.createDataFrame(
+        [(v,) for v in steps], "vocab_size long"
+    )
+    # boundary class for step V: the unique class with
+    # words_above < V <= words_above + n_words (V capped at n_types)
+    j = (
+        step_df.crossJoin(F.broadcast(total))
+        .withColumn("v_eff", F.least("vocab_size", "n_types"))
+        .join(
+            F.broadcast(run),
+            (F.col("words_above") < F.col("v_eff"))
+            & (F.col("v_eff") <= F.col("words_above") + F.col("n_words")),
+        )
+    )
+    covered = F.col("mass_above") + (F.col("v_eff") - F.col("words_above")) * F.col("c")
+    return (
+        j.select(
+            "vocab_size",
+            covered.cast("bigint").alias("covered_tokens"),
+            "n_tokens",
+            F.round(covered.cast("double") / F.col("n_tokens"), 6).alias("coverage"),
+            F.round(
+                F.lit(1.0) - covered.cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def _tokenizer_coverage_sql(steps: tuple[int, ...] = VOCAB_STEPS) -> str:
+    step_rows = ", ".join(f"({v})" for v in steps)
+    return rf"""
+WITH toks AS (
+    SELECT u.w FROM (
+        SELECT string_split_regex(
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')),
+                   '\s+') AS tokens
+        FROM documents WHERE text IS NOT NULL
+    ), UNNEST(tokens) AS u(w)
+    WHERE u.w <> ''
+), counts AS (
+    SELECT w, count(*) AS c FROM toks GROUP BY 1
+), classes AS (
+    SELECT c, CAST(count(*) AS BIGINT) AS n_words FROM counts GROUP BY 1
+), run AS (
+    SELECT c, n_words,
+           coalesce(sum(n_words) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS words_above,
+           coalesce(sum(c * n_words) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mass_above
+    FROM classes
+), total AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types
+    FROM counts
+), steps(vocab_size) AS (VALUES {step_rows})
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(mass_above + (least(vocab_size, n_types) - words_above) * c AS BIGINT) AS covered_tokens,
+       n_tokens,
+       round(CAST(mass_above + (least(vocab_size, n_types) - words_above) * c AS DOUBLE) / n_tokens, 6) AS coverage,
+       round(1.0 - CAST(mass_above + (least(vocab_size, n_types) - words_above) * c AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM steps CROSS JOIN total
+JOIN run ON words_above < least(vocab_size, n_types)
+        AND least(vocab_size, n_types) <= words_above + n_words
+ORDER BY vocab_size
+"""
+
+
+TOKENIZER_COVERAGE_SQL = _tokenizer_coverage_sql()

@@ -515,6 +515,11 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # phrase mining over the bigram stream; one corpus explode, then
     # everything model-sized (the bigram_lm V trick)
     "q_pmi_bigrams": (lm.pmi_collocations, lm.PMI_SQL),
+    # vocab-size -> coverage curve (r8): OOV rate per candidate vocab
+    # size WITHOUT any per-word rank window — the vocabulary collapses
+    # to its Zipf-thin count-class histogram and each step takes
+    # interchangeable words from one boundary class
+    "q_tokenizer_coverage": (lm.tokenizer_coverage, lm.TOKENIZER_COVERAGE_SQL),
     # per-source KL divergence from the corpus unigram mix (r7): the
     # mixture-design diagnostic; vocabulary terms quantized to integer
     # micro-units BEFORE the sum → order-free reduction, certifiable

@@ -1764,3 +1764,31 @@ def test_pmi_collocations_recompute(spark, sf_dir):
     c2 = bg.filter(F.col("w2") == top.w2).count()
     assert c12 == top.pair_count
     assert abs(math.log(c12 * n / (c1 * c2)) - top.pmi) < 1e-5
+
+
+def test_tokenizer_coverage_curve(spark, sf_dir):
+    """Coverage is monotone non-decreasing in vocab size, bounded by
+    (0, 1], oov_rate is its complement, and the largest step's coverage
+    recomputes from the raw top-V type counts."""
+    from lakeflow.ext import lm as lm_ops
+    from lakeflow.ext.dedup import normalized_docs, tokenized
+
+    rows = lm_ops.tokenizer_coverage(spark, sf_dir).collect()
+    assert [r.vocab_size for r in rows] == list(lm_ops.VOCAB_STEPS)
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert abs(r.coverage + r.oov_rate - 1.0) < 2e-6
+        assert r.covered_tokens <= r.n_tokens
+    counts = (
+        tokenized(normalized_docs(spark, sf_dir))
+        .select(F.explode("tokens").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    freqs = sorted((r["count"] for r in counts), reverse=True)
+    v = min(lm_ops.VOCAB_STEPS[-1], len(freqs))
+    assert rows[-1].covered_tokens == sum(freqs[:v])

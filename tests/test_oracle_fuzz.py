@@ -115,6 +115,10 @@ FUZZ_QUERIES = (
     # reaches the min-count floor) — the empty path must agree; planted
     # dup texts push exact bigrams over the floor on some draws
     "q_pmi_bigrams",
+    # tokenizer coverage (r8): tiny corpora put EVERY step past
+    # n_types (the v_eff cap path, coverage exactly 1.0); all-empty
+    # corpora must yield zero rows in both engines
+    "q_tokenizer_coverage",
     # epoch shuffle (r8): the md5 priority string ordering and the
     # within-shard row numbering must replay byte-for-byte on every
     # random doc_id population, including shards of size 1

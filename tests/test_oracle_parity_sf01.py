@@ -63,6 +63,10 @@ HEAVY = [
     # population shift with 10x the bigram stream
     "q_kcore",
     "q_pmi_bigrams",
+    # tokenizer coverage (r8): at 10x the corpus the vocab passes the
+    # step boundaries for real (no v_eff cap) and the boundary-class
+    # interpolation must replay over a much denser count histogram
+    "q_tokenizer_coverage",
     # epoch shuffle (r8): shard sizes (and therefore every row number)
     # scale with the corpus; the priority ordering must replay over
     # 50k docs
