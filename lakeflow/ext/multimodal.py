@@ -754,3 +754,166 @@ SELECT doc_id,
        CAST(sum(v * v) AS BIGINT) AS sumsq
 FROM s GROUP BY doc_id, n ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + hamming near-dup — the image-side
+# dedup the text family's MinHash occupies: byte-level exact dedup
+# misses re-encoded / brightness-shifted copies; dHash compares each
+# pixel to its right neighbor on a 9x8 grayscale thumbnail, so any
+# monotone brightness change leaves the hash IDENTICAL while the
+# payload bytes differ arbitrarily.
+# --------------------------------------------------------------------------
+
+
+def dhash_pixels(px: bytes, w: int, h: int, channels: int) -> int:
+    """64-bit difference hash of a row-major pixel grid: integer
+    grayscale (sum//channels), nearest-neighbor resample to 9x8 (the
+    same floor arithmetic as resize_pixels), then bit (y*8+x) = 1 iff
+    gray[y,x] < gray[y,x+1]. Returned as SIGNED int64 (two's
+    complement) so it stores in a Spark bigint column."""
+    import numpy as np
+
+    grid = np.frombuffer(px, np.uint8).reshape(h, w, channels)
+    gray = grid.sum(axis=2, dtype=np.int64) // channels
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    thumb = gray[np.ix_(ys, xs)]
+    bits = (thumb[:, :-1] < thumb[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """(doc_id, dhash) via mapInPandas over (doc_id, payload, mime) —
+    decode + hash stay partition-local and Arrow-batched; only the
+    8-byte hash ever shuffles (the novelty-fingerprint lesson applied
+    to images: never ship payloads into a dedup join)."""
+    schema = "doc_id long, dhash long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                payload = bytes(p)
+                if m == "image/png":
+                    w, h, ch, px = decode_png(payload)
+                elif m == "image/bmp":
+                    w, h, ch, px = decode_bmp(payload)
+                else:
+                    from lakeflow.ext.jpeg import decode_jpeg
+
+                    w, h, ch, px = decode_jpeg(payload)
+                hashes.append(dhash_pixels(px, w, h, ch))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "dhash": hashes})
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+IMG_BANDS = 4  # 4 x 16-bit bands -> guaranteed recall at hamming <= 3
+IMG_MAX_HAMMING = 3
+
+
+def image_near_dups(
+    hashes: DataFrame, max_hamming: int = IMG_MAX_HAMMING
+) -> DataFrame:
+    """Hamming near-dup pairs over dHash values via 16-bit band
+    blocking: two hashes within ``max_hamming`` <= IMG_BANDS-1 bit
+    flips agree on >= 1 of the 4 bands (pigeonhole — GUARANTEED
+    recall, unlike MinHash's probabilistic bands), so the candidate
+    join runs on band buckets, never all pairs; verification is one
+    bit_count(xor) per candidate. The text-dedup plan shape
+    (_band_keys -> bucket join -> verify) on the image axis."""
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftright(dhash, {16 * i}) & 65535").alias("sig"),
+                    )
+                    for i in range(IMG_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "dhash", "bs.band", "bs.sig")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def synthesize_gradient_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textured (gradient-patterned) image corpus with planted
+    perceptual duplicates: docs in the same family (doc_id // 3) share
+    gradient slopes; the %3==1 sibling is brightness-shifted (+8 on
+    every channel — every byte differs, dHash IDENTICAL: the case
+    exact byte/pixel dedup cannot catch), the %3==2 sibling scrambles
+    the slopes (unrelated). Encoded as real PNG/BMP like
+    synthesize_image_docs."""
+    docs = (
+        io.read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    schema = "doc_id long, payload binary, mime string"
+    W, H = 24, 16
+
+    def render(doc_id: int) -> bytes:
+        import numpy as np
+
+        fam, variant = doc_id // 3, doc_id % 3
+        ax, by = 3 + fam % 11, 2 + fam % 7
+        if variant == 2:  # unrelated texture
+            ax, by = 5 + (fam * 13) % 17, 1 + (fam * 19) % 13
+        shift = 8 if variant == 1 else 0
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        base = (ax * x + by * y) % 97  # non-monotone texture
+        # channel values bounded at 239 so the +8 brightness shift can
+        # NEVER wrap mod 256 — a wrapped pixel would break the
+        # monotone-shift invariance the dHash test asserts
+        rgb = np.stack(
+            [(base * (c + 2) + fam) % 240 + shift for c in range(3)], axis=2
+        ).astype(np.uint8)
+        return rgb.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rgb = render(d)
+                if d % 2 == 0:
+                    payloads.append(encode_bmp(W, H, rgb))
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(encode_png(W, H, rgb))
+                    mimes.append("image/png")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads, "mime": mimes}
+            )
+
+    return docs.mapInPandas(batches, schema=schema)

@@ -1792,3 +1792,47 @@ def test_tokenizer_coverage_curve(spark, sf_dir):
     freqs = sorted((r["count"] for r in counts), reverse=True)
     v = min(lm_ops.VOCAB_STEPS[-1], len(freqs))
     assert rows[-1].covered_tokens == sum(freqs[:v])
+
+
+def test_dhash_perceptual_dedup(spark, sf_dir):
+    """The image-dedup contract: (a) the brightness-shifted sibling has
+    byte-different payload but IDENTICAL dHash (the case exact dedup
+    cannot catch), (b) the banded hamming join finds EXACTLY the
+    brute-force pair list at the guaranteed-recall radius (<= 3 flips
+    across 4 x 16-bit bands — pigeonhole, not probabilistic), (c)
+    unrelated textures dominate the non-pair population."""
+    from lakeflow.ext import multimodal as mm
+
+    imgs = mm.synthesize_gradient_docs(spark, sf_dir)
+    hashes = mm.dhash_images(imgs).collect()
+    by_id = {r.doc_id: r.dhash for r in hashes}
+    fams = {}
+    for d in by_id:
+        fams.setdefault(d // 3, []).append(d)
+    checked = 0
+    for fam, ids in fams.items():
+        base, bright = fam * 3, fam * 3 + 1
+        if base in by_id and bright in by_id:
+            assert by_id[base] == by_id[bright], (base, bright)
+            checked += 1
+    assert checked > 10
+    # payloads really differ byte-wise for one planted pair
+    fam0 = sorted(fams)[0]
+    pair = imgs.filter(F.col("doc_id").isin(fam0 * 3, fam0 * 3 + 1)).collect()
+    if len(pair) == 2:
+        assert bytes(pair[0].payload) != bytes(pair[1].payload)
+    # banding finds exactly the brute-force <=3-hamming pair set
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in mm.image_near_dups(mm.dhash_images(imgs)).collect()
+    }
+    ids = sorted(by_id)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+        <= mm.IMG_MAX_HAMMING
+    }
+    assert found == expected
+    assert len(expected) < len(ids) * (len(ids) - 1) // 20  # sparse, not all-pairs
