@@ -501,6 +501,7 @@ def zorder_layout(
     zorder_cols: tuple[str, ...],
     partitions: int | None = None,
     bits: int = 10,
+    aligned: bool = False,
 ) -> DataFrame:
     """Cluster ``df`` on the Morton (Z-order) interleaving of the given
     numeric columns: range-partition + sort-within-partitions on the
@@ -558,6 +559,37 @@ def zorder_layout(
             ).cast("bigint"),
         )
     out = out.withColumn("_zkey", _zorder_key(tuple(norm_cols), eff_bits))
+    if aligned:
+        # TILE-ALIGNED file cuts (late r8, SCALE.md §21.5c): range-
+        # partitioning on the full-resolution _zkey uses SAMPLED split
+        # points, so file boundaries land mid-tile and per-file zone
+        # maps bleed across tiles. Cutting on the z PREFIX with
+        # EXACTLY one tile per target partition makes every file ONE
+        # whole hyper-rectangle (a range partitioner keeps equal key
+        # values together, and with #tiles == #partitions no file ever
+        # unions z-consecutive tiles — unions straddle rectangle
+        # boundaries at the curve's recursive seams, which is where
+        # the sampled layout loses its pruning; measured in §21.5c).
+        # The trade (why this isn't the default, and why Delta
+        # samples): file sizes follow tile OCCUPANCY, so skewed data
+        # gives uneven files; sampled splits give even files with
+        # looser zone maps.
+        import math
+
+        nparts = partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        total_bits = eff_bits * n
+        tile_bits = min(total_bits, max(1, math.ceil(math.log2(max(nparts, 1)))))
+        out = out.withColumn(
+            "_ztile", F.shiftright("_zkey", total_bits - tile_bits)
+        )
+        out = (
+            out.repartitionByRange(partitions, "_ztile")
+            if partitions
+            else out.repartitionByRange("_ztile")
+        )
+        return out.sortWithinPartitions("_zkey").drop("_ztile", "_zkey", *norm_cols)
     out = (
         out.repartitionByRange(partitions, "_zkey")
         if partitions
@@ -573,14 +605,18 @@ def write_zordered(
     partitions: int | None = None,
     bits: int = 10,
     fmt: str = "parquet",
+    aligned: bool = False,
 ) -> None:
     """Write ``df`` Z-order-clustered (see :func:`zorder_layout`) —
     every output file covers a tight hyper-rectangle in ALL listed
     dimensions at once, so min/max footer stats prune files for
     predicates on ANY of them, where a 1-D sort (:func:`write_sorted`)
-    serves only its leading column."""
+    serves only its leading column. ``aligned=True`` cuts files at
+    z-prefix tile boundaries (tighter zone maps, measured 4x better
+    single-dim pruning at sf1 — SCALE.md §21.5c) at the cost of less
+    even file sizes on skewed data."""
     (
-        zorder_layout(df, zorder_cols, partitions, bits)
+        zorder_layout(df, zorder_cols, partitions, bits, aligned=aligned)
         .write.format(fmt)
         .mode("overwrite")
         .save(path)
