@@ -119,3 +119,23 @@ def test_txlog_matches_model_and_time_travel(tmp_path_factory, ops):
         assert _table_state(spark, t, version=v) == sorted(m.items()), (
             f"time travel to v{v} diverged"
         )
+
+    # external-readability invariant (late r8): the CLEAN-ROOM spec
+    # reader (tools/delta_reader.py — zero lakeflow imports) must agree
+    # with the model at head and at every recorded version, for every
+    # random operation sequence — dialect quirks that round-trip only
+    # through lakeflow's own reader die here
+    from tools import delta_reader
+
+    def ext_state(version=None):
+        tbl = delta_reader.read_table(t.path, version)
+        if tbl.num_columns == 0:  # all files tombstoned -> empty table
+            return []
+        ids = tbl.column("id").to_pylist()
+        vals = tbl.column("val").to_pylist()
+        return sorted(zip(ids, vals))
+
+    for v, m in sorted(vmap.items()):
+        assert ext_state(v) == sorted(m.items()), (
+            f"clean-room reader diverged at v{v}"
+        )
