@@ -292,12 +292,17 @@ def _pagerank_sql(
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
     top: int = PR_TOP,
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB twin: the LSH banding replay (shared `_lsh_cte`) plus the
     rank loop unrolled into one CTE pair per round — identical
-    nano-unit quantization, identical 9dp rounding."""
+    nano-unit quantization, identical 9dp rounding. ``bucket_cap``
+    replays the Spark side's occupancy filter inside the banding CTE
+    (the q_curation_audit_capped QUALIFY pattern), so the capped
+    deployment twin certifies against an oracle that drops the same
+    over-cap buckets by construction."""
     parts = [
-        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7)},",
+        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7, bucket_cap)},",
         """
 e AS (SELECT vec_a AS s, vec_b AS d FROM pairs),
 und AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
@@ -346,6 +351,7 @@ def kcore(
     bits: int | None = None,
     bands: int | None = None,
     bucket_cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bounded k-core peeling over the near-dup graph — the density
     filter between the degree histogram (how blobby?) and PageRank
@@ -367,13 +373,16 @@ def kcore(
     truncates lineage so round R's plan doesn't replay rounds 1..R-1.
     """
     e = _edges(spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap)
+    cached = []  # per-call throwaway caches, released after materialize
     cur = e.unionAll(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).persist()
+    cached.append(cur)
     stats = []
     for t in range(1, rounds + 1):
         deg = cur.groupBy("s").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s").persist()
+        cached.append(keep)
         cur = (
             cur.join(keep, "s", "left_semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
@@ -391,18 +400,31 @@ def kcore(
     out = stats[0]
     for s in stats[1:]:
         out = out.unionAll(s)
-    return out.orderBy("round")
+    out = out.orderBy("round")
+    if not materialize:
+        # plan-inspection path (see pagerank): keep the full composed
+        # plan visible to the shuffle-budget gate (PLAN_VARIANTS)
+        return out
+    # materialize the (rounds)-row stats union while the caches are
+    # alive, then release them — previously each call leaked 1 + rounds
+    # persisted frames for the session lifetime (ADVICE r8)
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def _kcore_sql(
     threshold: float = 0.3,
     k: int = KCORE_K,
     rounds: int = KCORE_ROUNDS,
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB twin: LSH banding replay + the peeling loop unrolled —
-    per round a degree CTE, a keep CTE, and the pruned edge CTE."""
+    per round a degree CTE, a keep CTE, and the pruned edge CTE.
+    ``bucket_cap`` replays the occupancy filter (see _pagerank_sql)."""
     parts = [
-        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7)},",
+        f"WITH {_lsh_cte_sql(threshold, 4, 29, 7, bucket_cap)},",
         """
 e AS (SELECT vec_a AS s, vec_b AS d FROM pairs),
 u0 AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e)""",
@@ -429,3 +451,57 @@ u{t} AS (
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# Capped deployment twins (r9, VERDICT r8 #2)
+# ---------------------------------------------------------------------------
+# The registered graph defaults generate edges at the dense 4-bit
+# certification pin — correct, but edge GENERATION dominates cold cost
+# at big SFs (sf1 cold: pagerank 175.8 s / kcore 285 s, all of it the
+# uncapped banding join; SCALE.md §20/§21). The deployment remedy is
+# the same occupancy cap the curation capstone certified
+# (q_curation_audit_capped, ext/curation.py): drop (band, bucket)
+# groups above GRAPH_BUCKET_CAP before the candidate self-join —
+# measured 1.9x at sf10 on the pagerank variant (SCALE.md §21,
+# bucket_cap=128) and the lever that converts the family's one
+# data-quadratic term (sum over buckets of |bucket|^2 under giant
+# similarity clusters) into a bounded one.
+#
+# CAVEAT (measured, §21 follow-up): capping is NOT output-neutral for
+# PageRank MASS — dropping a giant bucket removes intra-hub edges, so
+# rank mass redistributes (top-20 overlap vs uncapped: 5/20 at the
+# measurement pin). MEMBERSHIP consumers (is this doc in a dense
+# template region?) are safe; mass consumers (exact rank ordering
+# among hubs) must use the uncapped certification query at the SFs
+# where it is affordable. That is why these twins certify against an
+# oracle that REPLAYS the cap (the QUALIFY occupancy filter inside
+# _lsh_cte) rather than pretending the cap is free: both engines miss
+# the same over-cap buckets by construction.
+
+GRAPH_BUCKET_CAP = 128
+
+
+def pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at the deployment shape: pinned banding + the
+    GRAPH_BUCKET_CAP occupancy filter (cap replayed in the oracle).
+    See the module-level caveat block: membership-safe, mass-reshuffled
+    vs the uncapped certification query."""
+    return pagerank(
+        spark, sf_dir, bits=4, bands=29, bucket_cap=GRAPH_BUCKET_CAP
+    )
+
+
+def kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling at the deployment shape (see pagerank_capped).
+    k-core reads the graph as MEMBERSHIP (which nodes survive peeling),
+    the consumer class the cap is safe for — but the kept-node/edge
+    curve still shifts where over-cap buckets carried the only path
+    into a region, hence the cap-replaying oracle."""
+    return kcore(
+        spark, sf_dir, bits=4, bands=29, bucket_cap=GRAPH_BUCKET_CAP
+    )
+
+
+PAGERANK_CAPPED_SQL = _pagerank_sql(bucket_cap=GRAPH_BUCKET_CAP)
+KCORE_CAPPED_SQL = _kcore_sql(bucket_cap=GRAPH_BUCKET_CAP)

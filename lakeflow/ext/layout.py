@@ -337,6 +337,14 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Next-fit overflow bound (tested): a bin exceeds target by at most
     its last-placed file, so bin_bytes < target + max_file_bytes.
+
+    The fill metric is emitted as exact integer permille
+    (``bin_bytes * 1000 DIV target``) rather than a rounded double:
+    the hashed oracle surface must be bit-identical across engines,
+    and a half-boundary ROUND divergence between Spark and a DuckDB
+    build is the only float risk this query ever had (it was the one
+    hash-mismatch row of CORRECTNESS_r08). Consumers wanting a ratio
+    divide by 1000.
     """
     from pyspark.sql import Window
 
@@ -380,9 +388,7 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_files",
             "bin_bytes",
             "max_file_bytes",
-            F.round(F.col("bin_bytes").cast("double") / F.col("target"), 6).alias(
-                "fill_ratio"
-            ),
+            F.expr("bin_bytes * 1000 DIV target").alias("fill_permille"),
         )
         .orderBy("src", "bin_id")
     )
@@ -407,7 +413,7 @@ SELECT src,
        CAST(count(*) AS BIGINT) AS n_files,
        sum(bytes) AS bin_bytes,
        max(bytes) AS max_file_bytes,
-       round(CAST(sum(bytes) AS DOUBLE) / max(target), 6) AS fill_ratio
+       sum(bytes) * 1000 // max(target) AS fill_permille
 FROM planned
 GROUP BY src, cum_before // target
 ORDER BY src, bin_id

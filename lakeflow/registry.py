@@ -601,6 +601,14 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: graph.kcore(spark, sf, bits=4, bands=29),
         graph.KCORE_SQL,
     ),
+    # capped deployment twins (r9, VERDICT r8 #2): the graph family at
+    # the bucket_cap=128 occupancy filter that cleared the family's one
+    # data-quadratic term (1.9x measured at sf10), with the cap
+    # REPLAYED in the oracle's banding CTE (the q_curation_audit_capped
+    # QUALIFY pattern) — both engines drop the same over-cap buckets.
+    # Membership-vs-mass caveat in the graph.py docstrings.
+    "q_pagerank_capped": (graph.pagerank_capped, graph.PAGERANK_CAPPED_SQL),
+    "q_kcore_capped": (graph.kcore_capped, graph.KCORE_CAPPED_SQL),
     "q_degree_dist_exact": (
         lambda spark, sf: graph.degree_distribution(spark, sf, edge_source="exact"),
         graph.DEGREE_DIST_SQL,
@@ -965,6 +973,17 @@ for _name, _entry in _BY_NAME.items():  # rows-only tail
 PLAN_VARIANTS: dict[str, QueryFn] = {
     "q_pagerank": lambda spark, sf: graph.pagerank(
         spark, sf, bits=4, bands=29, materialize=False
+    ),
+    "q_pagerank_capped": lambda spark, sf: graph.pagerank(
+        spark, sf, bits=4, bands=29, bucket_cap=graph.GRAPH_BUCKET_CAP,
+        materialize=False,
+    ),
+    "q_kcore": lambda spark, sf: graph.kcore(
+        spark, sf, bits=4, bands=29, materialize=False
+    ),
+    "q_kcore_capped": lambda spark, sf: graph.kcore(
+        spark, sf, bits=4, bands=29, bucket_cap=graph.GRAPH_BUCKET_CAP,
+        materialize=False,
     ),
 }
 

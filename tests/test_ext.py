@@ -1743,6 +1743,60 @@ def test_kcore_peeling_invariants(spark, sf_dir):
     assert rows[0].nodes_kept == deg1
 
 
+def test_graph_capped_twins(spark, sf_dir):
+    """The bucket_cap=128 deployment twins (r9): the occupancy filter
+    can only shrink the edge list, the capped outputs keep their
+    family invariants (rank order + positivity; peeling monotonicity),
+    and kcore releases every per-call cache it takes (ADVICE r8 — the
+    uncapped path leaked 1 + rounds persisted frames per invocation)."""
+    from lakeflow.ext import dedup as dedup_ops
+    from lakeflow.ext import graph as graph_ops
+
+    n_unc = dedup_ops.embedding_near_dups_lsh(
+        spark, sf_dir, 0.3, bits=4, bands=29
+    ).count()
+    n_cap = dedup_ops.embedding_near_dups_lsh(
+        spark, sf_dir, 0.3, bits=4, bands=29,
+        bucket_cap=graph_ops.GRAPH_BUCKET_CAP,
+    ).count()
+    assert n_cap <= n_unc
+
+    pr = graph_ops.pagerank_capped(spark, sf_dir).collect()
+    assert all(r.pagerank > 0 for r in pr)
+    keys = [(-r.pagerank, r.vec_id) for r in pr]
+    assert keys == sorted(keys)
+
+    # leak contract (ADVICE r8): of everything kcore persists, only the
+    # INTENTIONAL shared pairs cache (one entry per (sf_dir, threshold,
+    # params) in the LSH edge generator) may remain cached after the
+    # call — the per-call edge union and per-round keep frames must be
+    # released. (getPersistentRDDs is the wrong probe: localCheckpoint
+    # RDDs linger there until the ContextCleaner GCs them.)
+    import pyspark.sql
+
+    tracked = []
+    orig_persist = pyspark.sql.DataFrame.persist
+
+    def tracking_persist(self, *a, **kw):
+        tracked.append(self)
+        return orig_persist(self, *a, **kw)
+
+    pyspark.sql.DataFrame.persist = tracking_persist
+    try:
+        rows = graph_ops.kcore_capped(spark, sf_dir).collect()
+    finally:
+        pyspark.sql.DataFrame.persist = orig_persist
+    still_cached = [df for df in tracked if df.storageLevel.useMemory]
+    assert len(still_cached) <= 1, (
+        f"kcore leaked {len(still_cached)} cached frames (expected at "
+        "most the shared LSH pairs cache)"
+    )
+    assert [r.round for r in rows] == list(range(1, graph_ops.KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.nodes_kept <= a.nodes_kept
+        assert b.edges_kept <= a.edges_kept
+
+
 def test_pmi_collocations_recompute(spark, sf_dir):
     """Output respects the min-count floor, descending 6dp-PMI order
     with the (w1, w2) tiebreak, and the top row's PMI recomputes from
