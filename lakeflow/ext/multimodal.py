@@ -917,3 +917,89 @@ def synthesize_gradient_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=schema)
+
+
+def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered perceptual image-dedup pipeline (r9, VERDICT r8 #4):
+    synthesize the gradient corpus (real PNG/BMP payloads), dHash every
+    image partition-locally (only the 8-byte hash shuffles), and emit
+    hamming<=IMG_MAX_HAMMING near-dup pairs via the 4x16-bit banded
+    join. Catches the planted brightness-shifted siblings whose every
+    payload byte differs.
+
+    Oracle design: the corpus is deterministic integer arithmetic and
+    PNG/BMP are LOSSLESS, so the DuckDB twin replays the pixel math
+    symbolically (gray grid -> 9x8 thumbnail -> difference bits) and
+    computes brute-force hamming pairs — which the banded join equals
+    EXACTLY at hamming <= IMG_BANDS-1 by pigeonhole (<=3 bit flips
+    leave >=1 of 4 bands untouched; property-tested in
+    test_image_near_dups_matches_bruteforce). The Spark side still
+    exercises the real encode->decode->hash path end to end, so the
+    parity row certifies the codecs AND the banding, not a shortcut."""
+    return image_near_dups(dhash_images(synthesize_gradient_docs(spark, sf_dir)))
+
+
+def _image_dedup_sql() -> str:
+    """DuckDB twin of :func:`image_dedup`: replay the gradient render
+    (skipping the lossless encode/decode round-trip), the dHash
+    arithmetic, and a brute-force hamming join."""
+    # thumbnail sample points of the 24x16 render: ys = 2*ty (h=16),
+    # xs = (tx*24)//9 for the 9 sampled columns
+    byte_weights = {ty: 1 << (8 * (7 - ty)) for ty in range(8)}
+    weight_case = " ".join(
+        f"WHEN {ty} THEN CAST({w} AS HUGEINT)" for ty, w in byte_weights.items()
+    )
+    return f"""
+WITH params AS (
+    SELECT doc_id,
+           doc_id // 3 AS fam,
+           doc_id % 3 AS variant
+    FROM documents WHERE text IS NOT NULL
+), geom AS (
+    SELECT doc_id, fam,
+           CASE WHEN variant = 2 THEN 5 + (fam * 13) % 17 ELSE 3 + fam % 11 END AS ax,
+           CASE WHEN variant = 2 THEN 1 + (fam * 19) % 13 ELSE 2 + fam % 7 END AS by,
+           CASE WHEN variant = 1 THEN 8 ELSE 0 END AS shft
+    FROM params
+), thumb AS (
+    -- gray = (sum over channels c of ((ax*px + by*py) % 97 * (c+2) + fam) % 240
+    --         + 3*shift) // 3, sampled at py = 2*ty, px = (tx*24)//9
+    SELECT g.doc_id, yy.ty, xx.tx,
+           (  ((g.ax * ((xx.tx * 24) // 9) + g.by * (2 * yy.ty)) % 97 * 2 + g.fam) % 240
+            + ((g.ax * ((xx.tx * 24) // 9) + g.by * (2 * yy.ty)) % 97 * 3 + g.fam) % 240
+            + ((g.ax * ((xx.tx * 24) // 9) + g.by * (2 * yy.ty)) % 97 * 4 + g.fam) % 240
+            + 3 * g.shft) // 3 AS gray
+    FROM geom g
+    CROSS JOIN generate_series(0, 7) yy(ty)
+    CROSS JOIN generate_series(0, 8) xx(tx)
+), rowbytes AS (
+    -- bit (ty*8+tx) = 1 iff thumb[ty,tx] < thumb[ty,tx+1]; pack each
+    -- thumbnail row into one byte, MSB-first (matches dhash_pixels)
+    SELECT a.doc_id, a.ty,
+           SUM(CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END * (1 << (7 - a.tx))) AS byte
+    FROM thumb a
+    JOIN thumb b ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+    WHERE a.tx < 8
+    GROUP BY a.doc_id, a.ty
+), hashes AS (
+    -- assemble the 64-bit hash in HUGEINT, then two's-complement to
+    -- the signed int64 dhash_pixels returns
+    SELECT doc_id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE v END AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               SUM(CAST(byte AS HUGEINT) * CASE ty {weight_case} END) AS v
+        FROM rowbytes GROUP BY doc_id
+    )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {IMG_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+IMAGE_DEDUP_SQL = _image_dedup_sql()

@@ -774,6 +774,12 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
+    # perceptual image dedup (r9, VERDICT r8 #4): real PNG/BMP encode ->
+    # decode -> dHash -> 4x16-bit banded hamming join; the oracle
+    # replays the (deterministic, lossless) pixel arithmetic and takes
+    # brute-force hamming pairs, which the banding equals EXACTLY at
+    # hamming <= 3 by pigeonhole — a full-value row, not rows-only
+    "q_image_dedup": (multimodal.image_dedup, multimodal.IMAGE_DEDUP_SQL),
     "q_sample_hash": (sampling.sample_documents, sampling.SAMPLE_DOCS_SQL),
     "q_train_test_split": (sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL),
     "q_sample_stratified": (sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL),
