@@ -1,0 +1,917 @@
+"""Clean-room Iceberg-dialect table metadata over plain parquet.
+
+The reference's silver tier is an Iceberg catalog table
+(/root/reference/jobs/silver/claims_to_iceberg.py:92-119 DDL,
+:131 ``writeTo(...).append()``). Iceberg jars are unobtainable in this
+environment (BASELINE.md, re-probed every round), and the repo's
+transaction log (:mod:`lakeflow.txlog`) speaks the *Delta* dialect —
+this module is the Iceberg-side twin, derived from the PUBLIC Apache
+Iceberg table spec (iceberg.apache.org/spec, format-version 2) only:
+
+- A table is ``<path>/data/`` (immutable parquet, Hive-style partition
+  dirs — Iceberg's default object-store layout) plus ``<path>/metadata/``
+  holding ``v<N>.metadata.json`` table-metadata files, a
+  ``version-hint.text`` pointer (the HadoopCatalog convention), Avro
+  manifest files (one row per tracked data file) and Avro manifest
+  lists (``snap-<id>-...avro``, one row per manifest). Avro encoding is
+  the clean-room codec in :mod:`lakeflow.avrolite`; every record and
+  file-metadata key carries the spec's field-ids so the files are
+  structurally readable by external Iceberg readers the day jars
+  appear.
+- **Commit protocol** (HadoopTableOperations semantics): prepare the
+  next ``v<N+1>.metadata.json`` in a temp file, publish with
+  ``os.link`` — atomic, EEXIST when a concurrent writer took the
+  version (losers of a blind append rebase and retry; overwrite
+  raises), then refresh ``version-hint.text``. Readers never trust the
+  hint blindly: a missing/stale hint falls back to scanning for the
+  highest version file.
+- **Snapshots & time travel**: every commit appends a snapshot (id,
+  sequence-number, summary, manifest-list) and a snapshot-log entry;
+  ``read(snapshot_id=...)`` / ``read(asof_ms=...)`` replay any live
+  snapshot — the Iceberg shape of txlog's ``read(version=)``.
+- **Scale**: all of this is driver-side *metadata*, O(live files) like
+  the Delta log; the data plane stays Spark's splittable parquet scan.
+  Partition pruning filters manifest entries by their typed partition
+  tuples BEFORE Spark sees a file list, and per-column lower/upper
+  bounds (Iceberg's single-value binary serialization, spec §Appendix D)
+  ride along in the manifests for data skipping — the same
+  metadata-first read path real Iceberg uses at 100 TB.
+
+Deliberate scope cuts, documented rather than faked: identity
+partition transforms only (all the reference uses —
+``PARTITIONED BY (service_year, service_month)``); append/overwrite
+commits (the reference's write modes) — no row-level delete files
+(Iceberg v2 merge-on-read); single partition spec / schema per table
+lifetime. Identity-source partition columns live in the directory
+layout + manifests rather than the parquet payload (readers
+reconstitute them from metadata, which the spec requires them to
+support for identity transforms).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import struct
+import time
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from lakeflow import avrolite
+
+METADATA_DIR = "metadata"
+DATA_DIR = "data"
+FORMAT_VERSION = 2
+_VFILE_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+class ConcurrentModification(Exception):
+    pass
+
+
+class NoSuchSnapshot(Exception):
+    pass
+
+
+# --------------------------------------------------------------- type maps
+
+_SPARK_TO_ICEBERG = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.BinaryType: "binary",
+}
+
+
+def _iceberg_type(dt: T.DataType, next_id: list[int]) -> Any:
+    for cls, name in _SPARK_TO_ICEBERG.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    raise ValueError(f"unsupported Spark type for Iceberg schema: {dt}")
+
+
+def _spark_type(t: Any) -> T.DataType:
+    if isinstance(t, dict) and t.get("type") == "list":
+        return T.ArrayType(_spark_type(t["element"]), not t["element-required"])
+    m = {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    if t in m:
+        return m[t]
+    dm = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t or "")
+    if dm:
+        return T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"unsupported Iceberg type {t!r}")
+
+
+def schema_to_iceberg(schema: T.StructType) -> dict:
+    """Spark StructType -> Iceberg schema JSON (field ids assigned in
+    declaration order starting at 1; nested element ids follow)."""
+    next_id = [len(schema.fields) + 1]
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "last-column-id": next_id[0] - 1,
+    }
+
+
+def schema_to_spark(ice: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+            for f in ice["fields"]
+        ]
+    )
+
+
+# Iceberg single-value binary serialization (spec Appendix D) for the
+# bound types this module emits; strings are plain UTF-8.
+def _bound_bytes(ice_type: str, v: Any) -> bytes | None:
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, OverflowError, struct.error):
+        return None
+    return None
+
+
+# ------------------------------------------------------------ avro schemas
+
+
+def _kv_bytes_array(name: str, kid: int, vid: int) -> dict:
+    """Iceberg's map<int, bytes> encoding: an Avro array of k/v records
+    (Avro map keys must be strings, so the spec uses logicalType map)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+def _avro_of_iceberg(t: str) -> Any:
+    if t == "date":
+        return {"type": "int", "logicalType": "date"}
+    if t in ("int", "long", "string"):
+        return t
+    raise ValueError(f"unsupported identity partition source type {t!r}")
+
+
+def _partition_record_schema(part_fields: list[dict]) -> dict:
+    """Avro record for the data_file.partition tuple — one optional
+    field per partition-spec field, carrying its spec field-id."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_of_iceberg(pf["source_type"])],
+                "field-id": pf["field-id"],
+                "default": None,
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def manifest_entry_schema(part_fields: list[dict]) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_record_schema(part_fields),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_bytes_array("k126_v127", 126, 127)],
+                "field-id": 125,
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_bytes_array("k129_v130", 129, 130)],
+                "field-id": 128,
+                "default": None,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "field-id": 1,
+                "default": None,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+                "default": None,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+                "default": None,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {
+            "name": "contains_nan",
+            "type": ["null", "boolean"],
+            "field-id": 518,
+            "default": None,
+        },
+        {
+            "name": "lower_bound",
+            "type": ["null", "bytes"],
+            "field-id": 510,
+            "default": None,
+        },
+        {
+            "name": "upper_bound",
+            "type": ["null", "bytes"],
+            "field-id": 511,
+            "default": None,
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "field-id": 507,
+            "default": None,
+        },
+    ],
+}
+
+
+# -------------------------------------------------------------- the table
+
+
+def _snapshot_id() -> int:
+    """Random positive 63-bit snapshot id (the spec's unique-per-table
+    requirement; uuid4 entropy, no global state)."""
+    return uuid.uuid4().int & ((1 << 63) - 1)
+
+
+def _parse_partition_value(raw: str, ice_type: str) -> Any:
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    raw = unquote(raw)
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "date":
+        import datetime
+
+        d = datetime.date.fromisoformat(raw)
+        return (d - datetime.date(1970, 1, 1)).days
+    return raw
+
+
+def _partition_value_str(v: Any, ice_type: str) -> str:
+    """Inverse of _parse_partition_value, for reconstituting columns."""
+    if ice_type == "date":
+        import datetime
+
+        return (datetime.date(1970, 1, 1) + datetime.timedelta(days=v)).isoformat()
+    return str(v)
+
+
+class IcebergTable:
+    """Iceberg-dialect transactional table (HadoopCatalog layout)."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------ plumbing
+
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.path, METADATA_DIR)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.path, DATA_DIR)
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def latest_version(self) -> int | None:
+        """version-hint.text fast path, directory-scan fallback (the
+        hint refresh is not atomic with the commit, so it may lag)."""
+        best: int | None = None
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        try:
+            with open(hint) as f:
+                v = int(f.read().strip())
+            if os.path.exists(self._metadata_path(v)):
+                best = v
+        except (OSError, ValueError):
+            pass
+        if not os.path.isdir(self.metadata_dir):
+            return None
+        for name in os.listdir(self.metadata_dir):
+            m = _VFILE_RE.match(name)
+            if m:
+                v = int(m.group(1))
+                if best is None or v > best:
+                    best = v
+        return best
+
+    def _metadata_path(self, version: int) -> str:
+        return os.path.join(self.metadata_dir, f"v{version}.metadata.json")
+
+    def load_metadata(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        with open(self._metadata_path(v)) as f:
+            return json.load(f)
+
+    def _publish(self, version: int, metadata: dict) -> None:
+        """Atomic CAS on the version file (HadoopTableOperations):
+        os.link fails with EEXIST when the version is taken."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        tmp = os.path.join(self.metadata_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(metadata, f, indent=1)
+        try:
+            os.link(tmp, self._metadata_path(version))
+        except FileExistsError:
+            raise ConcurrentModification(
+                f"version {version} was committed concurrently"
+            )
+        finally:
+            os.unlink(tmp)
+        hint_tmp = os.path.join(self.metadata_dir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, os.path.join(self.metadata_dir, "version-hint.text"))
+
+    def _part_fields(self, meta: dict) -> list[dict]:
+        """Partition-spec fields joined with their source column types."""
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in schema["fields"]}
+        spec = next(
+            s
+            for s in meta["partition-specs"]
+            if s["spec-id"] == meta["default-spec-id"]
+        )
+        return [
+            {
+                "name": pf["name"],
+                "field-id": pf["field-id"],
+                "source-id": pf["source-id"],
+                "source_type": by_id[pf["source-id"]]["type"],
+            }
+            for pf in spec["fields"]
+        ]
+
+    # -------------------------------------------------------------- create
+
+    def create(
+        self,
+        schema: T.StructType,
+        partition_by: tuple[str, ...] = (),
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """Provision v1 table metadata (no snapshot yet) — the
+        HadoopCatalog equivalent of the reference's CREATE TABLE ...
+        USING ICEBERG PARTITIONED BY (claims_to_iceberg.py:92-119).
+        Identity transforms only."""
+        if self.exists():
+            raise FileExistsError(f"Iceberg table already exists at {self.path}")
+        ice = schema_to_iceberg(schema)
+        last_col = ice.pop("last-column-id")
+        by_name = {f["name"]: f for f in ice["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            _avro_of_iceberg(by_name[col]["type"])  # validate source type
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        now_ms = int(time.time() * 1000)
+        meta = {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [ice],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet", **(properties or {})},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "refs": {},
+        }
+        self._publish(1, meta)
+        return 1
+
+    # ------------------------------------------------------------- staging
+
+    def _stage_data_files(
+        self, df: DataFrame, part_fields: list[dict]
+    ) -> list[dict]:
+        """Write df's parquet files under data/ (Hive dirs when
+        partitioned) WITHOUT publishing — only the committed metadata
+        defines the table. Returns spec data_file structs (typed
+        partition tuple, record_count, column bounds from the parquet
+        FOOTER — no data re-scan)."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        part_cols = [pf["name"] for pf in part_fields]
+        w = df.write.format("parquet").mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.save(staging)
+        meta = self.load_metadata()
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        type_of = {f["name"]: f["type"] for f in schema["fields"]}
+        id_of = {f["name"]: f["id"] for f in schema["fields"]}
+        out: list[dict] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in sorted(names):
+                if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(self.data_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                raw_parts = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                }
+                partition = {
+                    pf["name"]: _parse_partition_value(
+                        raw_parts[pf["name"]], pf["source_type"]
+                    )
+                    for pf in part_fields
+                }
+                pf_meta = pq.ParquetFile(dst).metadata
+                # collapse row groups on VALUES (min of mins / max of
+                # maxes), then encode — little-endian bound bytes do
+                # not compare lexicographically
+                mins: dict[str, Any] = {}
+                maxs: dict[str, Any] = {}
+                for rg in range(pf_meta.num_row_groups):
+                    g = pf_meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        cname = col.path_in_schema
+                        if st is None or not st.has_min_max or cname not in id_of:
+                            continue
+                        if cname not in mins or st.min < mins[cname]:
+                            mins[cname] = st.min
+                        if cname not in maxs or st.max > maxs[cname]:
+                            maxs[cname] = st.max
+                lo_by: dict[int, bytes] = {}
+                hi_by: dict[int, bytes] = {}
+                for cname, v in mins.items():
+                    b = _bound_bytes(type_of[cname], v)
+                    if b is not None:
+                        lo_by[id_of[cname]] = b
+                for cname, v in maxs.items():
+                    b = _bound_bytes(type_of[cname], v)
+                    if b is not None:
+                        hi_by[id_of[cname]] = b
+                out.append(
+                    {
+                        "content": 0,
+                        "file_path": os.path.join(
+                            DATA_DIR, rel.replace(os.sep, "/")
+                        ),
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": pf_meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(lo_by.items())
+                        ]
+                        or None,
+                        "upper_bounds": [
+                            {"key": k, "value": v} for k, v in sorted(hi_by.items())
+                        ]
+                        or None,
+                    }
+                )
+        shutil.rmtree(staging)
+        return out
+
+    # ------------------------------------------------------------- commits
+
+    def _write_manifest(
+        self,
+        snapshot_id: int,
+        seq: int,
+        data_files: list[dict],
+        part_fields: list[dict],
+        meta: dict,
+    ) -> dict:
+        """One Avro manifest for this commit's added files; returns its
+        manifest_file entry for the manifest list."""
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        spec = next(
+            s
+            for s in meta["partition-specs"]
+            if s["spec-id"] == meta["default-spec-id"]
+        )
+        entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": dfile,
+            }
+            for dfile in data_files
+        ]
+        path = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
+        avrolite.write_container(
+            path,
+            manifest_entry_schema(part_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(schema),
+                "schema-id": str(meta["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": str(FORMAT_VERSION),
+                "content": "data",
+            },
+        )
+        summaries = None
+        if part_fields:
+            summaries = []
+            for pf in part_fields:
+                vals = [d["partition"][pf["name"]] for d in data_files]
+                nn = [v for v in vals if v is not None]
+                t = pf["source_type"]
+                bt = "int" if t == "date" else t
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": _bound_bytes(bt, min(nn)) if nn else None,
+                        "upper_bound": _bound_bytes(bt, max(nn)) if nn else None,
+                    }
+                )
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": meta["default-spec-id"],
+            "content": 0,  # data
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(d["record_count"] for d in data_files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+        }
+
+    def _commit_snapshot(self, df: DataFrame, operation: str) -> int:
+        """Shared append/overwrite commit loop: stage once, CAS on the
+        version file, blind appends rebase and retry."""
+        staged: list[dict] | None = None
+        part_fields: list[dict] | None = None
+        while True:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"create() the table at {self.path} before writing"
+                )
+            meta = self.load_metadata(version)
+            if part_fields is None:
+                part_fields = self._part_fields(meta)
+            table_schema = schema_to_spark(
+                next(
+                    s
+                    for s in meta["schemas"]
+                    if s["schema-id"] == meta["current-schema-id"]
+                )
+            )
+            missing = set(f.name for f in table_schema.fields) - set(df.columns)
+            extra = set(df.columns) - set(f.name for f in table_schema.fields)
+            if missing or extra:
+                raise ValueError(
+                    f"schema mismatch: missing {sorted(missing)}, extra {sorted(extra)}"
+                )
+            if staged is None:
+                staged = self._stage_data_files(
+                    df.select(*[f.name for f in table_schema.fields]), part_fields
+                )
+            seq = meta["last-sequence-number"] + 1
+            snap_id = _snapshot_id()
+            new_manifest = self._write_manifest(
+                snap_id, seq, staged, part_fields, meta
+            )
+            manifests = [new_manifest]
+            parent_id = meta["current-snapshot-id"]
+            parent = None
+            if operation == "append" and parent_id not in (-1, None):
+                parent = next(
+                    s for s in meta["snapshots"] if s["snapshot-id"] == parent_id
+                )
+                _, prev, _ = avrolite.read_container(parent["manifest-list"])
+                manifests += prev
+            elif parent_id not in (-1, None):
+                parent = next(
+                    s for s in meta["snapshots"] if s["snapshot-id"] == parent_id
+                )
+            now_ms = int(time.time() * 1000)
+            mlist_path = os.path.join(
+                self.metadata_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+            )
+            avrolite.write_container(
+                mlist_path,
+                MANIFEST_LIST_SCHEMA,
+                manifests,
+                metadata={
+                    "format-version": str(FORMAT_VERSION),
+                    "snapshot-id": str(snap_id),
+                    "sequence-number": str(seq),
+                    "parent-snapshot-id": str(
+                        parent["snapshot-id"] if parent else "null"
+                    ),
+                },
+            )
+            total_rows = sum(m["added_rows_count"] for m in manifests)
+            total_files = sum(m["added_files_count"] for m in manifests)
+            snapshot = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "schema-id": meta["current-schema-id"],
+                "summary": {
+                    "operation": operation,
+                    "added-data-files": str(len(staged)),
+                    "added-records": str(
+                        sum(d["record_count"] for d in staged)
+                    ),
+                    "total-data-files": str(total_files),
+                    "total-records": str(total_rows),
+                },
+            }
+            if parent is not None:
+                snapshot["parent-snapshot-id"] = parent["snapshot-id"]
+            new_meta = dict(meta)
+            new_meta["last-sequence-number"] = seq
+            new_meta["last-updated-ms"] = now_ms
+            new_meta["current-snapshot-id"] = snap_id
+            new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+            new_meta["snapshot-log"] = meta["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            ]
+            new_meta["metadata-log"] = meta["metadata-log"] + [
+                {
+                    "timestamp-ms": meta["last-updated-ms"],
+                    "metadata-file": self._metadata_path(version),
+                }
+            ]
+            new_meta["refs"] = {
+                "main": {"snapshot-id": snap_id, "type": "branch"}
+            }
+            try:
+                self._publish(version + 1, new_meta)
+                return snap_id
+            except ConcurrentModification:
+                os.unlink(mlist_path)
+                os.unlink(new_manifest["manifest_path"])
+                if operation != "append":
+                    raise
+                continue  # blind append: rebase on the winner and retry
+
+    def append(self, df: DataFrame) -> int:
+        """Atomic multi-file append — ``df.writeTo(t).append()`` in the
+        reference (claims_to_iceberg.py:131). Returns the snapshot id."""
+        return self._commit_snapshot(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-table overwrite: the new snapshot's manifest list
+        references ONLY this commit's manifest (a snapshot is a complete
+        listing; unreferenced manifests are simply not live)."""
+        return self._commit_snapshot(df, "overwrite")
+
+    # --------------------------------------------------------------- reads
+
+    def _resolve_snapshot(
+        self, snapshot_id: int | None, asof_ms: int | None
+    ) -> dict | None:
+        meta = self.load_metadata()
+        if asof_ms is not None:
+            live = [
+                e for e in meta["snapshot-log"] if e["timestamp-ms"] <= asof_ms
+            ]
+            if not live:
+                raise NoSuchSnapshot(f"no snapshot at or before {asof_ms}")
+            snapshot_id = live[-1]["snapshot-id"]
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+            if snapshot_id in (-1, None):
+                return None
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise NoSuchSnapshot(f"snapshot {snapshot_id} not in table metadata")
+
+    def scan_files(
+        self,
+        snapshot_id: int | None = None,
+        asof_ms: int | None = None,
+        partition_filter: Callable[[dict[str, Any]], bool] | None = None,
+    ) -> list[dict]:
+        """Live data_file structs of a snapshot, manifest-list →
+        manifest replay, with metadata-side partition pruning (the
+        filter sees the TYPED partition dict and runs before Spark ever
+        sees a file list)."""
+        snap = self._resolve_snapshot(snapshot_id, asof_ms)
+        if snap is None:
+            return []
+        _, manifests, _ = avrolite.read_container(snap["manifest-list"])
+        files: list[dict] = []
+        for m in manifests:
+            _, entries, _ = avrolite.read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                d = e["data_file"]
+                if partition_filter is not None and not partition_filter(
+                    d["partition"]
+                ):
+                    continue
+                files.append(d)
+        return files
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        asof_ms: int | None = None,
+        partition_filter: Callable[[dict[str, Any]], bool] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (optionally time-travelled / partition-pruned).
+        Identity partition columns reconstitute from the Hive directory
+        layout under an explicit schema — the same log-owns-the-schema
+        read path as txlog (no footer-sampling inference job)."""
+        meta = self.load_metadata()
+        schema = schema_to_spark(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+        )
+        files = self.scan_files(snapshot_id, asof_ms, partition_filter)
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d["file_path"]) for d in files]
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
+
+    def history(self) -> list[dict]:
+        """Commit history: one row per snapshot (the DESCRIBE HISTORY
+        twin of txlog.history)."""
+        meta = self.load_metadata()
+        return [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "parent_id": s.get("parent-snapshot-id"),
+                "sequence_number": s["sequence-number"],
+                "timestamp_ms": s["timestamp-ms"],
+                "operation": s["summary"]["operation"],
+            }
+            for s in meta["snapshots"]
+        ]

@@ -212,6 +212,36 @@ def write_dual_sink(
             df.unpersist()
 
 
+def write_dual_managed(
+    df: DataFrame,
+    iceberg_path: str,
+    delta_path: str,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """The reference's managed-format dual sink — Iceberg primary +
+    Delta mirror (claims_to_iceberg.py:125-146) — on the clean-room
+    dialects: ONE materialization feeds both IcebergTable.append and
+    TxTable.write (same double-compute fix as write_dual_sink), and
+    both sides are transactional commits rather than bare directories.
+    Creates the Iceberg table on first write. Returns
+    (iceberg snapshot id, delta version)."""
+    from lakeflow.iceberg import IcebergTable
+    from lakeflow.txlog import TxTable
+
+    already_cached = df.is_cached
+    df = df.persist()
+    try:
+        ice = IcebergTable(iceberg_path)
+        if not ice.exists():
+            ice.create(df.schema, partition_by=partition_by)
+        snap = ice.append(df)
+        ver = TxTable(delta_path).write(df, partition_by=partition_by)
+        return snap, ver
+    finally:
+        if not already_cached:
+            df.unpersist()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

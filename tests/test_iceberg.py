@@ -1,0 +1,289 @@
+"""Behavioral tests for the clean-room Iceberg-dialect table
+(lakeflow.iceberg.IcebergTable): commit semantics, snapshots, time
+travel, metadata-side partition pruning, optimistic concurrency, and a
+round-trip through the INDEPENDENT spec reader (tools/iceberg_reader.py
+— its own Avro decoder, zero lakeflow imports), mirroring the
+txlog <-> tools/delta_reader.py pairing."""
+
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakeflow.iceberg import ConcurrentModification, IcebergTable, NoSuchSnapshot
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import iceberg_reader  # noqa: E402
+
+
+def _mk(spark, ids):
+    return spark.createDataFrame(
+        [
+            Row(id=i, name=f"n{i}", yr=2024 + (i % 2), mo=1 + (i % 3), amt=i * 1.5)
+            for i in ids
+        ]
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = IcebergTable(str(tmp_path / "t"))
+    t.create(_mk(spark, [0]).schema, partition_by=("yr", "mo"))
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_read_roundtrip(spark, table):
+    df = _mk(spark, range(10))
+    table.append(df)
+    assert _rows(table.read(spark)) == _rows(df)
+    # column order and types follow the table schema
+    assert table.read(spark).schema == df.schema
+
+
+def test_appends_accumulate_and_time_travel(spark, table):
+    s1 = table.append(_mk(spark, [1, 2]))
+    s2 = table.append(_mk(spark, [3]))
+    assert table.read(spark).count() == 3
+    assert _rows(table.read(spark, snapshot_id=s1)) == _rows(_mk(spark, [1, 2]))
+    ts1 = next(h for h in table.history() if h["snapshot_id"] == s1)["timestamp_ms"]
+    assert table.read(spark, asof_ms=ts1).count() == 2
+    with pytest.raises(NoSuchSnapshot):
+        table.read(spark, asof_ms=ts1 - 10_000_000)
+    with pytest.raises(NoSuchSnapshot):
+        table.read(spark, snapshot_id=999)
+    hist = table.history()
+    assert [h["operation"] for h in hist] == ["append", "append"]
+    assert hist[1]["parent_id"] == s1 and hist[1]["sequence_number"] == 2
+    assert s2 == hist[1]["snapshot_id"]
+
+
+def test_overwrite_replaces_table_state(spark, table):
+    table.append(_mk(spark, [1, 2, 3]))
+    s2 = table.overwrite(_mk(spark, [7]))
+    assert _rows(table.read(spark)) == _rows(_mk(spark, [7]))
+    # the pre-overwrite snapshot stays readable (time travel)
+    first = table.history()[0]["snapshot_id"]
+    assert table.read(spark, snapshot_id=first).count() == 3
+    assert table.history()[-1]["snapshot_id"] == s2
+
+
+def test_partition_pruning_is_metadata_side(spark, table):
+    table.append(_mk(spark, range(12)))
+    all_files = table.scan_files()
+    pruned = table.scan_files(partition_filter=lambda p: p["yr"] == 2024)
+    assert 0 < len(pruned) < len(all_files)
+    got = table.read(spark, partition_filter=lambda p: p["yr"] == 2024)
+    expect = _mk(spark, range(12)).filter(F.col("yr") == 2024)
+    assert _rows(got) == _rows(expect)
+    # typed partition tuples: ints, not strings
+    assert all(isinstance(f["partition"]["yr"], int) for f in all_files)
+
+
+def test_empty_table_and_empty_append(spark, table):
+    assert table.read(spark).count() == 0
+    table.append(_mk(spark, [1]).limit(0))
+    assert table.read(spark).count() == 0
+    assert len(table.history()) == 1
+
+
+def test_schema_mismatch_rejected(spark, table):
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(_mk(spark, [1]).drop("amt"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(_mk(spark, [1]).withColumn("extra", F.lit(1)))
+
+
+def test_create_twice_rejected(spark, table):
+    with pytest.raises(FileExistsError):
+        table.create(_mk(spark, [0]).schema)
+
+
+def test_concurrent_append_rebases(spark, table, monkeypatch):
+    """A blind append that loses the version CAS rebases onto the
+    winner and retries — both commits' rows land."""
+    import lakeflow.iceberg as ice_mod
+
+    real_publish = IcebergTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, version, metadata):
+        if not raced["done"]:
+            raced["done"] = True
+            other = IcebergTable(self.path)
+            real_publish(other, version, other_meta(other, version))
+        return real_publish(self, version, metadata)
+
+    def other_meta(other, version):
+        # a competing append of id=100 committed first
+        meta = other.load_metadata(version - 1)
+        return meta  # publish the stale metadata as the raced version
+
+    monkeypatch.setattr(IcebergTable, "_publish", racing_publish)
+    sid = table.append(_mk(spark, [1, 2]))
+    monkeypatch.setattr(IcebergTable, "_publish", real_publish)
+    # the loser rebased: its snapshot is in the FINAL metadata and the
+    # rows are all present
+    assert table.load_metadata()["current-snapshot-id"] == sid
+    assert table.read(spark).count() == 2
+
+
+def test_concurrent_overwrite_raises(spark, table, monkeypatch):
+    table.append(_mk(spark, [1]))
+    real_publish = IcebergTable._publish
+
+    def racing_publish(self, version, metadata):
+        stale = self.load_metadata(version - 1)
+        real_publish(IcebergTable(self.path), version, stale)
+        return real_publish(self, version, metadata)
+
+    monkeypatch.setattr(IcebergTable, "_publish", racing_publish)
+    with pytest.raises(ConcurrentModification):
+        table.overwrite(_mk(spark, [9]))
+
+
+def test_version_hint_fallback(spark, table):
+    table.append(_mk(spark, [1, 2]))
+    os.unlink(os.path.join(table.metadata_dir, "version-hint.text"))
+    assert table.latest_version() == 2
+    assert table.read(spark).count() == 2
+
+
+def test_clean_room_reader_round_trip(spark, table):
+    """tools/iceberg_reader.py (independent Avro decoder + metadata
+    walk) must reproduce IcebergTable.read()'s rows exactly, at the
+    current snapshot AND time-travelled, partitioned and not."""
+    s1 = table.append(_mk(spark, range(7)))
+    table.append(_mk(spark, [7, 8]))
+    for snap in (None, s1):
+        ours = _rows(table.read(spark, snapshot_id=snap))
+        pa_table = iceberg_reader.read_table(table.path, snapshot_id=snap)
+        theirs = sorted(tuple(r.values()) for r in pa_table.to_pylist())
+        assert theirs == ours
+    # unpartitioned twin
+    u = IcebergTable(table.path + "_u")
+    df = _mk(spark, [1, 2, 3])
+    u.create(df.schema)
+    u.append(df)
+    assert sorted(
+        tuple(r.values()) for r in iceberg_reader.read_table(u.path).to_pylist()
+    ) == _rows(df)
+
+
+def test_reader_rejects_unknown_codec(tmp_path):
+    from lakeflow import avrolite
+
+    p = str(tmp_path / "x.avro")
+    avrolite.write_container(p, {"type": "record", "name": "r", "fields": []}, [])
+    raw = open(p, "rb").read().replace(b"null", b"gzip")
+    open(p, "wb").write(raw)
+    with pytest.raises(NotImplementedError):
+        iceberg_reader.read_avro(p)
+
+
+def test_avrolite_round_trip_covers_spec_types(tmp_path):
+    """Encoder/decoder round-trip over every schema shape the Iceberg
+    dialect uses (plus map/fixed for spec completeness)."""
+    from lakeflow import avrolite
+
+    schema = {
+        "type": "record",
+        "name": "all_types",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "b": True,
+            "i": -(2**31) + 1,
+            "l": 2**62,
+            "f": 0.5,
+            "d": -1.25e100,
+            "s": "héllo",
+            "by": b"\x00\xff",
+            "u": None,
+            "arr": [1, -2, 3],
+            "m": {"k": "v"},
+            "nested": {"x": "y"},
+        },
+        {
+            "b": False,
+            "i": 0,
+            "l": -(2**62),
+            "f": -2.0,
+            "d": 0.0,
+            "s": "",
+            "by": b"",
+            "u": 7,
+            "arr": [],
+            "m": {},
+            "nested": {"x": None},
+        },
+    ]
+    p = str(tmp_path / "t.avro")
+    avrolite.write_container(p, schema, recs, metadata={"who": "test"})
+    got_schema, got, meta = avrolite.read_container(p)
+    assert got_schema == schema and meta["who"] == b"test"
+    assert got == recs
+    # the independent decoder agrees
+    s2, got2, _ = iceberg_reader.read_avro(p)
+    assert got2 == recs and s2 == schema
+
+
+def test_silver_claims_dual_managed_sink(spark, sf_dir, tmp_path):
+    """Reference-parity capstone: the silver claims frame lands in an
+    Iceberg table partitioned by (service_year, service_month) — the
+    exact DDL shape of claims_to_iceberg.py:92-119 — AND a Delta-dialect
+    mirror, from ONE materialization (write_dual_managed). Both sides
+    read back identically, and the Iceberg side round-trips through the
+    independent spec reader."""
+    from lakeflow import claims, io as lfio
+    from lakeflow.txlog import TxTable
+
+    silver = claims.silver_claims(spark, sf_dir)
+    ice_path = str(tmp_path / "iceberg_silver")
+    delta_path = str(tmp_path / "delta_silver")
+    snap, ver = lfio.write_dual_managed(
+        silver, ice_path, delta_path, partition_by=("service_year", "service_month")
+    )
+    from lakeflow.iceberg import IcebergTable
+
+    ice = IcebergTable(ice_path)
+    expect = _rows(silver)
+    cols = silver.columns
+    assert _rows(ice.read(spark, snapshot_id=snap).select(cols)) == expect
+    assert _rows(TxTable(delta_path).read(spark, version=ver).select(cols)) == expect
+    # identity partition spec matches the reference DDL
+    meta = ice.load_metadata()
+    spec = meta["partition-specs"][0]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("service_year", "identity"),
+        ("service_month", "identity"),
+    ]
+    # the independent reader agrees with Spark's read
+    pa_table = iceberg_reader.read_table(ice_path)
+    assert len(pa_table) == len(expect)
