@@ -543,6 +543,19 @@ def _occ_class_sql(col: str) -> str:
     return f"CASE {whens} ELSE '{_OCC_OVERFLOW}' END"
 
 
+# numeric class upper bound (overflow = INT32 max) so consumers get the
+# histogram in occupancy order, not lexicographic label order ('1',
+# '17-32', '2', ... — ADVICE r8); emitted as a column in both engines
+_OCC_OVERFLOW_UB = 2147483647
+
+
+def _occ_ub_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {hi} THEN {hi}" for _label, hi in _OCC_CLASSES
+    )
+    return f"CAST(CASE {whens} ELSE {_OCC_OVERFLOW_UB} END AS INTEGER)"
+
+
 def lsh_occupancy(
     spark: SparkSession,
     sf_dir: str,
@@ -575,14 +588,15 @@ def lsh_occupancy(
     occ = keys.groupBy("band", "band_sig").agg(F.count("*").alias("occ"))
     return (
         occ.withColumn("size_class", F.expr(_occ_class_sql("occ")))
-        .groupBy("size_class")
+        .withColumn("class_ub", F.expr(_occ_ub_sql("occ")))
+        .groupBy("size_class", "class_ub")
         .agg(
             F.count("*").alias("n_buckets"),
             F.sum("occ").alias("total_keys"),
             F.sum(F.expr("(occ * (occ - 1)) DIV 2")).alias("candidate_pairs"),
             F.max("occ").alias("max_occ"),
         )
-        .orderBy("size_class")
+        .orderBy("class_ub")
     )
 
 
@@ -627,12 +641,13 @@ WITH norm AS (
     SELECT band, bsig, count(*) AS occ FROM keys GROUP BY 1, 2
 )
 SELECT {_occ_class_sql('occ')} AS size_class,
+       {_occ_ub_sql('occ')} AS class_ub,
        CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(occ) AS BIGINT) AS total_keys,
        CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs,
        CAST(max(occ) AS BIGINT) AS max_occ
 FROM occ
-GROUP BY 1 ORDER BY 1
+GROUP BY 1, 2 ORDER BY 2
 """
 
 

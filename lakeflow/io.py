@@ -610,7 +610,13 @@ def zorder_layout(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
         total_bits = eff_bits * n
-        tile_bits = min(total_bits, max(1, math.ceil(math.log2(max(nparts, 1)))))
+        # floor, not ceil (ADVICE r8): ceil makes #tiles exceed
+        # #partitions for non-power-of-two partition counts, forcing
+        # the range partitioner to union z-consecutive tiles in one
+        # file — exactly the seam-straddling alignment exists to
+        # prevent. floor guarantees #tiles <= #partitions (some
+        # partitions idle; every file stays one whole tile).
+        tile_bits = min(total_bits, max(1, math.floor(math.log2(max(nparts, 1)))))
         out = out.withColumn(
             "_ztile", F.shiftright("_zkey", total_bits - tile_bits)
         )

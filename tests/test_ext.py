@@ -1676,9 +1676,13 @@ def test_lsh_occupancy_prices_the_candidate_join(spark, sf_dir):
     for r in rows:
         hi = bounds.get(r.size_class)
         if hi is not None:
-            assert r.max_occ <= hi
+            assert r.max_occ <= hi and r.class_ub == hi
         else:
             assert r.size_class == dd._OCC_OVERFLOW and r.max_occ >= 65
+            assert r.class_ub == dd._OCC_OVERFLOW_UB
+    # rows arrive in occupancy order, not label order (ADVICE r8)
+    ubs = [r.class_ub for r in rows]
+    assert ubs == sorted(ubs)
     # exact join-cost attribution: recompute Σ occ·(occ-1)/2 directly
     sig = dd.minhash_signatures(dd.normalized_docs(spark, sf_dir), 16, portable=True)
     occ = (

@@ -56,7 +56,13 @@ def _actions_upto(table_path: str, version: int | None) -> list[tuple[str, dict]
     lc = os.path.join(log, "_last_checkpoint")
     if os.path.exists(lc):
         with open(lc) as f:
-            v = json.load(f)["version"]
+            ptr = json.load(f)
+        if "parts" in ptr:
+            # multi-part checkpoints name <v>.checkpoint.<i>.<n>.parquet
+            # files; silently reading the single-file name would be a
+            # wrong partial snapshot on foreign tables (ADVICE r8)
+            raise NotImplementedError("multi-part checkpoints unsupported")
+        v = ptr["version"]
         if version is None or v <= version:
             ckpt_v = v
     actions: list[tuple[str, dict]] = []
@@ -75,6 +81,19 @@ def _actions_upto(table_path: str, version: int | None) -> list[tuple[str, dict]
         for e in os.listdir(log)
         if e.endswith(".json") and e[:VLEN].isdigit()
     )
+    # commit-contiguity check (ADVICE r8): when the checkpoint is
+    # skipped (a pinned pre-checkpoint version), the replay must start
+    # at commit 0 — if vacuum aged out early commits, error rather than
+    # silently returning a partial snapshot built from whatever remains
+    end = version if version is not None else (versions[-1] if versions else -1)
+    needed = [v for v in range(start, end + 1)]
+    present = {v for v in versions if start <= v <= end}
+    missing = [v for v in needed if v not in present]
+    if missing:
+        raise FileNotFoundError(
+            f"commit files missing for versions {missing[:5]}… — the log is "
+            "not contiguous from the replay start (vacuumed commits?)"
+        )
     for v in versions:
         if v < start or (version is not None and v > version):
             continue
@@ -117,11 +136,15 @@ def read_table(table_path: str, version: int | None = None):
     surface NULL for later-added columns — the log owns the schema)."""
     import pyarrow as pa
 
+    from urllib.parse import unquote
+
     files, meta = snapshot_state(table_path, version)
     part_cols = list((meta or {}).get("partitionColumns") or [])
     tables = []
-    for path in sorted(files):
-        add = files[path]
+    for raw_path in sorted(files):
+        add = files[raw_path]
+        # spec: add.path is URL-encoded (ADVICE r8)
+        path = unquote(raw_path)
         p = path if os.path.isabs(path) else os.path.join(table_path, path)
         import pyarrow.parquet as pq
 
