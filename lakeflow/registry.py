@@ -771,6 +771,13 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # ground truth in ONE plan (r7): the recall numbers themselves are
     # oracle-replayed, so index quality is certified, not eyeballed
     "q_ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
+    # sub-quadratic deployment shape of the recall harness (r9): the
+    # query sample thinned 10x (query_mod=1000) cuts the ground truth's
+    # O(Nq*N) scan 10x — the certified big-SF way to run the battery
+    "q_ann_recall_scaled": (
+        similarity.ann_recall_scaled,
+        similarity.ANN_RECALL_SCALED_SQL,
+    ),
     "q_multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "q_audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "q_frame_sample": (multimodal.frame_sample_stats, multimodal.FRAME_SAMPLE_SQL),
