@@ -37,15 +37,24 @@ Iceberg table spec (iceberg.apache.org/spec, format-version 2) only:
   ride along in the manifests for data skipping — the same
   metadata-first read path real Iceberg uses at 100 TB.
 
+Also implemented: **add-column schema evolution** (appends carrying new
+columns commit a new schema object with fresh field ids; added columns
+are forced optional per the spec, so pre-evolution files surface NULL)
+and **snapshot expiration** (``expire_snapshots`` — Iceberg's
+expireSnapshots + deleteOrphanFiles pair, the txlog.vacuum twin: the
+metadata edit is itself a CAS commit; only files reachable solely from
+expired snapshots are deleted).
+
 Deliberate scope cuts, documented rather than faked: identity
 partition transforms only (all the reference uses —
 ``PARTITIONED BY (service_year, service_month)``); append/overwrite
 commits (the reference's write modes) — no row-level delete files
-(Iceberg v2 merge-on-read); single partition spec / schema per table
-lifetime. Identity-source partition columns live in the directory
-layout + manifests rather than the parquet payload (readers
-reconstitute them from metadata, which the spec requires them to
-support for identity transforms).
+(Iceberg v2 merge-on-read); single partition spec per table lifetime;
+evolution is add-column only (no renames/drops/type promotion).
+Identity-source partition columns live in the directory layout +
+manifests rather than the parquet payload (readers reconstitute them
+from metadata, which the spec requires them to support for identity
+transforms).
 """
 
 from __future__ import annotations
@@ -527,7 +536,7 @@ class IcebergTable:
     # ------------------------------------------------------------- staging
 
     def _stage_data_files(
-        self, df: DataFrame, part_fields: list[dict]
+        self, df: DataFrame, part_fields: list[dict], meta: dict
     ) -> list[dict]:
         """Write df's parquet files under data/ (Hive dirs when
         partitioned) WITHOUT publishing — only the committed metadata
@@ -542,12 +551,10 @@ class IcebergTable:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.save(staging)
-        meta = self.load_metadata()
         schema = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
         type_of = {f["name"]: f["type"] for f in schema["fields"]}
-        id_of = {f["name"]: f["id"] for f in schema["fields"]}
         out: list[dict] = []
         for root, _dirs, names in os.walk(staging):
             for name in sorted(names):
@@ -581,22 +588,16 @@ class IcebergTable:
                         col = g.column(ci)
                         st = col.statistics
                         cname = col.path_in_schema
-                        if st is None or not st.has_min_max or cname not in id_of:
+                        if st is None or not st.has_min_max or cname not in type_of:
                             continue
                         if cname not in mins or st.min < mins[cname]:
                             mins[cname] = st.min
                         if cname not in maxs or st.max > maxs[cname]:
                             maxs[cname] = st.max
-                lo_by: dict[int, bytes] = {}
-                hi_by: dict[int, bytes] = {}
-                for cname, v in mins.items():
-                    b = _bound_bytes(type_of[cname], v)
-                    if b is not None:
-                        lo_by[id_of[cname]] = b
-                for cname, v in maxs.items():
-                    b = _bound_bytes(type_of[cname], v)
-                    if b is not None:
-                        hi_by[id_of[cname]] = b
+                # bounds are kept NAME-keyed here and mapped to field
+                # ids at manifest-write time — a CAS retry may rebase
+                # onto a winner that itself evolved the schema, moving
+                # the id assignment out from under files staged once
                 out.append(
                     {
                         "content": 0,
@@ -607,14 +608,16 @@ class IcebergTable:
                         "partition": partition,
                         "record_count": pf_meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
-                        "lower_bounds": [
-                            {"key": k, "value": v} for k, v in sorted(lo_by.items())
-                        ]
-                        or None,
-                        "upper_bounds": [
-                            {"key": k, "value": v} for k, v in sorted(hi_by.items())
-                        ]
-                        or None,
+                        "_lb_by_name": {
+                            c: _bound_bytes(type_of[c], v)
+                            for c, v in mins.items()
+                            if _bound_bytes(type_of[c], v) is not None
+                        },
+                        "_ub_by_name": {
+                            c: _bound_bytes(type_of[c], v)
+                            for c, v in maxs.items()
+                            if _bound_bytes(type_of[c], v) is not None
+                        },
                     }
                 )
         shutil.rmtree(staging)
@@ -640,13 +643,35 @@ class IcebergTable:
             for s in meta["partition-specs"]
             if s["spec-id"] == meta["default-spec-id"]
         )
+        id_of = {f["name"]: f["id"] for f in schema["fields"]}
+
+        def _finalize(dfile: dict) -> dict:
+            d = {k: v for k, v in dfile.items() if not k.startswith("_")}
+            lo = {
+                id_of[c]: v
+                for c, v in dfile.get("_lb_by_name", {}).items()
+                if c in id_of
+            }
+            hi = {
+                id_of[c]: v
+                for c, v in dfile.get("_ub_by_name", {}).items()
+                if c in id_of
+            }
+            d["lower_bounds"] = [
+                {"key": k, "value": v} for k, v in sorted(lo.items())
+            ] or None
+            d["upper_bounds"] = [
+                {"key": k, "value": v} for k, v in sorted(hi.items())
+            ] or None
+            return d
+
         entries = [
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
-                "data_file": dfile,
+                "data_file": _finalize(dfile),
             }
             for dfile in data_files
         ]
@@ -711,22 +736,56 @@ class IcebergTable:
             meta = self.load_metadata(version)
             if part_fields is None:
                 part_fields = self._part_fields(meta)
-            table_schema = schema_to_spark(
-                next(
-                    s
-                    for s in meta["schemas"]
-                    if s["schema-id"] == meta["current-schema-id"]
-                )
+            cur_schema = next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
             )
+            table_schema = schema_to_spark(cur_schema)
             missing = set(f.name for f in table_schema.fields) - set(df.columns)
-            extra = set(df.columns) - set(f.name for f in table_schema.fields)
-            if missing or extra:
+            extra = [c for c in df.columns if c not in set(f.name for f in table_schema.fields)]
+            if missing:
                 raise ValueError(
                     f"schema mismatch: missing {sorted(missing)}, extra {sorted(extra)}"
                 )
+            if extra:
+                # add-column schema evolution (the Iceberg move txlog's
+                # mergeSchema append maps to): a NEW schema object with
+                # a fresh schema-id, added fields taking ids above
+                # last-column-id and forced optional (the spec requires
+                # added columns be optional — pre-evolution files must
+                # legally surface NULL for them)
+                meta = dict(meta)
+                new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+                next_cid = [meta["last-column-id"] + 1]
+                added = []
+                for c in extra:
+                    fid = next_cid[0]
+                    next_cid[0] += 1
+                    added.append(
+                        {
+                            "id": fid,
+                            "name": c,
+                            "required": False,
+                            "type": _iceberg_type(
+                                df.schema[c].dataType, next_cid
+                            ),
+                        }
+                    )
+                cur_schema = {
+                    "type": "struct",
+                    "schema-id": new_id,
+                    "fields": cur_schema["fields"] + added,
+                }
+                meta["schemas"] = meta["schemas"] + [cur_schema]
+                meta["current-schema-id"] = new_id
+                meta["last-column-id"] = next_cid[0] - 1
+                table_schema = schema_to_spark(cur_schema)
             if staged is None:
                 staged = self._stage_data_files(
-                    df.select(*[f.name for f in table_schema.fields]), part_fields
+                    df.select(*[f.name for f in table_schema.fields]),
+                    part_fields,
+                    meta,
                 )
             seq = meta["last-sequence-number"] + 1
             snap_id = _snapshot_id()
@@ -900,6 +959,72 @@ class IcebergTable:
             .parquet(*paths)
             .select(*[f.name for f in schema.fields])
         )
+
+    def expire_snapshots(self, retain_last: int = 2) -> list[str]:
+        """Expire all but the most recent ``retain_last`` snapshots (the
+        current snapshot always survives) and delete every file
+        reachable ONLY from expired snapshots — manifest lists,
+        manifests, and data files (Iceberg's expireSnapshots +
+        deleteOrphanFiles maintenance pair, and the twin of
+        txlog.vacuum). Time travel to an expired snapshot then raises
+        NoSuchSnapshot, exactly like a vacuumed Delta version.
+
+        The metadata edit is itself a CAS-published commit (a new
+        v<N+1>.metadata.json), so a concurrent writer can never observe
+        a half-expired table; physical deletes happen only AFTER the
+        publish succeeds, so a lost race deletes nothing."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        version = self.latest_version()
+        meta = self.load_metadata(version)
+        snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        if len(snaps) <= retain_last:
+            return []
+        kept = snaps[-retain_last:]
+        expired = snaps[:-retain_last]
+        cur = meta["current-snapshot-id"]
+        assert any(s["snapshot-id"] == cur for s in kept), (
+            "current snapshot must be within the retained window"
+        )
+
+        def _reachable(snapshots: list[dict]) -> set[str]:
+            paths: set[str] = set()
+            for s in snapshots:
+                paths.add(s["manifest-list"])
+                _, manifests, _ = avrolite.read_container(s["manifest-list"])
+                for m in manifests:
+                    paths.add(m["manifest_path"])
+                    _, entries, _ = avrolite.read_container(m["manifest_path"])
+                    for e in entries:
+                        paths.add(
+                            os.path.join(self.path, e["data_file"]["file_path"])
+                        )
+            return paths
+
+        live = _reachable(kept)
+        doomed = sorted(_reachable(expired) - live)
+        kept_ids = {s["snapshot-id"] for s in kept}
+        new_meta = dict(meta)
+        new_meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids
+        ]
+        new_meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+        ]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        new_meta["metadata-log"] = meta["metadata-log"] + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": self._metadata_path(version),
+            }
+        ]
+        self._publish(version + 1, new_meta)
+        for p in doomed:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        return doomed
 
     def history(self) -> list[dict]:
         """Commit history: one row per snapshot (the DESCRIBE HISTORY

@@ -94,10 +94,10 @@ def test_empty_table_and_empty_append(spark, table):
 
 
 def test_schema_mismatch_rejected(spark, table):
+    # missing columns are rejected; EXTRA columns evolve the schema
+    # instead (test_schema_evolution_add_column)
     with pytest.raises(ValueError, match="schema mismatch"):
         table.append(_mk(spark, [1]).drop("amt"))
-    with pytest.raises(ValueError, match="schema mismatch"):
-        table.append(_mk(spark, [1]).withColumn("extra", F.lit(1)))
 
 
 def test_create_twice_rejected(spark, table):
@@ -287,3 +287,72 @@ def test_silver_claims_dual_managed_sink(spark, sf_dir, tmp_path):
     # the independent reader agrees with Spark's read
     pa_table = iceberg_reader.read_table(ice_path)
     assert len(pa_table) == len(expect)
+
+
+def test_schema_evolution_add_column(spark, table):
+    """An append carrying a NEW column commits a new schema object
+    (fresh schema-id, fresh field ids, column forced optional);
+    pre-evolution files surface NULL for it in BOTH readers."""
+    table.append(_mk(spark, [1, 2]))
+    evolved = _mk(spark, [3]).withColumn("extra", F.lit("x"))
+    table.append(evolved)
+    meta = table.load_metadata()
+    assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+    new_field = next(
+        f for f in meta["schemas"][1]["fields"] if f["name"] == "extra"
+    )
+    assert new_field["required"] is False
+    assert new_field["id"] == meta["last-column-id"]
+    got = {r.id: r.extra for r in table.read(spark).collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+    # independent reader agrees, including the null fill
+    pa_rows = {
+        r["id"]: r["extra"]
+        for r in iceberg_reader.read_table(table.path).to_pylist()
+    }
+    assert pa_rows == got
+    # a second evolved append reuses the evolved schema (no new object)
+    table.append(evolved.withColumn("id", F.lit(9)))
+    assert len(table.load_metadata()["schemas"]) == 2
+
+
+def test_expire_snapshots(spark, table):
+    """Expiration keeps the last N snapshots, deletes files reachable
+    only from expired ones (shared data files of carried-forward
+    manifests survive), and time travel to an expired id raises."""
+    s1 = table.append(_mk(spark, [1]))
+    s2 = table.append(_mk(spark, [2]))
+    s3 = table.append(_mk(spark, [3]))
+    m1 = table.load_metadata()
+    ml1 = next(
+        s for s in m1["snapshots"] if s["snapshot-id"] == s1
+    )["manifest-list"]
+    doomed = table.expire_snapshots(retain_last=2)
+    assert ml1 in doomed
+    # appends carry manifests forward, so s1's DATA files are still
+    # reachable from s2/s3 and must NOT be deleted
+    assert table.read(spark).count() == 3
+    assert {h["snapshot_id"] for h in table.history()} == {s2, s3}
+    with pytest.raises(NoSuchSnapshot):
+        table.read(spark, snapshot_id=s1)
+    assert table.read(spark, snapshot_id=s2).count() == 2
+    # the expiration commit is a published metadata version; the
+    # independent reader sees the post-expiration table
+    assert iceberg_reader.read_table(table.path).num_rows == 3
+    # idempotent when nothing to expire
+    assert table.expire_snapshots(retain_last=5) == []
+
+
+def test_expire_after_overwrite_deletes_replaced_data(spark, table):
+    """After an overwrite, the pre-overwrite data files are reachable
+    ONLY from expired snapshots — expiration must physically remove
+    them."""
+    table.append(_mk(spark, [1, 2, 3]))
+    old_files = [
+        os.path.join(table.path, d["file_path"]) for d in table.scan_files()
+    ]
+    table.overwrite(_mk(spark, [9]))
+    doomed = table.expire_snapshots(retain_last=1)
+    for p in old_files:
+        assert p in doomed and not os.path.exists(p)
+    assert _rows(table.read(spark)) == _rows(_mk(spark, [9]))

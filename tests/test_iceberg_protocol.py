@@ -86,7 +86,10 @@ def _field_ids(avro_record_schema: dict) -> dict[str, int]:
     }
 
 
-def _validate_metadata_json(path: str) -> dict:
+def _validate_metadata_json(path: str, check_files: bool = True) -> dict:
+    """``check_files=False`` for HISTORICAL metadata versions: snapshot
+    expiration legitimately deletes files that only old versions
+    reference (same as real Iceberg's expireSnapshots)."""
     with open(path) as fh:
         meta = json.load(fh)
     for name, typ in _METADATA_SPEC.items():
@@ -124,7 +127,8 @@ def _validate_metadata_json(path: str) -> dict:
         assert "sequence-number" in s  # required in v2
         assert s["sequence-number"] <= meta["last-sequence-number"]
         assert s["summary"]["operation"] in ("append", "overwrite", "delete", "replace")
-        assert os.path.isfile(s["manifest-list"])
+        if check_files:
+            assert os.path.isfile(s["manifest-list"])
         snap_ids.add(s["snapshot-id"])
     assert len(snap_ids) == len(meta["snapshots"]), "snapshot ids must be unique"
     cur = meta.get("current-snapshot-id")
@@ -229,14 +233,25 @@ def validate_iceberg_table(table_path: str) -> dict:
         mrecs = _validate_manifest_list(s["manifest-list"], table_path)
         for m in mrecs:
             n_entries += len(_validate_manifest(m["manifest_path"], table_path))
-    # every historical metadata file must itself be valid (time travel
-    # reads them), and earlier files must stay immutable prefixes of the
-    # snapshot history
+    # every historical metadata file must itself be structurally valid
+    # (they stay on disk as the metadata-log), and the snapshot history
+    # must be append-or-expire only: ids common to an earlier version
+    # and the latest appear in the SAME relative order (a snapshot can
+    # be added or expired, never reordered or rewritten)
     for v in versions[:-1]:
-        prev = _validate_metadata_json(os.path.join(mdir, f"v{v}.metadata.json"))
+        prev = _validate_metadata_json(
+            os.path.join(mdir, f"v{v}.metadata.json"), check_files=False
+        )
         prev_ids = [s["snapshot-id"] for s in prev["snapshots"]]
         cur_ids = [s["snapshot-id"] for s in meta["snapshots"]]
-        assert cur_ids[: len(prev_ids)] == prev_ids
+        common = set(prev_ids) & set(cur_ids)
+        assert [i for i in prev_ids if i in common] == [
+            i for i in cur_ids if i in common
+        ]
+        prev_by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] in prev_by_id:
+                assert s == prev_by_id[s["snapshot-id"]], "snapshot rewritten"
     return {"versions": len(versions), "snapshots": len(meta["snapshots"]), "entries": n_entries}
 
 
@@ -253,10 +268,14 @@ def test_metadata_conforms_to_published_iceberg_spec(spark, tmp_path):
     t.append(mk([4, 5]))
     t.overwrite(mk([6]))
     t.append(mk([7, 8]))
+    from pyspark.sql import functions as F
+
+    t.append(mk([9]).withColumn("note", F.lit("evolved")))  # schema evolution
+    t.expire_snapshots(retain_last=3)
     stats = validate_iceberg_table(t.path)
-    assert stats["versions"] == 5  # create + 4 commits
-    assert stats["snapshots"] == 4
-    assert stats["entries"] >= 4
+    assert stats["versions"] == 7  # create + 5 commits + expire
+    assert stats["snapshots"] == 3
+    assert stats["entries"] >= 3
 
 
 def test_unpartitioned_table_conforms(spark, tmp_path):

@@ -238,10 +238,21 @@ def read_table(
             t = t.append_column(
                 src["name"], pa.array([v] * len(t), type=typ)
             )
+        for f in schema["fields"]:
+            if f["name"] in t.column_names:
+                continue
+            # pre-evolution file: added columns are optional per the
+            # spec, so they surface NULL
+            typ = _PA.get(f["type"])
+            if typ is None:
+                raise NotImplementedError(f"evolved column type {f['type']!r}")
+            t = t.append_column(f["name"], pa.nulls(len(t), type=typ))
         pieces.append(t.select(col_order))
     if not pieces:
         return pa.table({c: [] for c in col_order})
-    return pa.concat_tables(pieces)
+    # permissive: pre-evolution pieces carry all-null added columns
+    # whose arrow nullability/width may differ from written ones
+    return pa.concat_tables(pieces, promote_options="permissive")
 
 
 if __name__ == "__main__":
