@@ -722,9 +722,15 @@ class IcebergTable:
             "partitions": summaries,
         }
 
-    def _commit_snapshot(self, df: DataFrame, operation: str) -> int:
+    def _commit_snapshot(
+        self,
+        df: DataFrame,
+        operation: str,
+        extra_summary: dict[str, str] | None = None,
+    ) -> int | None:
         """Shared append/overwrite commit loop: stage once, CAS on the
-        version file, blind appends rebase and retry."""
+        version file, blind appends rebase and retry. Returns None only
+        on the idempotent path (txn marker already committed)."""
         staged: list[dict] | None = None
         part_fields: list[dict] | None = None
         while True:
@@ -734,6 +740,20 @@ class IcebergTable:
                     f"create() the table at {self.path} before writing"
                 )
             meta = self.load_metadata(version)
+            if extra_summary and "txn-app-id" in extra_summary:
+                # idempotence must hold across the CAS race too: a
+                # rebase re-checks the marker against the winner's
+                # snapshots, so two replays of the same batch can never
+                # both land (the loser's staged files stay unreferenced
+                # — invisible to readers, reclaimable as orphans)
+                for s in meta["snapshots"]:
+                    summ = s.get("summary", {})
+                    if summ.get("txn-app-id") == extra_summary[
+                        "txn-app-id"
+                    ] and int(summ.get("txn-version", -1)) >= int(
+                        extra_summary["txn-version"]
+                    ):
+                        return None
             if part_fields is None:
                 part_fields = self._part_fields(meta)
             cur_schema = next(
@@ -838,6 +858,7 @@ class IcebergTable:
                     ),
                     "total-data-files": str(total_files),
                     "total-records": str(total_rows),
+                    **(extra_summary or {}),
                 },
             }
             if parent is not None:
@@ -873,6 +894,40 @@ class IcebergTable:
         """Atomic multi-file append — ``df.writeTo(t).append()`` in the
         reference (claims_to_iceberg.py:131). Returns the snapshot id."""
         return self._commit_snapshot(df, "append")
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest transaction marker committed for ``app_id``, read
+        from snapshot summaries (the Iceberg-side twin of Delta's txn
+        action / TxTable.txn_version: Spark's Iceberg streaming sink
+        records its epoch in the snapshot summary the same way).
+        Scans only LIVE snapshots, so pair retention with the sink's
+        replay horizon when expiring."""
+        meta = self.load_metadata()
+        best: int | None = None
+        for s in meta["snapshots"]:
+            summ = s.get("summary", {})
+            if summ.get("txn-app-id") == app_id:
+                v = int(summ["txn-version"])
+                if best is None or v > best:
+                    best = v
+        return best
+
+    def append_idempotent(
+        self, df: DataFrame, app_id: str, batch_id: int
+    ) -> int | None:
+        """Exactly-once foreachBatch sink: the batch's data files and
+        its (app_id, batch_id) marker publish in the SAME atomic
+        snapshot, so a replayed batch (restarted stream, at-least-once
+        delivery) detects itself and commits nothing. Returns the
+        snapshot id, or None when the batch was already committed."""
+        last = self.txn_version(app_id)
+        if last is not None and batch_id <= last:
+            return None
+        return self._commit_snapshot(
+            df,
+            "append",
+            extra_summary={"txn-app-id": app_id, "txn-version": str(batch_id)},
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite: the new snapshot's manifest list

@@ -356,3 +356,54 @@ def test_expire_after_overwrite_deletes_replaced_data(spark, table):
     for p in old_files:
         assert p in doomed and not os.path.exists(p)
     assert _rows(table.read(spark)) == _rows(_mk(spark, [9]))
+
+
+def test_append_idempotent_exactly_once(spark, table):
+    """The foreachBatch sink contract (txlog txn-marker twin): a batch
+    commits atomically WITH its (app_id, batch_id) marker in the
+    snapshot summary; replaying the batch commits nothing; a racer that
+    loses the version CAS re-checks the marker and backs off."""
+    df = _mk(spark, [1, 2])
+    s0 = table.append_idempotent(df, "streamA", 0)
+    assert s0 is not None and table.read(spark).count() == 2
+    # replay of the same batch: no-op
+    assert table.append_idempotent(df, "streamA", 0) is None
+    assert table.read(spark).count() == 2
+    # earlier batch after a later one: also a no-op
+    table.append_idempotent(_mk(spark, [3]), "streamA", 1)
+    assert table.append_idempotent(df, "streamA", 0) is None
+    assert table.txn_version("streamA") == 1
+    # a different app's markers are independent
+    assert table.txn_version("streamB") is None
+    assert table.append_idempotent(_mk(spark, [4]), "streamB", 0) is not None
+    assert table.read(spark).count() == 4
+    # the marker is IN the summary of the committed snapshot (atomic
+    # with the data), per the Iceberg streaming-sink convention
+    meta = table.load_metadata()
+    marked = [
+        s for s in meta["snapshots"]
+        if s["summary"].get("txn-app-id") == "streamA"
+    ]
+    assert sorted(int(s["summary"]["txn-version"]) for s in marked) == [0, 1]
+
+
+def test_append_idempotent_rechecks_after_cas_race(spark, table, monkeypatch):
+    """A racer committing the SAME batch between our check and our
+    publish must make the loser back off inside the rebase loop."""
+    df = _mk(spark, [1])
+    real_publish = IcebergTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, version, metadata):
+        if not raced["done"]:
+            raced["done"] = True
+            IcebergTable(self.path).append_idempotent(
+                _mk(spark, [2]), "s", 5
+            )  # the racer wins the version with the same marker
+        return real_publish(self, version, metadata)
+
+    monkeypatch.setattr(IcebergTable, "_publish", racing_publish)
+    out = table.append_idempotent(df, "s", 5)
+    monkeypatch.setattr(IcebergTable, "_publish", real_publish)
+    assert out is None, "loser must detect the racer's marker and back off"
+    assert _rows(table.read(spark)) == _rows(_mk(spark, [2]))
