@@ -196,6 +196,81 @@ def _bound_bytes(ice_type: str, v: Any) -> bytes | None:
     return None
 
 
+def _unbound_value(ice_type: str, b: bytes) -> Any:
+    """Inverse of _bound_bytes for the pruning path."""
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+_CONJUNCT_RE = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<=|>=|<|>)\s*('[^']*'|[-+0-9.eE]+)\s*"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, Any]] | None:
+    """Parse ``col op literal [AND ...]`` into pruning conjuncts; None
+    when any piece falls outside the fragment (pruning then degrades to
+    scanning every file — correctness never depends on it). Same
+    fragment and semantics as txlog's data skipping."""
+    out: list[tuple[str, str, Any]] = []
+    for part in re.split(r"(?i)\s+and\s+", where.strip()):
+        m = _CONJUNCT_RE.fullmatch(part)
+        if m is None:
+            return None
+        col, op, lit = m.groups()
+        val: Any
+        if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+            val = lit[1:-1]
+        else:
+            try:
+                val = float(lit) if ("." in lit or "e" in lit.lower()) else int(lit)
+            except ValueError:
+                return None
+        out.append((col, op, val))
+    return out
+
+
+def _bounds_may_match(
+    lo: dict[str, Any], hi: dict[str, Any], conjuncts: list[tuple[str, str, Any]]
+) -> bool:
+    """Conservative range check of one data file's decoded bounds:
+    False only when a conjunct is provably unsatisfiable for every row."""
+    for col, op, val in conjuncts:
+        mn, mx = lo.get(col), hi.get(col)
+        if mn is None or mx is None:
+            continue
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if numeric != (isinstance(mn, (int, float)) and not isinstance(mn, bool)):
+            continue  # type mismatch — don't prune
+        if op == "=":
+            ok = mn <= val <= mx
+        elif op == "<":
+            ok = mn < val
+        elif op == "<=":
+            ok = mn <= val
+        elif op == ">":
+            ok = mx > val
+        elif op == ">=":
+            ok = mx >= val
+        else:  # !=
+            ok = not (mn == mx == val)
+        if not ok:
+            return False
+    return True
+
+
 # ------------------------------------------------------------ avro schemas
 
 
@@ -962,14 +1037,35 @@ class IcebergTable:
         snapshot_id: int | None = None,
         asof_ms: int | None = None,
         partition_filter: Callable[[dict[str, Any]], bool] | None = None,
+        where: str | None = None,
     ) -> list[dict]:
         """Live data_file structs of a snapshot, manifest-list →
         manifest replay, with metadata-side partition pruning (the
         filter sees the TYPED partition dict and runs before Spark ever
-        sees a file list)."""
+        sees a file list) and ``where``-driven DATA SKIPPING: files
+        whose Appendix-D column bounds prove no row can match are
+        dropped from the plan (the txlog data-skipping twin; the
+        predicate is re-applied row-level by read(), so pruning is a
+        pure optimization, never a correctness dependency)."""
         snap = self._resolve_snapshot(snapshot_id, asof_ms)
         if snap is None:
             return []
+        conjuncts = _parse_conjuncts(where) if where is not None else None
+        name_type_of: dict[int, tuple[str, str]] = {}
+        if conjuncts is not None:
+            meta = self.load_metadata()
+            schema = next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+            # field ids are stable across add-column evolution, so the
+            # CURRENT schema's id map covers every manifest's bounds
+            name_type_of = {
+                f["id"]: (f["name"], f["type"])
+                for f in schema["fields"]
+                if isinstance(f["type"], str)
+            }
         _, manifests, _ = avrolite.read_container(snap["manifest-list"])
         files: list[dict] = []
         for m in manifests:
@@ -982,6 +1078,22 @@ class IcebergTable:
                     d["partition"]
                 ):
                     continue
+                if conjuncts is not None:
+                    lo: dict[str, Any] = {}
+                    hi: dict[str, Any] = {}
+                    for side, dst in (
+                        ("lower_bounds", lo),
+                        ("upper_bounds", hi),
+                    ):
+                        for kv in d.get(side) or []:
+                            nt = name_type_of.get(kv["key"])
+                            if nt is None:
+                                continue
+                            v = _unbound_value(nt[1], kv["value"])
+                            if v is not None:
+                                dst[nt[0]] = v
+                    if not _bounds_may_match(lo, hi, conjuncts):
+                        continue
                 files.append(d)
         return files
 
@@ -991,8 +1103,10 @@ class IcebergTable:
         snapshot_id: int | None = None,
         asof_ms: int | None = None,
         partition_filter: Callable[[dict[str, Any]], bool] | None = None,
+        where: str | None = None,
     ) -> DataFrame:
-        """Snapshot read (optionally time-travelled / partition-pruned).
+        """Snapshot read (optionally time-travelled / partition-pruned /
+        bounds-pruned via ``where``, which is ALSO applied row-level).
         Identity partition columns reconstitute from the Hive directory
         layout under an explicit schema — the same log-owns-the-schema
         read path as txlog (no footer-sampling inference job)."""
@@ -1004,16 +1118,18 @@ class IcebergTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )
         )
-        files = self.scan_files(snapshot_id, asof_ms, partition_filter)
+        files = self.scan_files(snapshot_id, asof_ms, partition_filter, where)
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            return df.filter(where) if where is not None else df
         paths = [os.path.join(self.path, d["file_path"]) for d in files]
-        return (
+        df = (
             spark.read.option("basePath", self.data_dir)
             .schema(schema)
             .parquet(*paths)
             .select(*[f.name for f in schema.fields])
         )
+        return df.filter(where) if where is not None else df
 
     def expire_snapshots(self, retain_last: int = 2) -> list[str]:
         """Expire all but the most recent ``retain_last`` snapshots (the

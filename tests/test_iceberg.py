@@ -407,3 +407,30 @@ def test_append_idempotent_rechecks_after_cas_race(spark, table, monkeypatch):
     monkeypatch.setattr(IcebergTable, "_publish", real_publish)
     assert out is None, "loser must detect the racer's marker and back off"
     assert _rows(table.read(spark)) == _rows(_mk(spark, [2]))
+
+
+def test_where_data_skipping_via_manifest_bounds(spark, table):
+    """read(where=...) prunes files whose Appendix-D manifest bounds
+    prove no row can match — fewer files scanned, same rows as the
+    unpruned filter — and degrades to no pruning (never wrong rows)
+    for predicates outside the supported fragment."""
+    # one file per id → tight per-file bounds (coalesce keeps files
+    # aligned with partitions: yr/mo split them already)
+    table.append(_mk(spark, range(12)))
+    all_files = table.scan_files()
+    pruned = table.scan_files(where="id >= 10")
+    assert 0 < len(pruned) < len(all_files)
+    got = table.read(spark, where="id >= 10")
+    expect = _mk(spark, range(12)).filter(F.col("id") >= 10)
+    assert _rows(got) == _rows(expect)
+    # string bounds prune too
+    assert len(table.scan_files(where="name = 'n3'")) < len(all_files)
+    assert _rows(table.read(spark, where="name = 'n3'")) == _rows(
+        _mk(spark, [3])
+    )
+    # unsupported fragment: no pruning, rows still correct (row-level
+    # filter applies regardless)
+    assert len(table.scan_files(where="id >= 10 OR id < 2")) == len(all_files)
+    assert table.read(spark, where="id >= 10 OR id < 2").count() == 4
+    # conjunct on a column with no usable bounds: conservative keep
+    assert len(table.scan_files(where="amt != 99.0")) == len(all_files)
