@@ -1054,6 +1054,15 @@ def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     greatest(0, ·) inside the sqrt: nb² − proj² can land at −1ulp on
     vectors lying exactly along pc1 (the same cancellation class the
     fuzz gate caught in the z-score oracle) — clamped in both engines.
+
+    The two per-vector sums are quantized to integer NANO-units per
+    row BEFORE summing (the certified PageRank/BPE pattern): inputs
+    (x, 9dp mu, 6dp pc1) are bit-identical across engines, so the
+    per-row products are too — but a float SUM is order-dependent
+    (Spark partial aggregation vs DuckDB sequential), and the r9 fuzz
+    gate caught a 1-ulp half-boundary flip in norm_after on a random
+    corpus. Integer sums commute exactly; both engines now aggregate
+    identical bigints in any order.
     """
     from lakeflow.ext.similarity import _dvec
 
@@ -1071,8 +1080,22 @@ def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pc1",
     )
     agg = j.groupBy("vec_id").agg(
-        F.sum(F.col("c") * F.col("pc1")).alias("proj"),
-        F.sum(F.col("c") * F.col("c")).alias("nb2"),
+        (
+            F.sum(
+                F.floor(F.col("c") * F.col("pc1") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            / F.lit(1e9)
+        ).alias("proj"),
+        (
+            F.sum(
+                F.floor(F.col("c") * F.col("c") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            / F.lit(1e9)
+        ).alias("nb2"),
     )
     nb = F.sqrt("nb2")
     na = F.sqrt(F.greatest(F.lit(0.0), F.col("nb2") - F.col("proj") * F.col("proj")))
@@ -1093,8 +1116,8 @@ EMBED_ABTT_SQL = (
     CROSS JOIN sgn
 ), agg AS (
     SELECT xs.vec_id,
-           sum((xs.x - p.mu) * p.pc1) AS proj,
-           sum((xs.x - p.mu) * (xs.x - p.mu)) AS nb2
+           sum(CAST(floor((xs.x - p.mu) * p.pc1 * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0 AS proj,
+           sum(CAST(floor((xs.x - p.mu) * (xs.x - p.mu) * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0 AS nb2
     FROM xs JOIN pca p ON p.i = xs.i
     GROUP BY xs.vec_id
 )
