@@ -483,24 +483,34 @@ GRAPH_BUCKET_CAP = 128
 
 
 def pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank at the deployment shape: pinned banding + the
+    """PageRank at the deployment shape: ADAPTIVE banding + the
     GRAPH_BUCKET_CAP occupancy filter (cap replayed in the oracle).
-    See the module-level caveat block: membership-safe, mass-reshuffled
-    vs the uncapped certification query."""
-    return pagerank(
-        spark, sf_dir, bits=4, bands=29, bucket_cap=GRAPH_BUCKET_CAP
-    )
+
+    Adaptive, not pinned, banding (unlike the uncapped certification
+    query): at every certification SF the footer-tuned depth resolves
+    to the same (bits=4, bands=29) pin the oracle replays — embeddings
+    are 500/500/2000 rows at sf0.001/0.01/0.1, under the n-floor — so
+    parity is unaffected; at big SFs the tuner deepens buckets so the
+    cap PRUNES instead of annihilating (measured at sf1, r9: under the
+    4-bit pin every one of the 29x16 (band, bucket) groups exceeds 128
+    at 20k vectors, so pin+cap yields an EMPTY graph, while
+    adaptive+cap is the 1.9x sf10 lever of SCALE.md §21.1). Cap
+    engagement at certification SFs, measured: vacuous at
+    sf0.001/sf0.01 (899/978 pairs, zero dropped — there parity
+    certifies the plan shape), REAL at the sf0.1 heavy gate (14684 ->
+    12319 pairs), which is where the cap-replaying oracle earns its
+    keep. Membership-vs-mass caveat in the module-level block."""
+    return pagerank(spark, sf_dir, bucket_cap=GRAPH_BUCKET_CAP)
 
 
 def kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling at the deployment shape (see pagerank_capped).
+    """k-core peeling at the deployment shape (see pagerank_capped for
+    the adaptive-banding + cap rationale and engagement measurements).
     k-core reads the graph as MEMBERSHIP (which nodes survive peeling),
     the consumer class the cap is safe for — but the kept-node/edge
     curve still shifts where over-cap buckets carried the only path
     into a region, hence the cap-replaying oracle."""
-    return kcore(
-        spark, sf_dir, bits=4, bands=29, bucket_cap=GRAPH_BUCKET_CAP
-    )
+    return kcore(spark, sf_dir, bucket_cap=GRAPH_BUCKET_CAP)
 
 
 PAGERANK_CAPPED_SQL = _pagerank_sql(bucket_cap=GRAPH_BUCKET_CAP)

@@ -601,12 +601,16 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: graph.kcore(spark, sf, bits=4, bands=29),
         graph.KCORE_SQL,
     ),
-    # capped deployment twins (r9, VERDICT r8 #2): the graph family at
+    # capped deployment twins (r9, VERDICT r8 #2): ADAPTIVE banding +
     # the bucket_cap=128 occupancy filter that cleared the family's one
-    # data-quadratic term (1.9x measured at sf10), with the cap
-    # REPLAYED in the oracle's banding CTE (the q_curation_audit_capped
-    # QUALIFY pattern) — both engines drop the same over-cap buckets.
-    # Membership-vs-mass caveat in the graph.py docstrings.
+    # data-quadratic term (1.9x measured at sf10; 3-4x at sf1), with
+    # the cap REPLAYED in the oracle's banding CTE (the
+    # q_curation_audit_capped QUALIFY pattern) — both engines drop the
+    # same over-cap buckets. Adaptive depth == the oracle's (4, 29) pin
+    # at every certification SF; at big SFs it deepens buckets so the
+    # cap prunes instead of emptying the graph (measured, SCALE.md
+    # §22.2). Cap engagement is real at the sf0.1 heavy gate
+    # (14684 -> 12319 pairs). Membership-vs-mass caveat in graph.py.
     "q_pagerank_capped": (graph.pagerank_capped, graph.PAGERANK_CAPPED_SQL),
     "q_kcore_capped": (graph.kcore_capped, graph.KCORE_CAPPED_SQL),
     "q_degree_dist_exact": (
@@ -988,15 +992,13 @@ PLAN_VARIANTS: dict[str, QueryFn] = {
         spark, sf, bits=4, bands=29, materialize=False
     ),
     "q_pagerank_capped": lambda spark, sf: graph.pagerank(
-        spark, sf, bits=4, bands=29, bucket_cap=graph.GRAPH_BUCKET_CAP,
-        materialize=False,
+        spark, sf, bucket_cap=graph.GRAPH_BUCKET_CAP, materialize=False
     ),
     "q_kcore": lambda spark, sf: graph.kcore(
         spark, sf, bits=4, bands=29, materialize=False
     ),
     "q_kcore_capped": lambda spark, sf: graph.kcore(
-        spark, sf, bits=4, bands=29, bucket_cap=graph.GRAPH_BUCKET_CAP,
-        materialize=False,
+        spark, sf, bucket_cap=graph.GRAPH_BUCKET_CAP, materialize=False
     ),
 }
 

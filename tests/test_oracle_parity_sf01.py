@@ -91,6 +91,12 @@ HEAVY = [
     # corpus-size-sensitive; the unrolled-loop replay rides the same
     # LSH banding as the cluster family
     "q_pagerank",
+    # capped graph deployment twins (r9): sf0.1 is where the
+    # bucket_cap=128 occupancy filter actually ENGAGES (14684 -> 12319
+    # pairs; vacuous at sf0.001/sf0.01) — this gate is the non-vacuous
+    # certification of the cap-replaying oracle
+    "q_pagerank_capped",
+    "q_kcore_capped",
     "q_ngram_jaccard",
     "q_containment_pairs",
     "q_winnow_fingerprints",
