@@ -123,6 +123,13 @@ FUZZ_QUERIES = (
     # within-shard row numbering must replay byte-for-byte on every
     # random doc_id population, including shards of size 1
     "q_epoch_shuffle",
+    # perceptual image dedup (r9): the gradient corpus derives from
+    # doc_id alone (text only gates membership), so random draws
+    # exercise null-text exclusion, singleton corpora (zero pairs in
+    # both engines), and family fragments whose brightness-shifted
+    # sibling is missing; the pixel-replay oracle must match the real
+    # encode->decode->dHash->banding pipeline on every draw
+    "q_image_dedup",
 )
 
 
@@ -283,6 +290,13 @@ EMB_FUZZ_QUERIES = (
     # between two nodes), and planted hubs — the nano-unit loop must
     # replay on all of them
     "q_pagerank",
+    # capped deployment twins (r9): the cap is vacuous at fuzz corpus
+    # sizes (<= 15 vectors << 128), but the QUALIFY occupancy replay
+    # inside the oracle's banding CTE must still agree with the Spark
+    # occupancy filter on every draw — the adaptive tuning resolves to
+    # the same pin at these sizes by the n-floor
+    "q_pagerank_capped",
+    "q_kcore_capped",
     # SemDeDup (r6): tiny corpora mean fewer vectors than n_lists and
     # zero-norm twins — seeds, Lloyd rounds, and the NULL-cosine guard
     # must all replay
