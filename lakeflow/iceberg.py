@@ -1010,6 +1010,27 @@ class IcebergTable:
         listing; unreferenced manifests are simply not live)."""
         return self._commit_snapshot(df, "overwrite")
 
+    def compact(self, spark: SparkSession, partitions: int | None = None) -> int:
+        """Small-file compaction — Iceberg's rewrite_data_files / the
+        txlog.compact twin: rewrite the current snapshot's rows into
+        fewer, larger files and commit them as a ``replace`` snapshot
+        (data identical, layout new; time travel to pre-compaction
+        snapshots keeps working until expire_snapshots ages them out,
+        which is also what physically reclaims the small files).
+
+        Read-modify-write semantics: a lost version CAS raises
+        ConcurrentModification (the rewrite's premise is stale), same
+        as overwrite — blind appends are the only rebase-and-retry
+        commits. ``partitions`` bounds the rewrite's output file count
+        per table partition (None = one coalesced pass per partition
+        directory via the normal staged write)."""
+        df = self.read(spark)
+        if partitions is not None:
+            df = df.repartition(partitions)
+        else:
+            df = df.coalesce(1)
+        return self._commit_snapshot(df, "replace")
+
     # --------------------------------------------------------------- reads
 
     def _resolve_snapshot(

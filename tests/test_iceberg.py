@@ -434,3 +434,38 @@ def test_where_data_skipping_via_manifest_bounds(spark, table):
     assert table.read(spark, where="id >= 10 OR id < 2").count() == 4
     # conjunct on a column with no usable bounds: conservative keep
     assert len(table.scan_files(where="amt != 99.0")) == len(all_files)
+
+
+def test_compact_rewrites_files_preserving_data(spark, table):
+    """compact() is the rewrite_data_files twin: fewer files, identical
+    rows, a 'replace' snapshot in history, pre-compaction snapshots
+    still readable, and expire_snapshots afterwards physically reclaims
+    the small files."""
+    for i in range(3):
+        table.append(_mk(spark, [3 * i, 3 * i + 1, 3 * i + 2]))
+    before_files = table.scan_files()
+    before_rows = _rows(table.read(spark))
+    pre_snap = table.history()[-1]["snapshot_id"]
+    small_paths = [
+        os.path.join(table.path, d["file_path"]) for d in before_files
+    ]
+    table.compact(spark)
+    after_files = table.scan_files()
+    assert len(after_files) < len(before_files)
+    assert _rows(table.read(spark)) == before_rows
+    assert table.history()[-1]["operation"] == "replace"
+    # time travel to the pre-compaction snapshot still works
+    assert _rows(table.read(spark, snapshot_id=pre_snap)) == before_rows
+    # the independent reader agrees post-compaction
+    assert sorted(
+        tuple(r.values())
+        for r in iceberg_reader.read_table(table.path).to_pylist()
+    ) == before_rows
+    # expiration reclaims the replaced small files
+    doomed = table.expire_snapshots(retain_last=1)
+    for p in small_paths:
+        assert p in doomed and not os.path.exists(p)
+    assert _rows(table.read(spark)) == before_rows
+    from test_iceberg_protocol import validate_iceberg_table
+
+    validate_iceberg_table(table.path)
