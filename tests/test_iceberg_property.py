@@ -35,6 +35,7 @@ _OPS = st.one_of(
     st.tuples(st.just("overwrite"), st.integers(1, 3)),  # n fresh rows
     st.tuples(st.just("evolve"), st.integers(1, 2)),     # n rows + new col
     st.tuples(st.just("expire"), st.integers(1, 3)),     # retain_last
+    st.tuples(st.just("compact"), st.integers(1, 2)),    # target partitions
 )
 
 _spark = None
@@ -116,6 +117,9 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             extra_cols.append(new_col)
             pad_all(2 + len(extra_cols))
             model.update({r[0]: r for r in rows})
+        elif kind == "compact":
+            # data-identical layout rewrite: the model is unchanged
+            sid = t.compact(spark, partitions=arg)
         elif kind == "expire":
             doomed = t.expire_snapshots(retain_last=arg)
             live = {h["snapshot_id"] for h in t.history()}
