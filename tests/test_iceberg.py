@@ -469,3 +469,17 @@ def test_compact_rewrites_files_preserving_data(spark, table):
     from test_iceberg_protocol import validate_iceberg_table
 
     validate_iceberg_table(table.path)
+
+
+def test_pruning_reaches_sparks_file_plan(spark, table):
+    """Metadata pruning must shrink what SPARK actually plans, not just
+    scan_files' return value: inputFiles() of a partition-pruned and a
+    bounds-pruned read are strict subsets of the full read's."""
+    table.append(_mk(spark, range(12)))
+    full = set(table.read(spark).inputFiles())
+    part = set(
+        table.read(spark, partition_filter=lambda p: p["yr"] == 2024).inputFiles()
+    )
+    bounds = set(table.read(spark, where="id >= 10").inputFiles())
+    assert part and part < full
+    assert bounds and bounds < full
