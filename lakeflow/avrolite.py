@@ -169,7 +169,10 @@ def decode_value(buf: io.BytesIO, schema: Any) -> Any:
         if schema == "null":
             return None
         if schema == "boolean":
-            return buf.read(1) == b"\x01"
+            raw = buf.read(1)
+            if not raw:
+                raise EOFError("truncated boolean")
+            return raw == b"\x01"
         if schema in ("int", "long"):
             return _read_long(buf)
         if schema == "float":

@@ -452,15 +452,6 @@ def _parse_partition_value(raw: str, ice_type: str) -> Any:
     return raw
 
 
-def _partition_value_str(v: Any, ice_type: str) -> str:
-    """Inverse of _parse_partition_value, for reconstituting columns."""
-    if ice_type == "date":
-        import datetime
-
-        return (datetime.date(1970, 1, 1) + datetime.timedelta(days=v)).isoformat()
-    return str(v)
-
-
 class IcebergTable:
     """Iceberg-dialect transactional table (HadoopCatalog layout)."""
 
@@ -1034,9 +1025,13 @@ class IcebergTable:
     # --------------------------------------------------------------- reads
 
     def _resolve_snapshot(
-        self, snapshot_id: int | None, asof_ms: int | None
+        self,
+        snapshot_id: int | None,
+        asof_ms: int | None,
+        meta: dict | None = None,
     ) -> dict | None:
-        meta = self.load_metadata()
+        if meta is None:
+            meta = self.load_metadata()
         if asof_ms is not None:
             live = [
                 e for e in meta["snapshot-log"] if e["timestamp-ms"] <= asof_ms
@@ -1059,6 +1054,7 @@ class IcebergTable:
         asof_ms: int | None = None,
         partition_filter: Callable[[dict[str, Any]], bool] | None = None,
         where: str | None = None,
+        meta: dict | None = None,
     ) -> list[dict]:
         """Live data_file structs of a snapshot, manifest-list →
         manifest replay, with metadata-side partition pruning (the
@@ -1067,25 +1063,37 @@ class IcebergTable:
         whose Appendix-D column bounds prove no row can match are
         dropped from the plan (the txlog data-skipping twin; the
         predicate is re-applied row-level by read(), so pruning is a
-        pure optimization, never a correctness dependency)."""
-        snap = self._resolve_snapshot(snapshot_id, asof_ms)
+        pure optimization, never a correctness dependency).
+
+        ``meta`` pins the table-metadata dict for the whole scan (one
+        parse, and no TOCTOU against a concurrent commit between
+        snapshot resolution and bound decoding); None loads latest."""
+        if meta is None:
+            meta = self.load_metadata()
+        snap = self._resolve_snapshot(snapshot_id, asof_ms, meta)
         if snap is None:
             return []
         conjuncts = _parse_conjuncts(where) if where is not None else None
         name_type_of: dict[int, tuple[str, str]] = {}
         if conjuncts is not None:
-            meta = self.load_metadata()
             schema = next(
                 s
                 for s in meta["schemas"]
                 if s["schema-id"] == meta["current-schema-id"]
             )
             # field ids are stable across add-column evolution, so the
-            # CURRENT schema's id map covers every manifest's bounds
+            # CURRENT schema's id map covers every manifest's bounds.
+            # float/double columns are EXCLUDED from pruning: parquet
+            # min/max stats ignore NaN (and this module writes no
+            # nan_value_counts), while Spark's row-level filter orders
+            # NaN above every number — pruning on those bounds could
+            # drop a file whose NaN rows the filter would keep, which
+            # would break the pure-optimization invariant.
             name_type_of = {
                 f["id"]: (f["name"], f["type"])
                 for f in schema["fields"]
                 if isinstance(f["type"], str)
+                and f["type"] not in ("float", "double")
             }
         _, manifests, _ = avrolite.read_container(snap["manifest-list"])
         files: list[dict] = []
@@ -1139,7 +1147,9 @@ class IcebergTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )
         )
-        files = self.scan_files(snapshot_id, asof_ms, partition_filter, where)
+        files = self.scan_files(
+            snapshot_id, asof_ms, partition_filter, where, meta=meta
+        )
         if not files:
             df = spark.createDataFrame([], schema)
             return df.filter(where) if where is not None else df
@@ -1152,32 +1162,39 @@ class IcebergTable:
         )
         return df.filter(where) if where is not None else df
 
-    def expire_snapshots(self, retain_last: int = 2) -> list[str]:
+    def expire_snapshots(
+        self, retain_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[str]:
         """Expire all but the most recent ``retain_last`` snapshots (the
         current snapshot always survives) and delete every file
         reachable ONLY from expired snapshots — manifest lists,
-        manifests, and data files (Iceberg's expireSnapshots +
-        deleteOrphanFiles maintenance pair, and the twin of
-        txlog.vacuum). Time travel to an expired snapshot then raises
-        NoSuchSnapshot, exactly like a vacuumed Delta version.
+        manifests, and data files — PLUS orphaned data files referenced
+        by NO snapshot at all (CAS losers' staged files, crashed
+        writers) older than ``orphan_grace_s``. Together these are
+        Iceberg's expireSnapshots + deleteOrphanFiles maintenance pair,
+        and the twin of txlog.vacuum. Time travel to an expired
+        snapshot then raises NoSuchSnapshot, exactly like a vacuumed
+        Delta version.
 
         The metadata edit is itself a CAS-published commit (a new
         v<N+1>.metadata.json), so a concurrent writer can never observe
         a half-expired table; physical deletes happen only AFTER the
-        publish succeeds, so a lost race deletes nothing."""
+        publish succeeds, so a lost race deletes nothing. The grace age
+        is what keeps the orphan sweep safe against an IN-FLIGHT
+        writer: its freshly staged (not yet committed) files are newer
+        than the cutoff."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         version = self.latest_version()
         meta = self.load_metadata(version)
         snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
-        if len(snaps) <= retain_last:
-            return []
-        kept = snaps[-retain_last:]
-        expired = snaps[:-retain_last]
+        kept = snaps[-retain_last:] if len(snaps) > retain_last else snaps
+        expired = snaps[: len(snaps) - len(kept)]
         cur = meta["current-snapshot-id"]
-        assert any(s["snapshot-id"] == cur for s in kept), (
-            "current snapshot must be within the retained window"
-        )
+        if kept:
+            assert any(s["snapshot-id"] == cur for s in kept), (
+                "current snapshot must be within the retained window"
+            )
 
         def _reachable(snapshots: list[dict]) -> set[str]:
             paths: set[str] = set()
@@ -1195,22 +1212,40 @@ class IcebergTable:
 
         live = _reachable(kept)
         doomed = sorted(_reachable(expired) - live)
-        kept_ids = {s["snapshot-id"] for s in kept}
-        new_meta = dict(meta)
-        new_meta["snapshots"] = [
-            s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids
-        ]
-        new_meta["snapshot-log"] = [
-            e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
-        ]
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        new_meta["metadata-log"] = meta["metadata-log"] + [
-            {
-                "timestamp-ms": meta["last-updated-ms"],
-                "metadata-file": self._metadata_path(version),
-            }
-        ]
-        self._publish(version + 1, new_meta)
+        # deleteOrphanFiles half: data files no snapshot (kept OR
+        # expired) references — invisible to every reader, so only the
+        # grace age gates their removal
+        all_refd = live | set(_reachable(expired))
+        cutoff = time.time() - orphan_grace_s
+        orphans: list[str] = []
+        if os.path.isdir(self.data_dir):
+            for root, _dirs, names in os.walk(self.data_dir):
+                for name in names:
+                    p = os.path.join(root, name)
+                    if (
+                        name.endswith(".parquet")
+                        and p not in all_refd
+                        and os.path.getmtime(p) < cutoff
+                    ):
+                        orphans.append(p)
+        if expired:
+            kept_ids = {s["snapshot-id"] for s in kept}
+            new_meta = dict(meta)
+            new_meta["snapshots"] = [
+                s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids
+            ]
+            new_meta["snapshot-log"] = [
+                e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+            ]
+            new_meta["last-updated-ms"] = int(time.time() * 1000)
+            new_meta["metadata-log"] = meta["metadata-log"] + [
+                {
+                    "timestamp-ms": meta["last-updated-ms"],
+                    "metadata-file": self._metadata_path(version),
+                }
+            ]
+            self._publish(version + 1, new_meta)
+        doomed = sorted(set(doomed) | set(orphans))
         for p in doomed:
             try:
                 os.unlink(p)

@@ -615,8 +615,10 @@ def zorder_layout(
         # the range partitioner to union z-consecutive tiles in one
         # file — exactly the seam-straddling alignment exists to
         # prevent. floor guarantees #tiles <= #partitions (some
-        # partitions idle; every file stays one whole tile).
-        tile_bits = min(total_bits, max(1, math.floor(math.log2(max(nparts, 1)))))
+        # partitions idle; every file stays one whole tile). tile_bits
+        # may legitimately be 0 (nparts == 1 → one tile: shiftright by
+        # total_bits ≤ 63 collapses the non-negative zkey to 0).
+        tile_bits = min(total_bits, max(0, math.floor(math.log2(max(nparts, 1)))))
         out = out.withColumn(
             "_ztile", F.shiftright("_zkey", total_bits - tile_bits)
         )

@@ -49,6 +49,9 @@ def test_append_read_roundtrip(spark, table):
 
 def test_appends_accumulate_and_time_travel(spark, table):
     s1 = table.append(_mk(spark, [1, 2]))
+    # asof resolution is by snapshot-log timestamp-ms; guarantee the
+    # two commits land in distinct millisecond ticks
+    time.sleep(0.005)
     s2 = table.append(_mk(spark, [3]))
     assert table.read(spark).count() == 3
     assert _rows(table.read(spark, snapshot_id=s1)) == _rows(_mk(spark, [1, 2]))
@@ -483,3 +486,26 @@ def test_pruning_reaches_sparks_file_plan(spark, table):
     bounds = set(table.read(spark, where="id >= 10").inputFiles())
     assert part and part < full
     assert bounds and bounds < full
+
+
+def test_expire_reclaims_orphaned_staged_files(spark, table):
+    """The deleteOrphanFiles half of expire_snapshots: a data file no
+    snapshot references (a CAS loser's staged file) is reclaimed once
+    it is older than the grace window — but a FRESH orphan (an
+    in-flight writer's staging) survives."""
+    table.append(_mk(spark, [1, 2]))
+    # plant an orphan: a parquet file in data/ referenced by nothing
+    orphan = os.path.join(table.data_dir, "yr=2024", "orphan-loser.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fakePAR1")
+    # fresh orphan survives the default 1h grace
+    assert orphan not in table.expire_snapshots(retain_last=5)
+    assert os.path.exists(orphan)
+    # aged orphan is reclaimed even when NO snapshot expires
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    doomed = table.expire_snapshots(retain_last=5)
+    assert orphan in doomed and not os.path.exists(orphan)
+    # referenced data untouched
+    assert table.read(spark).count() == 2

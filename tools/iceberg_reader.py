@@ -68,7 +68,10 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
         if schema == "null":
             return None
         if schema == "boolean":
-            return buf.read(1) == b"\x01"
+            raw = buf.read(1)
+            if not raw:
+                raise EOFError("truncated boolean")
+            return raw == b"\x01"
         if schema in ("int", "long"):
             return _read_varlong(buf)
         if schema == "float":
@@ -183,8 +186,12 @@ def snapshot_files(
         if snapshot_id in (-1, None):
             return [], meta
     snap = next(
-        s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
     )
+    if snap is None:
+        raise LookupError(
+            f"snapshot {snapshot_id} not in table metadata (expired?)"
+        )
     _, manifests, _ = read_avro(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
