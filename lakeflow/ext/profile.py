@@ -1256,7 +1256,8 @@ def quantile_hist(
     driver-side sketch with no SQL twin), every step here is
     engine-portable arithmetic — single IEEE subtract/divide/floor per
     row for bin assignment, integer cumulative counts, upper-edge
-    estimates ``min + (bin+1)·w`` rounded at 6dp — so the sketch, the
+    estimates ``min + (bin+1)·w`` quantized to integer micro-units
+    (``floor(x·1e6 + 0.5)``) — so the sketch, the
     merge, and the estimates all certify value-by-value in DuckDB
     (QUANTILE_HIST_SQL). Estimate error is ≤ one cell width by
     construction (upper-edge rule), audited in tests against the exact
@@ -1343,12 +1344,25 @@ def quantile_hist(
             "p",
             "n_rows",
             "rank_target",
-            F.round(
-                F.col("mn")
-                + (F.col("sel_bin") + F.lit(1))
-                * ((F.col("mx") - F.col("mn")) / F.lit(float(bins))),
-                6,
-            ).alias("est"),
+            # integer micro-unit estimate (floor(x*1e6 + 0.5), the
+            # certified q_embed_abtt / PageRank / BPE pattern): the
+            # previous ROUND(x, 6) rounded a DERIVED double with each
+            # engine's own ROUND (Spark BigDecimal HALF_UP vs DuckDB
+            # float rounding) and the oracle-fuzz gate caught a live
+            # half-boundary divergence at the 6dp quantum (VERDICT r9
+            # What's-wrong #2); multiply/add/floor are single IEEE ops,
+            # identical across engines
+            F.floor(
+                (
+                    F.col("mn")
+                    + (F.col("sel_bin") + F.lit(1))
+                    * ((F.col("mx") - F.col("mn")) / F.lit(float(bins)))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("est_micro"),
         )
         .orderBy("scope", "p")
     )
@@ -1396,7 +1410,8 @@ WITH li AS (
     GROUP BY q.scope, q.p, q.n_rows, q.rank_target
 )
 SELECT scope, p, n_rows, rank_target,
-       ROUND(mn + (sel_bin + 1) * ((mx - mn) / {float(bins)!r}), 6) AS est
+       CAST(FLOOR((mn + (sel_bin + 1) * ((mx - mn) / {float(bins)!r})) * 1e6 + 0.5)
+            AS BIGINT) AS est_micro
 FROM sel CROSS JOIN st
 ORDER BY scope, p
 """

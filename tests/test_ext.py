@@ -1452,8 +1452,9 @@ def test_quantile_hist_error_bound_and_merge(spark, sf_dir):
                     f"percentile_disc({r.p}) WITHIN GROUP (ORDER BY l_extendedprice)"
                 )
             ).first()[0]
-            assert exact <= r.est + 1e-6, (scope, r.p, exact, r.est)
-            assert r.est - exact <= width + 1e-6, (scope, r.p, exact, r.est)
+            est = r.est_micro / 1e6
+            assert exact <= est + 1e-6, (scope, r.p, exact, est)
+            assert est - exact <= width + 1e-6, (scope, r.p, exact, est)
 
 
 def test_ann_recall_invariants(spark, sf_dir):
