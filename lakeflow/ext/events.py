@@ -442,10 +442,20 @@ def anomaly_zscore(
     z = F.when(
         F.col("sigma") > 0, (F.col("value") - F.col("mu")) / F.col("sigma")
     )
+    # integer micro-unit z (floor(z*1e6 + 0.5) — the certified
+    # quantile_hist/abtt/PageRank pattern): z is a sqrt-derived float
+    # chain, exactly the class where engine-native ROUND half-boundary
+    # behavior diverges (Spark BigDecimal HALF_UP vs DuckDB float
+    # round, VERDICT r9 #2). The threshold ALSO compares the quantized
+    # value in both engines — the previous code filtered Spark on the
+    # ROUNDED z but the oracle on the RAW z, so a raw |z| of 2.9999996
+    # survived one engine and not the other (latent row-count bug,
+    # found in the r10 round-site audit before the fuzzer did).
+    z_micro = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     return (
         ev.join(broadcast(stats), "event_type")
-        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
-        .filter(F.abs(F.col("zscore")) >= threshold)
+        .select("event_id", "event_type", "value", z_micro.alias("zscore_micro"))
+        .filter(F.abs(F.col("zscore_micro")) >= int(threshold * 1_000_000))
         .orderBy("event_type", "event_id")
     )
 
@@ -467,9 +477,10 @@ WITH sums AS (
     FROM sums
 )
 SELECT event_id, e.event_type, value,
-       round((value - mu) / sigma, 6) AS zscore
+       CAST(FLOOR((value - mu) / sigma * 1e6 + 0.5) AS BIGINT) AS zscore_micro
 FROM events e JOIN stats USING (event_type)
-WHERE sigma > 0 AND abs((value - mu) / sigma) >= 3.0
+WHERE sigma > 0
+  AND abs(CAST(FLOOR((value - mu) / sigma * 1e6 + 0.5) AS BIGINT)) >= 3000000
 ORDER BY event_type, event_id
 """
 

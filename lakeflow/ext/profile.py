@@ -273,7 +273,14 @@ def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(_mad("value"), 6).alias("mad_value"),
+            # micro-unit quantization, not ROUND: interpolated medians
+            # are (a+b)/2 of data doubles, which can land exactly on
+            # the 6dp half-boundary where Spark's BigDecimal HALF_UP
+            # and DuckDB's float ROUND disagree (the q_quantile_hist
+            # class, r10 round-site audit)
+            F.floor(_mad("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("mad_micro"),
             _n("value").alias("n"),
         )
         .orderBy("event_type")
@@ -281,7 +288,8 @@ def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAD_SQL = """
-SELECT event_type, round(mad(value), 6) AS mad_value,
+SELECT event_type,
+       CAST(FLOOR(mad(value) * 1e6 + 0.5) AS BIGINT) AS mad_micro,
        CAST(count(value) AS BIGINT) AS n
 FROM events
 GROUP BY event_type
