@@ -939,10 +939,11 @@ def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(dhash_images(synthesize_gradient_docs(spark, sf_dir)))
 
 
-def _image_dedup_sql() -> str:
-    """DuckDB twin of :func:`image_dedup`: replay the gradient render
-    (skipping the lossless encode/decode round-trip), the dHash
-    arithmetic, and a brute-force hamming join."""
+def _dhash_cte() -> str:
+    """Shared DuckDB CTE chain replaying the gradient render (skipping
+    the lossless encode/decode round-trip) and the dHash arithmetic,
+    ending in a ``hashes(doc_id, h)`` relation — the common prefix of
+    IMAGE_DEDUP_SQL and IMAGE_DEDUP_COLLAPSED_SQL."""
     # thumbnail sample points of the 24x16 render: ys = 2*ty (h=16),
     # xs = (tx*24)//9 for the 9 sampled columns
     byte_weights = {ty: 1 << (8 * (7 - ty)) for ty in range(8)}
@@ -993,13 +994,97 @@ WITH params AS (
                SUM(CAST(byte AS HUGEINT) * CASE ty {weight_case} END) AS v
         FROM rowbytes GROUP BY doc_id
     )
-)
+)"""
+
+
+IMAGE_DEDUP_SQL = (
+    _dhash_cte()
+    + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= {IMG_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
+)
 
 
-IMAGE_DEDUP_SQL = _image_dedup_sql()
+def image_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-shaped image dedup (VERDICT r9 #3): exact-hash
+    pre-collapse before banding, so the output stays ~linear on
+    duplicate-heavy hash distributions where :func:`image_dedup`'s
+    explicit pair list grows quadratically (measured 44.5M pairs /
+    112.4 s at sf10 on the synthetic corpus — SCALE.md §22.3).
+
+    The collapse is the text family's bucket_cap lesson on the image
+    axis: group by dhash, keep ``rep = min(doc_id)`` as the cluster
+    representative with multiplicity ``n``; hamming-0 dupes are NEVER
+    enumerated — each hash group with n >= 2 emits ONE row
+    ``(rep, rep, 0, n*(n-1)/2)`` carrying the pair COUNT — and the
+    banded hamming-1..3 join runs over DISTINCT hashes only, each
+    cross edge carrying multiplicity ``n_a * n_b``. Total pair mass is
+    conserved exactly (sum(pairs) here == count(*) of image_dedup —
+    asserted in tests), so downstream dedup-rate accounting loses
+    nothing while the materialized row count drops from O(dupes²) to
+    O(distinct-hash adjacency).
+
+    The pigeonhole recall guarantee is unchanged: banding is a
+    per-hash-pair property, independent of how many docs share each
+    hash. Oracle: IMAGE_DEDUP_COLLAPSED_SQL replays the pixel math AND
+    the collapse (groups CTE) — the curation/graph capped-twin
+    convention."""
+    from pyspark import StorageLevel
+
+    hashes = dhash_images(synthesize_gradient_docs(spark, sf_dir))
+    # the collapsed frame (one row per DISTINCT hash) feeds four
+    # consumers (zero rows, band input, two multiplicity joins);
+    # without persisting, Catalyst re-derives the full 500k-image
+    # decode+dHash pipeline per consumer (measured: 156 s vs 43 s at
+    # sf10) — the normalized_docs tier discipline applies
+    groups = hashes.groupBy("dhash").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    zero = groups.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.expr("n * (n - 1) DIV 2").cast("bigint").alias("pairs"),
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), "dhash")
+    cross = (
+        image_near_dups(reps)
+        .join(
+            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias("pairs"),
+        )
+    )
+    return zero.unionByName(cross).orderBy("doc_a", "doc_b")
+
+
+IMAGE_DEDUP_COLLAPSED_SQL = (
+    _dhash_cte()
+    + f""", groups AS (
+    SELECT h, MIN(doc_id) AS rep, COUNT(*) AS n FROM hashes GROUP BY h
+)
+SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS INTEGER) AS hamming,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS pairs
+FROM groups WHERE n >= 2
+UNION ALL
+SELECT a.rep AS doc_a, b.rep AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming,
+       CAST(a.n * b.n AS BIGINT) AS pairs
+FROM groups a JOIN groups b ON a.rep < b.rep
+WHERE bit_count(xor(a.h, b.h)) BETWEEN 1 AND {IMG_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+)

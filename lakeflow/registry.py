@@ -791,6 +791,15 @@ EXT_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # brute-force hamming pairs, which the banding equals EXACTLY at
     # hamming <= 3 by pigeonhole — a full-value row, not rows-only
     "q_image_dedup": (multimodal.image_dedup, multimodal.IMAGE_DEDUP_SQL),
+    # deployment twin (VERDICT r9 #3): exact-hash pre-collapse before
+    # banding — hamming-0 dupes emitted as group-wise pair COUNTS, the
+    # banded join runs over distinct hashes with multiplicities; output
+    # ~linear where q_image_dedup's pair list is quadratic on dup-heavy
+    # corpora; the oracle replays BOTH the pixel math and the collapse
+    "q_image_dedup_collapsed": (
+        multimodal.image_dedup_collapsed,
+        multimodal.IMAGE_DEDUP_COLLAPSED_SQL,
+    ),
     "q_sample_hash": (sampling.sample_documents, sampling.SAMPLE_DOCS_SQL),
     "q_train_test_split": (sampling.train_test_split, sampling.TRAIN_TEST_SPLIT_SQL),
     "q_sample_stratified": (sampling.stratified_sample, sampling.STRATIFIED_SAMPLE_SQL),

@@ -1895,3 +1895,23 @@ def test_dhash_perceptual_dedup(spark, sf_dir):
     }
     assert found == expected
     assert len(expected) < len(ids) * (len(ids) - 1) // 20  # sparse, not all-pairs
+
+
+def test_image_dedup_collapsed_conserves_pair_mass(spark, sf_dir):
+    """The collapsed deployment twin must account for EXACTLY the same
+    pair mass as the explicit pair list (sum(pairs) == count(full)),
+    with hamming-0 dupes never enumerated (one row per hash group) and
+    every cross edge joining two distinct representatives."""
+    from lakeflow.ext import multimodal as mm
+
+    full = mm.image_dedup(spark, sf_dir)
+    collapsed = mm.image_dedup_collapsed(spark, sf_dir).collect()
+    assert sum(r.pairs for r in collapsed) == full.count()
+    zero = [r for r in collapsed if r.hamming == 0]
+    cross = [r for r in collapsed if r.hamming > 0]
+    assert all(r.doc_a == r.doc_b and r.pairs >= 1 for r in zero)
+    assert all(r.doc_a < r.doc_b and 1 <= r.hamming <= mm.IMG_MAX_HAMMING for r in cross)
+    # the collapse is the whole point: strictly fewer materialized rows
+    # than the explicit list whenever any hash group has n >= 2
+    if zero:
+        assert len(collapsed) < full.count()

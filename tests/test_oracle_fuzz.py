@@ -130,6 +130,10 @@ FUZZ_QUERIES = (
     # sibling is missing; the pixel-replay oracle must match the real
     # encode->decode->dHash->banding pipeline on every draw
     "q_image_dedup",
+    # r10 deployment twin: the fuzz draws must also agree on the
+    # exact-hash collapse (group-wise hamming-0 pair counts + banded
+    # cross edges with multiplicities) replayed in the oracle
+    "q_image_dedup_collapsed",
 )
 
 
