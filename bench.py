@@ -197,16 +197,22 @@ def testdata_fingerprint(sf_dir: str) -> dict:
     return fp
 
 
-def calibration(spark) -> dict:
-    """Host-speed calibration: one fixed aggregation over a
+# This host's quiet-window norm for the calibration workload (median of
+# the quiet-host records across rounds — SCALE.md §22.1; r8's quiet
+# headline run calibrated at ~0.30). calibrated_sec = wall * QUIET_CAL
+# / local_cal re-expresses a wall measured under co-tenant steal as the
+# wall a quiet host would have produced.
+QUIET_CAL_SEC = 0.30
+
+
+def _cal_frame(spark):
+    """The fixed host-speed calibration workload: one aggregation over a
     deterministically generated in-memory frame (spark.range — no
     testdata, no IO). The same work every round, so its time moves ONLY
-    with host conditions (CPU contention, JVM state); dividing a
-    round's query times by the calibration ratio separates host drift
-    from plan regressions."""
+    with host conditions (CPU contention, JVM state)."""
     from pyspark.sql import functions as F
 
-    df = (
+    return (
         spark.range(0, 5_000_000, 1, 32)
         .select(
             (F.col("id") % 1000).alias("k"),
@@ -216,6 +222,11 @@ def calibration(spark) -> dict:
         .groupBy("k")
         .agg(F.sum("v").alias("sv"), F.count("*").alias("c"), F.max("s").alias("m"))
     )
+
+
+def calibration(spark) -> dict:
+    """End-of-run calibration summary (3 timed runs after one warm)."""
+    df = _cal_frame(spark)
     df.count()  # warm
     runs = []
     for _ in range(3):
@@ -399,18 +410,41 @@ def main() -> None:
     # Warm timing = median of 3 repeats per query, so one GC pause or
     # host-load spike doesn't masquerade as a regression in the
     # round-over-round record.
+    #
+    # The calibration micro-task is INTERLEAVED between queries
+    # (VERDICT r9 #4): this host's co-tenant steal swings 4x within
+    # minutes (r9 record: end-of-run cal 0.29 -> 1.20), so one
+    # end-of-run sample cannot normalize a 15 s suite. Each query gets
+    # calibrated_sec = wall * QUIET_CAL / min(bracketing samples) —
+    # MIN of the two nearest samples is the conservative choice: a GC
+    # pause inside a cal run can only overstate the steal, and
+    # overstated steal would flatter the normalized number.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    cal_df = _cal_frame(spark)
+    cal_df.count()  # warm the calibration codegen once
+
+    def cal_sample() -> float:
+        t0 = time.perf_counter()
+        cal_df.count()
+        return round(time.perf_counter() - t0, 3)
+
+    cal_samples = [cal_sample()]
     timings: dict[str, float] = {}
+    calibrated: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             n = qmap[name](spark, sf_dir).count()  # count() = full execution
             runs.append(time.perf_counter() - t0)
+        cal_samples.append(cal_sample())
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        local_cal = min(cal_samples[-2], cal_samples[-1])
+        calibrated[name] = round(timings[name] * QUIET_CAL_SEC / local_cal, 3)
         print(
             f"# {name}: median {timings[name]:.3f}s of {[round(r, 3) for r in runs]} "
-            f"(cold {cold[name]:.3f}s) rows={n}",
+            f"(cold {cold[name]:.3f}s, cal {local_cal:.3f} -> {calibrated[name]:.3f}s) "
+            f"rows={n}",
             file=sys.stderr,
         )
 
@@ -485,6 +519,14 @@ def main() -> None:
         # exceeded LOAD_THRESHOLD after the settle wait; treat the
         # timings as upper bounds, not a regression signal
         "host_loaded": host_loaded,
+        # steal-normalized record (VERDICT r9 #4): per-query walls
+        # re-expressed at this host's quiet-window calibration norm
+        # using the nearest interleaved samples; compare THESE
+        # round-over-round when host_loaded differs between rounds
+        "value_calibrated": round(sum(calibrated.values()), 3),
+        "queries_calibrated": calibrated,
+        "calibration_samples": cal_samples,
+        "quiet_cal_sec": QUIET_CAL_SEC,
         "cpus": os.cpu_count(),
         "repeats": repeats,
         # round-over-round comparability controls (VERDICT r3 #2):

@@ -471,6 +471,19 @@ class IcebergTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
+    def local_path(self, file_path: str) -> str:
+        """Resolve a manifest ``file_path`` to a local filesystem path.
+        The spec requires data_file.file_path be a FULL URI (ADVICE r9:
+        an external reader must resolve it without knowing the table
+        root), so this module writes ``file://<abs>``; relative paths
+        are accepted as a read-side fallback for tables written by
+        earlier revisions."""
+        if file_path.startswith("file://"):
+            return file_path[len("file://"):]
+        if os.path.isabs(file_path):
+            return file_path
+        return os.path.join(self.path, file_path)
+
     def latest_version(self) -> int | None:
         """version-hint.text fast path, directory-scan fallback (the
         hint refresh is not atomic with the commit, so it may lag)."""
@@ -667,9 +680,9 @@ class IcebergTable:
                 out.append(
                     {
                         "content": 0,
-                        "file_path": os.path.join(
-                            DATA_DIR, rel.replace(os.sep, "/")
-                        ),
+                        # full URI per spec (ADVICE r9): external readers
+                        # resolve file_path directly, no table root needed
+                        "file_path": "file://" + dst,
                         "file_format": "PARQUET",
                         "partition": partition,
                         "record_count": pf_meta.num_rows,
@@ -690,6 +703,16 @@ class IcebergTable:
         return out
 
     # ------------------------------------------------------------- commits
+
+    def _cleanup_staged(self, staged: list[dict] | None) -> None:
+        """Best-effort unlink of staged-but-never-committed data files
+        (ADVICE r9): when a commit loop raises, its staged files should
+        not linger as orphans until the grace sweep."""
+        for d in staged or []:
+            try:
+                os.unlink(self.local_path(d["file_path"]))
+            except OSError:
+                pass
 
     def _write_manifest(
         self,
@@ -793,10 +816,19 @@ class IcebergTable:
         df: DataFrame,
         operation: str,
         extra_summary: dict[str, str] | None = None,
+        expected_snapshot_id: int | None = None,
     ) -> int | None:
         """Shared append/overwrite commit loop: stage once, CAS on the
         version file, blind appends rebase and retry. Returns None only
-        on the idempotent path (txn marker already committed)."""
+        on the idempotent path (txn marker already committed).
+
+        ``expected_snapshot_id`` pins a read-modify-write premise
+        (ADVICE r9, compact): when set, the commit fails with
+        ConcurrentModification if the table's current snapshot is no
+        longer that id — the version-file CAS alone cannot see a commit
+        that landed BETWEEN the caller's read and this loop's
+        load_metadata, which a 'replace' snapshot would otherwise
+        silently drop."""
         staged: list[dict] | None = None
         part_fields: list[dict] | None = None
         while True:
@@ -806,6 +838,15 @@ class IcebergTable:
                     f"create() the table at {self.path} before writing"
                 )
             meta = self.load_metadata(version)
+            if (
+                expected_snapshot_id is not None
+                and meta["current-snapshot-id"] != expected_snapshot_id
+            ):
+                self._cleanup_staged(staged)
+                raise ConcurrentModification(
+                    f"table advanced past snapshot {expected_snapshot_id} "
+                    "since the rewrite premise was read"
+                )
             if extra_summary and "txn-app-id" in extra_summary:
                 # idempotence must hold across the CAS race too: a
                 # rebase re-checks the marker against the winner's
@@ -830,7 +871,28 @@ class IcebergTable:
             table_schema = schema_to_spark(cur_schema)
             missing = set(f.name for f in table_schema.fields) - set(df.columns)
             extra = [c for c in df.columns if c not in set(f.name for f in table_schema.fields)]
+            if missing and staged is not None:
+                # CAS-rebase path (ADVICE r9): the winner added columns
+                # this DataFrame lacks. Added columns are OPTIONAL per
+                # the spec, so the already-staged files are still legal
+                # appends (readers surface NULL for them) — only a
+                # missing REQUIRED column is a real mismatch.
+                required = {
+                    f["name"] for f in cur_schema["fields"] if f.get("required")
+                }
+                hard = missing & required
+                if hard:
+                    self._cleanup_staged(staged)
+                    raise ValueError(
+                        f"schema mismatch on rebase: missing required "
+                        f"{sorted(hard)}"
+                    )
+                missing = set()
+                table_schema = T.StructType(
+                    [f for f in table_schema.fields if f.name in set(df.columns)]
+                )
             if missing:
+                self._cleanup_staged(staged)
                 raise ValueError(
                     f"schema mismatch: missing {sorted(missing)}, extra {sorted(extra)}"
                 )
@@ -953,6 +1015,7 @@ class IcebergTable:
                 os.unlink(mlist_path)
                 os.unlink(new_manifest["manifest_path"])
                 if operation != "append":
+                    self._cleanup_staged(staged)
                     raise
                 continue  # blind append: rebase on the winner and retry
 
@@ -966,10 +1029,15 @@ class IcebergTable:
         from snapshot summaries (the Iceberg-side twin of Delta's txn
         action / TxTable.txn_version: Spark's Iceberg streaming sink
         records its epoch in the snapshot summary the same way).
-        Scans only LIVE snapshots, so pair retention with the sink's
-        replay horizon when expiring."""
+        Markers on snapshots aged out by expire_snapshots survive as
+        ``lakeflow.txn.<app_id>`` table properties (folded at expiry),
+        so a replayed batch can never re-commit just because retention
+        outran the stream's replay horizon."""
         meta = self.load_metadata()
         best: int | None = None
+        prop = meta.get("properties", {}).get(f"lakeflow.txn.{app_id}")
+        if prop is not None:
+            best = int(prop)
         for s in meta["snapshots"]:
             summ = s.get("summary", {})
             if summ.get("txn-app-id") == app_id:
@@ -1001,7 +1069,9 @@ class IcebergTable:
         listing; unreferenced manifests are simply not live)."""
         return self._commit_snapshot(df, "overwrite")
 
-    def compact(self, spark: SparkSession, partitions: int | None = None) -> int:
+    def compact(
+        self, spark: SparkSession, partitions: int | None = None
+    ) -> int | None:
         """Small-file compaction — Iceberg's rewrite_data_files / the
         txlog.compact twin: rewrite the current snapshot's rows into
         fewer, larger files and commit them as a ``replace`` snapshot
@@ -1009,18 +1079,28 @@ class IcebergTable:
         snapshots keeps working until expire_snapshots ages them out,
         which is also what physically reclaims the small files).
 
-        Read-modify-write semantics: a lost version CAS raises
-        ConcurrentModification (the rewrite's premise is stale), same
-        as overwrite — blind appends are the only rebase-and-retry
-        commits. ``partitions`` bounds the rewrite's output file count
-        per table partition (None = one coalesced pass per partition
-        directory via the normal staged write)."""
-        df = self.read(spark)
+        Read-modify-write semantics: the rewrite premise is pinned to
+        the snapshot CURRENT AT READ TIME (ADVICE r9): the file list is
+        read at that snapshot and the commit carries
+        ``expected_snapshot_id``, so an append landing anywhere between
+        the read and the publish raises ConcurrentModification instead
+        of being silently dropped by the 'replace' listing — the
+        version-file CAS alone cannot see a commit that beat the loop's
+        own load_metadata. ``partitions`` bounds the rewrite's output
+        file count per table partition (None = one coalesced pass per
+        partition directory via the normal staged write)."""
+        meta = self.load_metadata()
+        base_snap = meta["current-snapshot-id"]
+        if base_snap in (-1, None):
+            return None  # no snapshot yet: nothing to rewrite, no commit
+        df = self.read(spark, snapshot_id=base_snap)
         if partitions is not None:
             df = df.repartition(partitions)
         else:
             df = df.coalesce(1)
-        return self._commit_snapshot(df, "replace")
+        return self._commit_snapshot(
+            df, "replace", expected_snapshot_id=base_snap
+        )
 
     # --------------------------------------------------------------- reads
 
@@ -1138,14 +1218,23 @@ class IcebergTable:
         bounds-pruned via ``where``, which is ALSO applied row-level).
         Identity partition columns reconstitute from the Hive directory
         layout under an explicit schema — the same log-owns-the-schema
-        read path as txlog (no footer-sampling inference job)."""
+        read path as txlog (no footer-sampling inference job).
+
+        Time-travelled reads project with the SCHEMA THE SNAPSHOT
+        RECORDED (ADVICE r9): after add-column evolution, reading an
+        old snapshot must not surface post-evolution columns — that is
+        Iceberg's snapshot-schema semantics, and the property that
+        makes time travel a faithful replay rather than a file-list
+        filter."""
         meta = self.load_metadata()
+        snap = self._resolve_snapshot(snapshot_id, asof_ms, meta)
+        schema_id = (
+            snap["schema-id"]
+            if snap is not None and "schema-id" in snap
+            else meta["current-schema-id"]
+        )
         schema = schema_to_spark(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )
+            next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
         )
         files = self.scan_files(
             snapshot_id, asof_ms, partition_filter, where, meta=meta
@@ -1153,7 +1242,7 @@ class IcebergTable:
         if not files:
             df = spark.createDataFrame([], schema)
             return df.filter(where) if where is not None else df
-        paths = [os.path.join(self.path, d["file_path"]) for d in files]
+        paths = [self.local_path(d["file_path"]) for d in files]
         df = (
             spark.read.option("basePath", self.data_dir)
             .schema(schema)
@@ -1205,9 +1294,7 @@ class IcebergTable:
                     paths.add(m["manifest_path"])
                     _, entries, _ = avrolite.read_container(m["manifest_path"])
                     for e in entries:
-                        paths.add(
-                            os.path.join(self.path, e["data_file"]["file_path"])
-                        )
+                        paths.add(self.local_path(e["data_file"]["file_path"]))
             return paths
 
         live = _reachable(kept)
@@ -1231,6 +1318,23 @@ class IcebergTable:
         if expired:
             kept_ids = {s["snapshot-id"] for s in kept}
             new_meta = dict(meta)
+            # exactly-once markers must survive expiry (ADVICE r9):
+            # expiring the snapshot that carries an app's newest
+            # (txn-app-id, txn-version) would let append_idempotent
+            # re-commit a batch the stream's replay horizon still
+            # covers. Fold each expiring app's max marker into table
+            # properties, where txn_version() also looks.
+            folded = dict(meta.get("properties", {}))
+            for s in expired:
+                summ = s.get("summary", {})
+                app = summ.get("txn-app-id")
+                if app is None:
+                    continue
+                key = f"lakeflow.txn.{app}"
+                v = int(summ["txn-version"])
+                if int(folded.get(key, -1)) < v:
+                    folded[key] = str(v)
+            new_meta["properties"] = folded
             new_meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids
             ]

@@ -351,9 +351,7 @@ def test_expire_after_overwrite_deletes_replaced_data(spark, table):
     ONLY from expired snapshots — expiration must physically remove
     them."""
     table.append(_mk(spark, [1, 2, 3]))
-    old_files = [
-        os.path.join(table.path, d["file_path"]) for d in table.scan_files()
-    ]
+    old_files = [table.local_path(d["file_path"]) for d in table.scan_files()]
     table.overwrite(_mk(spark, [9]))
     doomed = table.expire_snapshots(retain_last=1)
     for p in old_files:
@@ -449,9 +447,7 @@ def test_compact_rewrites_files_preserving_data(spark, table):
     before_files = table.scan_files()
     before_rows = _rows(table.read(spark))
     pre_snap = table.history()[-1]["snapshot_id"]
-    small_paths = [
-        os.path.join(table.path, d["file_path"]) for d in before_files
-    ]
+    small_paths = [table.local_path(d["file_path"]) for d in before_files]
     table.compact(spark)
     after_files = table.scan_files()
     assert len(after_files) < len(before_files)

@@ -120,6 +120,8 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
         elif kind == "compact":
             # data-identical layout rewrite: the model is unchanged
             sid = t.compact(spark, partitions=arg)
+            if sid is None:
+                continue  # empty table: no snapshot, no commit to record
         elif kind == "expire":
             doomed = t.expire_snapshots(retain_last=arg)
             live = {h["snapshot_id"] for h in t.history()}
@@ -136,19 +138,17 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             model.values()
         ), f"state diverged after {kind}({arg})"
 
-    width = 2 + len(extra_cols)
-
-    def padded(m):
-        return sorted(
-            tuple(list(v) + [None] * (width - len(v))) for v in m.values()
-        )
-
-    # every LIVE snapshot time-travels back to its model state (reads
-    # run under the LATEST schema, so older snapshots surface NULL for
-    # later-added columns — pad the recorded models the same way)
-    for sid, (m, _w) in smap.items():
-        assert _state(spark, t, width, snapshot_id=sid) == padded(m), (
+    # every LIVE snapshot time-travels back to its model state AT ITS
+    # OWN WIDTH: reads run under the SNAPSHOT's recorded schema (ADVICE
+    # r9 — Iceberg snapshot-schema semantics), so later-added columns
+    # must NOT surface on older snapshots
+    for sid, (m, w) in smap.items():
+        got = _state(spark, t, w, snapshot_id=sid)
+        assert got == sorted(m.values()), (
             f"time travel to snapshot {sid} diverged"
+        )
+        assert all(len(r) == w for r in got), (
+            f"snapshot {sid} surfaced post-evolution columns"
         )
 
     # clean-room reader agreement at head and at every live snapshot
@@ -158,7 +158,7 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
 
     assert ext_state() == sorted(model.values())
     for sid, (m, _w) in smap.items():
-        assert ext_state(sid) == padded(m), (
+        assert ext_state(sid) == sorted(m.values()), (
             f"clean-room reader diverged at snapshot {sid}"
         )
 

@@ -193,11 +193,12 @@ def _validate_manifest(path: str, table_path: str) -> list[dict]:
         for name, (typ, _) in _DATA_FILE_SPEC.items():
             assert isinstance(d[name], typ), f"{path} row {i}: data_file.{name}"
         assert d["file_format"] in ("PARQUET", "AVRO", "ORC")
-        assert not d["file_path"].startswith("/") and ".." not in d["file_path"]
-        assert os.path.isfile(os.path.join(table_path, d["file_path"]))
-        assert os.path.getsize(os.path.join(table_path, d["file_path"])) == d[
-            "file_size_in_bytes"
-        ]
+        # the spec requires file_path be a FULL URI an external reader
+        # can resolve without knowing the table root (ADVICE r9)
+        assert d["file_path"].startswith("file:///") and ".." not in d["file_path"]
+        local = d["file_path"][len("file://"):]
+        assert os.path.isfile(local)
+        assert os.path.getsize(local) == d["file_size_in_bytes"]
         for side in ("lower_bounds", "upper_bounds"):
             if d.get(side) is not None:
                 for kv in d[side]:

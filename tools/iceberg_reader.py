@@ -146,6 +146,16 @@ def read_avro(path: str) -> tuple[dict, list[dict], dict[str, bytes]]:
 # ------------------------------------------------------------ metadata walk
 
 
+def _resolve_path(table_path: str, file_path: str) -> str:
+    """data_file.file_path is a full URI per the spec (file://<abs>);
+    accept bare absolute and table-relative paths as fallbacks."""
+    if file_path.startswith("file://"):
+        return file_path[len("file://"):]
+    if os.path.isabs(file_path):
+        return file_path
+    return os.path.join(table_path, file_path)
+
+
 def latest_metadata_path(table_path: str) -> str:
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
@@ -192,6 +202,10 @@ def snapshot_files(
         raise LookupError(
             f"snapshot {snapshot_id} not in table metadata (expired?)"
         )
+    # stash the resolved snapshot so read_table can honor its recorded
+    # schema-id (Iceberg time travel reads under the SNAPSHOT's schema)
+    meta = dict(meta)
+    meta["_resolved-snapshot"] = snap
     _, manifests, _ = read_avro(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
@@ -212,9 +226,13 @@ def read_table(
     import pyarrow.parquet as pq
 
     files, meta = snapshot_files(table_path, snapshot_id, asof_ms)
-    schema = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    snap = meta.get("_resolved-snapshot")
+    schema_id = (
+        snap["schema-id"]
+        if snap is not None and "schema-id" in snap
+        else meta["current-schema-id"]
     )
+    schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
     spec = next(
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
@@ -231,7 +249,7 @@ def read_table(
     }
     pieces = []
     for d in files:
-        t = pq.read_table(os.path.join(table_path, d["file_path"]))
+        t = pq.read_table(_resolve_path(table_path, d["file_path"]))
         for pf in spec["fields"]:
             if pf["transform"] != "identity":
                 raise NotImplementedError(f"transform {pf['transform']!r}")
