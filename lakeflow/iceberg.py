@@ -45,11 +45,20 @@ expireSnapshots + deleteOrphanFiles pair, the txlog.vacuum twin: the
 metadata edit is itself a CAS commit; only files reachable solely from
 expired snapshots are deleted).
 
+Row-level and partition-level mutation (round 10, VERDICT r9 #5):
+``overwrite(df, partition_filter=)`` / ``overwrite_partitions(df)``
+replay the parent manifests — replaced partitions' files become DELETED
+entries, survivors carry forward as EXISTING entries with their
+original sequence numbers — and ``delete_where`` writes v2 POSITION
+DELETE files (sorted (file_path, pos) parquet, spec field ids
+2147483546/2147483545) in a content=1 delete manifest, applied on read
+as a broadcast anti-join (merge-on-read; compaction folds them away).
+
 Deliberate scope cuts, documented rather than faked: identity
 partition transforms only (all the reference uses —
-``PARTITIONED BY (service_year, service_month)``); append/overwrite
-commits (the reference's write modes) — no row-level delete files
-(Iceberg v2 merge-on-read); single partition spec per table lifetime;
+``PARTITIONED BY (service_year, service_month)``); no equality-delete
+files (position deletes + partition overwrite cover the reference's
+mutation idioms); single partition spec per table lifetime;
 evolution is add-column only (no renames/drops/type promotion).
 Identity-source partition columns live in the directory layout +
 manifests rather than the parquet payload (readers reconstitute them
@@ -436,6 +445,17 @@ def _snapshot_id() -> int:
     return uuid.uuid4().int & ((1 << 63) - 1)
 
 
+def _norm_uri(p: str) -> str:
+    """Collapse file-URI spellings to a bare absolute path: manifests
+    store ``file:///abs`` (spec full URI) while Spark's
+    ``_metadata.file_path`` reports ``file:/abs``."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    while p.startswith("//"):
+        p = p[1:]
+    return p
+
+
 def _parse_partition_value(raw: str, ice_type: str) -> Any:
     from urllib.parse import unquote
 
@@ -714,6 +734,85 @@ class IcebergTable:
             except OSError:
                 pass
 
+    def _write_manifest_raw(
+        self,
+        snapshot_id: int,
+        seq: int,
+        entries: list[dict],
+        part_fields: list[dict],
+        meta: dict,
+        content: int = 0,
+    ) -> dict:
+        """Write pre-built manifest entries (added / existing / deleted
+        statuses) to one Avro manifest and return its manifest_file
+        record, counts derived from the statuses. ``content`` is 0 for
+        data manifests, 1 for delete manifests (v2)."""
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        spec = next(
+            s
+            for s in meta["partition-specs"]
+            if s["spec-id"] == meta["default-spec-id"]
+        )
+        path = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
+        avrolite.write_container(
+            path,
+            manifest_entry_schema(part_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(schema),
+                "schema-id": str(meta["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": str(FORMAT_VERSION),
+                "content": "deletes" if content == 1 else "data",
+            },
+        )
+        live = [e for e in entries if e["status"] != 2]
+        dropped = [e for e in entries if e["status"] == 2]
+        summaries = None
+        if part_fields and live:
+            summaries = []
+            for pf in part_fields:
+                vals = [e["data_file"]["partition"][pf["name"]] for e in live]
+                nn = [v for v in vals if v is not None]
+                t = pf["source_type"]
+                bt = "int" if t == "date" else t
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": _bound_bytes(bt, min(nn)) if nn else None,
+                        "upper_bound": _bound_bytes(bt, max(nn)) if nn else None,
+                    }
+                )
+        added = [e for e in entries if e["status"] == 1]
+        existing = [e for e in entries if e["status"] == 0]
+        seqs = [e["sequence_number"] for e in entries if e["sequence_number"]]
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": meta["default-spec-id"],
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs) if seqs else seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
+            "deleted_files_count": len(dropped),
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in existing
+            ),
+            "deleted_rows_count": sum(
+                e["data_file"]["record_count"] for e in dropped
+            ),
+            "partitions": summaries,
+        }
+
     def _write_manifest(
         self,
         snapshot_id: int,
@@ -726,11 +825,6 @@ class IcebergTable:
         manifest_file entry for the manifest list."""
         schema = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-        )
-        spec = next(
-            s
-            for s in meta["partition-specs"]
-            if s["spec-id"] == meta["default-spec-id"]
         )
         id_of = {f["name"]: f["id"] for f in schema["fields"]}
 
@@ -764,52 +858,9 @@ class IcebergTable:
             }
             for dfile in data_files
         ]
-        path = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m0.avro")
-        avrolite.write_container(
-            path,
-            manifest_entry_schema(part_fields),
-            entries,
-            metadata={
-                "schema": json.dumps(schema),
-                "schema-id": str(meta["current-schema-id"]),
-                "partition-spec": json.dumps(spec["fields"]),
-                "partition-spec-id": str(spec["spec-id"]),
-                "format-version": str(FORMAT_VERSION),
-                "content": "data",
-            },
+        return self._write_manifest_raw(
+            snapshot_id, seq, entries, part_fields, meta, content=0
         )
-        summaries = None
-        if part_fields:
-            summaries = []
-            for pf in part_fields:
-                vals = [d["partition"][pf["name"]] for d in data_files]
-                nn = [v for v in vals if v is not None]
-                t = pf["source_type"]
-                bt = "int" if t == "date" else t
-                summaries.append(
-                    {
-                        "contains_null": any(v is None for v in vals),
-                        "contains_nan": None,
-                        "lower_bound": _bound_bytes(bt, min(nn)) if nn else None,
-                        "upper_bound": _bound_bytes(bt, max(nn)) if nn else None,
-                    }
-                )
-        return {
-            "manifest_path": path,
-            "manifest_length": os.path.getsize(path),
-            "partition_spec_id": meta["default-spec-id"],
-            "content": 0,  # data
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(data_files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(d["record_count"] for d in data_files),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": summaries,
-        }
 
     def _commit_snapshot(
         self,
@@ -817,10 +868,23 @@ class IcebergTable:
         operation: str,
         extra_summary: dict[str, str] | None = None,
         expected_snapshot_id: int | None = None,
+        replace_pred: Callable[[dict[str, Any]], bool] | None = None,
+        dynamic: bool = False,
     ) -> int | None:
         """Shared append/overwrite commit loop: stage once, CAS on the
         version file, blind appends rebase and retry. Returns None only
         on the idempotent path (txn marker already committed).
+
+        ``replace_pred`` / ``dynamic`` select PARTITION-level overwrite
+        (VERDICT r9 #5): instead of dropping every parent manifest (full
+        overwrite) the parents are replayed — files in replaced
+        partitions become DELETED entries, survivors are carried as
+        EXISTING entries with their original sequence numbers, untouched
+        manifests are referenced unchanged. ``dynamic`` derives the
+        replaced set from the staged files' own partitions (Spark's
+        dynamic partition-overwrite idiom — what a silver re-run needs);
+        an explicit ``replace_pred`` additionally validates that every
+        staged file lands INSIDE the replaced region.
 
         ``expected_snapshot_id`` pins a read-modify-write premise
         (ADVICE r9, compact): when set, the commit fails with
@@ -935,12 +999,30 @@ class IcebergTable:
                     part_fields,
                     meta,
                 )
+            pred = replace_pred
+            if dynamic:
+                staged_parts = {
+                    tuple(sorted(d["partition"].items())) for d in staged
+                }
+                pred = lambda p: tuple(sorted(p.items())) in staged_parts  # noqa: E731
+            elif pred is not None:
+                outside = [
+                    d for d in staged if not pred(d["partition"])
+                ]
+                if outside:
+                    self._cleanup_staged(staged)
+                    raise ValueError(
+                        "overwrite(partition_filter=) would write "
+                        f"{len(outside)} file(s) outside the replaced "
+                        f"region, e.g. {outside[0]['partition']}"
+                    )
             seq = meta["last-sequence-number"] + 1
             snap_id = _snapshot_id()
             new_manifest = self._write_manifest(
                 snap_id, seq, staged, part_fields, meta
             )
             manifests = [new_manifest]
+            rewritten: list[str] = []  # carried-manifest files to undo on CAS loss
             parent_id = meta["current-snapshot-id"]
             parent = None
             if operation == "append" and parent_id not in (-1, None):
@@ -949,6 +1031,38 @@ class IcebergTable:
                 )
                 _, prev, _ = avrolite.read_container(parent["manifest-list"])
                 manifests += prev
+            elif pred is not None and parent_id not in (-1, None):
+                parent = next(
+                    s for s in meta["snapshots"] if s["snapshot-id"] == parent_id
+                )
+                _, prev, _ = avrolite.read_container(parent["manifest-list"])
+                for m in prev:
+                    if m.get("content", 0) == 1:
+                        # delete manifests carry forward: stale targets
+                        # (files this commit drops) are harmless no-ops
+                        # in the read-side anti-join
+                        manifests.append(m)
+                        continue
+                    _, prev_entries, _ = avrolite.read_container(
+                        m["manifest_path"]
+                    )
+                    live = [e for e in prev_entries if e["status"] != 2]
+                    kept = [
+                        e for e in live if not pred(e["data_file"]["partition"])
+                    ]
+                    if len(kept) == len(live):
+                        manifests.append(m)  # untouched: reference as-is
+                        continue
+                    new_entries = [dict(e, status=0) for e in kept] + [
+                        dict(e, status=2, snapshot_id=snap_id)
+                        for e in live
+                        if pred(e["data_file"]["partition"])
+                    ]
+                    mf = self._write_manifest_raw(
+                        snap_id, seq, new_entries, part_fields, meta, content=0
+                    )
+                    rewritten.append(mf["manifest_path"])
+                    manifests.append(mf)
             elif parent_id not in (-1, None):
                 parent = next(
                     s for s in meta["snapshots"] if s["snapshot-id"] == parent_id
@@ -970,8 +1084,16 @@ class IcebergTable:
                     ),
                 },
             )
-            total_rows = sum(m["added_rows_count"] for m in manifests)
-            total_files = sum(m["added_files_count"] for m in manifests)
+            total_rows = sum(
+                m["added_rows_count"] + m["existing_rows_count"]
+                for m in manifests
+                if m.get("content", 0) == 0
+            )
+            total_files = sum(
+                m["added_files_count"] + m["existing_files_count"]
+                for m in manifests
+                if m.get("content", 0) == 0
+            )
             snapshot = {
                 "snapshot-id": snap_id,
                 "sequence-number": seq,
@@ -1014,6 +1136,8 @@ class IcebergTable:
             except ConcurrentModification:
                 os.unlink(mlist_path)
                 os.unlink(new_manifest["manifest_path"])
+                for p in rewritten:
+                    os.unlink(p)
                 if operation != "append":
                     self._cleanup_staged(staged)
                     raise
@@ -1063,11 +1187,31 @@ class IcebergTable:
             extra_summary={"txn-app-id": app_id, "txn-version": str(batch_id)},
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Full-table overwrite: the new snapshot's manifest list
-        references ONLY this commit's manifest (a snapshot is a complete
-        listing; unreferenced manifests are simply not live)."""
-        return self._commit_snapshot(df, "overwrite")
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_filter: Callable[[dict[str, Any]], bool] | None = None,
+    ) -> int:
+        """Overwrite. With no filter: full-table — the new snapshot's
+        manifest list references ONLY this commit's manifest (a snapshot
+        is a complete listing; unreferenced manifests are simply not
+        live). With ``partition_filter``: static PARTITION overwrite —
+        files whose typed partition dict matches the filter are dropped
+        (DELETED entries), everything else survives, and every staged
+        file must land inside the replaced region (ValueError
+        otherwise). The reference's silver re-run idiom."""
+        return self._commit_snapshot(
+            df, "overwrite", replace_pred=partition_filter
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite (VERDICT r9 #5): replace exactly
+        the partitions PRESENT IN ``df`` — Spark's
+        ``partitionOverwriteMode=dynamic`` semantics, expressed as one
+        atomic Iceberg snapshot. Like every non-append commit, a lost
+        version CAS raises ConcurrentModification rather than silently
+        rebasing."""
+        return self._commit_snapshot(df, "overwrite", dynamic=True)
 
     def compact(
         self, spark: SparkSession, partitions: int | None = None
@@ -1178,6 +1322,8 @@ class IcebergTable:
         _, manifests, _ = avrolite.read_container(snap["manifest-list"])
         files: list[dict] = []
         for m in manifests:
+            if m.get("content", 0) == 1:
+                continue  # delete manifests: see scan_delete_files
             _, entries, _ = avrolite.read_container(m["manifest_path"])
             for e in entries:
                 if e["status"] == 2:  # DELETED
@@ -1205,6 +1351,201 @@ class IcebergTable:
                         continue
                 files.append(d)
         return files
+
+    def scan_delete_files(
+        self,
+        snapshot_id: int | None = None,
+        asof_ms: int | None = None,
+        meta: dict | None = None,
+    ) -> list[dict]:
+        """Live POSITION-DELETE files (v2 merge-on-read) of a snapshot —
+        the content=1 manifests' live entries. Matching is by exact
+        data-file path + row position on the read side, so scoping by
+        sequence number is unnecessary here: a data file path is never
+        re-added, hence a delete row can only ever hit the file it was
+        computed against."""
+        if meta is None:
+            meta = self.load_metadata()
+        snap = self._resolve_snapshot(snapshot_id, asof_ms, meta)
+        if snap is None:
+            return []
+        _, manifests, _ = avrolite.read_container(snap["manifest-list"])
+        out: list[dict] = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, entries, _ = avrolite.read_container(m["manifest_path"])
+            out += [e["data_file"] for e in entries if e["status"] != 2]
+        return out
+
+    def delete_where(self, spark: SparkSession, where: str) -> int | None:
+        """Row-level delete via v2 POSITION-DELETE files (merge-on-read,
+        VERDICT r9 #5): rows matching ``where`` are tombstoned as
+        (file_path, pos) pairs in a sorted delete parquet (spec field
+        ids 2147483546/2147483545), committed as a ``delete`` snapshot
+        whose manifest list carries the parent's manifests plus one
+        content=1 delete manifest — NO data file is rewritten (the
+        GDPR-delete idiom: touch O(matched rows), not O(table)).
+
+        Read-modify-write: positions are computed against the snapshot
+        current at entry, and the commit CAS-publishes directly on that
+        version — a concurrent commit raises ConcurrentModification and
+        nothing is left behind. Matched positions pass through the
+        driver (bounded by the delete's selectivity; a broad predicate
+        should use overwrite(partition_filter=) instead). Returns the
+        snapshot id, or None when nothing matched."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        meta = self.load_metadata(version)
+        if meta["current-snapshot-id"] in (-1, None):
+            return None
+        schema = schema_to_spark(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+        )
+        # bounds-pruned candidates: files whose column bounds prove no
+        # row can match never even get scanned for positions
+        files = self.scan_files(where=where, meta=meta)
+        if not files:
+            return None
+        by_norm = {
+            _norm_uri(d["file_path"]): d["file_path"] for d in files
+        }
+        paths = [self.local_path(d["file_path"]) for d in files]
+        matched = (
+            spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*paths)
+            .filter(where)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("fp"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        if not matched:
+            return None
+        pairs = sorted((by_norm[r.fp], r.pos) for r in matched)
+        dpath = os.path.join(self.data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+        os.makedirs(self.data_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": [p for p, _ in pairs],
+                    "pos": [p for _, p in pairs],
+                },
+                schema=pa.schema(
+                    [
+                        pa.field(
+                            "file_path",
+                            pa.string(),
+                            nullable=False,
+                            metadata={b"PARQUET:field_id": b"2147483546"},
+                        ),
+                        pa.field(
+                            "pos",
+                            pa.int64(),
+                            nullable=False,
+                            metadata={b"PARQUET:field_id": b"2147483545"},
+                        ),
+                    ]
+                ),
+            ),
+            dpath,
+        )
+        part_fields = self._part_fields(meta)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = _snapshot_id()
+        dfile = {
+            "content": 1,  # position deletes
+            "file_path": "file://" + dpath,
+            "file_format": "PARQUET",
+            "partition": {pf["name"]: None for pf in part_fields},
+            "record_count": len(pairs),
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        del_manifest = self._write_manifest_raw(
+            snap_id,
+            seq,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": dfile,
+                }
+            ],
+            part_fields,
+            meta,
+            content=1,
+        )
+        parent = self._resolve_snapshot(None, None, meta)
+        _, prev, _ = avrolite.read_container(parent["manifest-list"])
+        manifests = prev + [del_manifest]
+        now_ms = int(time.time() * 1000)
+        mlist_path = os.path.join(
+            self.metadata_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        avrolite.write_container(
+            mlist_path,
+            MANIFEST_LIST_SCHEMA,
+            manifests,
+            metadata={
+                "format-version": str(FORMAT_VERSION),
+                "snapshot-id": str(snap_id),
+                "sequence-number": str(seq),
+                "parent-snapshot-id": str(parent["snapshot-id"]),
+            },
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": parent["snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": "1",
+                "added-position-deletes": str(len(pairs)),
+            },
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+        new_meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
+        new_meta["metadata-log"] = meta["metadata-log"] + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": self._metadata_path(version),
+            }
+        ]
+        new_meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+        try:
+            self._publish(version + 1, new_meta)
+        except ConcurrentModification:
+            os.unlink(mlist_path)
+            os.unlink(del_manifest["manifest_path"])
+            os.unlink(dpath)
+            raise
+        return snap_id
 
     def read(
         self,
@@ -1243,12 +1584,37 @@ class IcebergTable:
             df = spark.createDataFrame([], schema)
             return df.filter(where) if where is not None else df
         paths = [self.local_path(d["file_path"]) for d in files]
-        df = (
-            spark.read.option("basePath", self.data_dir)
-            .schema(schema)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
+        df = spark.read.option("basePath", self.data_dir).schema(schema).parquet(
+            *paths
         )
+        deletes = self.scan_delete_files(snapshot_id, asof_ms, meta=meta)
+        if deletes:
+            # v2 merge-on-read: anti-join the position tombstones on
+            # (normalized file path, row position). The delete set is
+            # broadcast — it is sized by deleted rows, not by the table.
+            from pyspark.sql import functions as F
+            from pyspark.sql.functions import broadcast
+
+            ddf = spark.read.parquet(
+                *[self.local_path(d["file_path"]) for d in deletes]
+            ).select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("_del_fp"),
+                F.col("pos").alias("_del_pos"),
+            )
+            df = (
+                df.withColumn(
+                    "_fp",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+                )
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(
+                    broadcast(ddf),
+                    (F.col("_fp") == F.col("_del_fp"))
+                    & (F.col("_pos") == F.col("_del_pos")),
+                    "left_anti",
+                )
+            )
+        df = df.select(*[f.name for f in schema.fields])
         return df.filter(where) if where is not None else df
 
     def expire_snapshots(

@@ -505,3 +505,144 @@ def test_expire_reclaims_orphaned_staged_files(spark, table):
     assert orphan in doomed and not os.path.exists(orphan)
     # referenced data untouched
     assert table.read(spark).count() == 2
+
+
+# ------------------------- round 10: partition overwrite + position deletes
+
+
+def test_overwrite_partitions_dynamic(spark, table):
+    """Dynamic partition overwrite replaces exactly the partitions
+    present in the incoming frame; all other partitions survive with
+    their original files (carried as EXISTING entries)."""
+    table.append(_mk(spark, range(6)))  # yr alternates 2024/2025
+    before_2025 = set(
+        table.read(spark, partition_filter=lambda p: p["yr"] == 2025).inputFiles()
+    )
+    repl = _mk(spark, [0, 2]).withColumn("name", F.lit("redo"))
+    table.overwrite_partitions(repl)  # only (2024, mo) partitions of 0,2
+    got = table.read(spark)
+    # untouched partitions keep their exact files — no rewrite churn
+    after_2025 = set(
+        table.read(spark, partition_filter=lambda p: p["yr"] == 2025).inputFiles()
+    )
+    assert after_2025 == before_2025
+    # replaced partitions contain ONLY the new rows
+    repl_parts = {(2024, 1), (2024, 3)}  # ids 0,2 -> (yr,mo)
+    kept = [
+        r
+        for r in got.collect()
+        if (r.yr, r.mo) in repl_parts
+    ]
+    assert sorted(r.name for r in kept) == ["redo", "redo"]
+    assert table.history()[-1]["operation"] == "overwrite"
+
+
+def test_overwrite_partition_filter_validates_region(spark, table):
+    """A static partition overwrite must refuse data landing OUTSIDE
+    the replaced region (otherwise 'replace yr=2024' would silently
+    append into 2025), and the refused commit leaves no staged files."""
+    table.append(_mk(spark, range(4)))
+    before = _rows(table.read(spark))
+    with pytest.raises(ValueError, match="outside the replaced region"):
+        table.overwrite(
+            _mk(spark, [1]),  # id 1 -> yr=2025
+            partition_filter=lambda p: p["yr"] == 2024,
+        )
+    assert _rows(table.read(spark)) == before
+    # the in-region form works and drops exactly yr=2024
+    table.overwrite(
+        _mk(spark, [0]), partition_filter=lambda p: p["yr"] == 2024
+    )
+    got = table.read(spark).collect()
+    assert {r.yr for r in got} == {2024, 2025}
+    assert [r.id for r in got if r.yr == 2024] == [0]
+
+
+def test_delete_where_position_deletes(spark, table):
+    """delete_where tombstones rows without rewriting data files
+    (merge-on-read): the data file set is unchanged, a content=1 delete
+    manifest appears, reads (module AND independent reader) drop the
+    rows, time travel to the pre-delete snapshot still sees them, and
+    compaction folds the tombstones away."""
+    table.append(_mk(spark, range(8)))
+    pre = table.history()[-1]["snapshot_id"]
+    files_before = {d["file_path"] for d in table.scan_files()}
+    sid = table.delete_where(spark, "id % 2 = 0 AND id >= 2")
+    assert sid is not None
+    assert {d["file_path"] for d in table.scan_files()} == files_before
+    assert len(table.scan_delete_files()) == 1
+    expect = sorted([0, 1, 3, 5, 7])
+    assert sorted(r.id for r in table.read(spark).collect()) == expect
+    ext = iceberg_reader.read_table(table.path)
+    assert sorted(r["id"] for r in ext.to_pylist()) == expect
+    # pre-delete snapshot unaffected (and via the independent reader)
+    assert table.read(spark, snapshot_id=pre).count() == 8
+    assert iceberg_reader.read_table(table.path, snapshot_id=pre).num_rows == 8
+    # where/pruned reads compose with the tombstones
+    assert sorted(
+        r.id for r in table.read(spark, where="id >= 3").collect()
+    ) == [3, 5, 7]
+    # no-match delete commits nothing
+    assert table.delete_where(spark, "id = 12345") is None
+    # compaction applies deletes and drops the delete manifest
+    table.compact(spark)
+    assert table.scan_delete_files() == []
+    assert sorted(r.id for r in table.read(spark).collect()) == expect
+
+
+def test_compact_premise_pinned_against_concurrent_append(spark, table):
+    """ADVICE r9 (medium): a commit landing between compact's read and
+    its publish must raise ConcurrentModification, never be silently
+    dropped by the replace listing."""
+    table.append(_mk(spark, [1, 2]))
+    orig_publish = table._publish
+    fired = {}
+
+    def racy_publish(version, metadata):
+        if not fired:
+            fired["x"] = True
+            IcebergTable(table.path).append(_mk(spark, [9]))
+        return orig_publish(version, metadata)
+
+    table._publish = racy_publish
+    with pytest.raises(ConcurrentModification):
+        table.compact(spark)
+    table._publish = orig_publish
+    # the concurrent append survives intact
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 9]
+
+
+def test_rebase_onto_evolved_winner_fills_optional_columns(spark, table):
+    """ADVICE r9: a blind append that loses the CAS to a winner that
+    ADDED a column must rebase and commit (added columns are optional
+    per the spec), not raise a schema mismatch mid-retry."""
+    table.append(_mk(spark, [1]))
+    evolved = _mk(spark, [5]).withColumn("note", F.lit("w"))
+    orig_publish = table._publish
+    fired = {}
+
+    def racy_publish(version, metadata):
+        if not fired:
+            fired["x"] = True
+            IcebergTable(table.path).append(evolved)  # winner evolves schema
+        return orig_publish(version, metadata)
+
+    table._publish = racy_publish
+    table.append(_mk(spark, [2]))  # loser lacks 'note'; must still land
+    table._publish = orig_publish
+    got = {r.id: r.note for r in table.read(spark).collect()}
+    assert got == {1: None, 5: "w", 2: None}
+
+
+def test_expire_preserves_exactly_once_markers(spark, table):
+    """ADVICE r9: expiring the snapshot that carries an app's newest
+    txn marker must not reopen the exactly-once window — the marker
+    folds into table properties and append_idempotent still refuses
+    the replayed batch."""
+    assert table.append_idempotent(_mk(spark, [1]), "appA", 7) is not None
+    table.append(_mk(spark, [2]))
+    table.append(_mk(spark, [3]))
+    table.expire_snapshots(retain_last=1)  # marker snapshot expired
+    assert table.txn_version("appA") == 7
+    assert table.append_idempotent(_mk(spark, [1]), "appA", 7) is None
+    assert table.read(spark).count() == 3

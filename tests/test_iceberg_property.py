@@ -1,18 +1,26 @@
 """Model-based property test of the Iceberg metadata layer: hypothesis
-drives random operation sequences (append / overwrite / evolving append
-/ expire_snapshots) against BOTH an IcebergTable and an in-memory dict
-model; after every op the table must equal the model, every LIVE
-snapshot must time-travel back to the model's state at that snapshot,
-and the clean-room spec reader (tools/iceberg_reader.py — independent
-Avro decoder, zero lakeflow imports) must agree at head and at every
-live snapshot. The mirror of tests/test_txlog_property.py for the
-Iceberg dialect, plus a structural pass: the spec validator from
-test_iceberg_protocol runs on the final table of every sequence.
+drives random operation sequences (append / overwrite / DYNAMIC
+PARTITION overwrite / position delete / evolving append /
+expire_snapshots / compact) against BOTH an IcebergTable and an
+in-memory dict model; after every op the table must equal the model,
+every LIVE snapshot must time-travel back to the model's state at that
+snapshot (under the SNAPSHOT's schema), and the clean-room spec reader
+(tools/iceberg_reader.py — independent Avro decoder, zero lakeflow
+imports) must agree at head and at every live snapshot. The mirror of
+tests/test_txlog_property.py for the Iceberg dialect, plus a structural
+pass: the spec validator from test_iceberg_protocol runs on the final
+table of every sequence.
+
+The table is PARTITIONED (identity on ``pt = id % 2``) so the round-10
+mutation ops exercise real partition routing: overwrite_partitions must
+replace exactly the partitions present in the new rows, and
+delete_where's position tombstones must survive appends, evolution, and
+carry-forward through partition overwrites of OTHER partitions.
 
 Runtime discipline as in the txlog twin: each example costs one Spark
 write+read per op, so examples and sequence lengths stay small — the
 value is op-interleaving SHAPE coverage (evolve→overwrite→expire,
-expire→append, double evolution), not volume.
+pdelete→compact, pow→pdelete), not volume.
 """
 
 from __future__ import annotations
@@ -33,6 +41,8 @@ from test_iceberg_protocol import validate_iceberg_table  # noqa: E402
 _OPS = st.one_of(
     st.tuples(st.just("append"), st.integers(1, 3)),     # n new rows
     st.tuples(st.just("overwrite"), st.integers(1, 3)),  # n fresh rows
+    st.tuples(st.just("pow"), st.integers(1, 3)),        # dyn part overwrite
+    st.tuples(st.just("pdelete"), st.integers(2, 4)),    # delete id % arg == 0
     st.tuples(st.just("evolve"), st.integers(1, 2)),     # n rows + new col
     st.tuples(st.just("expire"), st.integers(1, 3)),     # retain_last
     st.tuples(st.just("compact"), st.integers(1, 2)),    # target partitions
@@ -53,9 +63,9 @@ def _get_spark():
 
 
 def _df(spark, rows, extra_cols=()):
-    """rows: list of (id, val [, extras...]) matching the evolving
-    schema id/val/e0/e1/..."""
-    cols = "id bigint, val bigint" + "".join(
+    """rows: list of (id, pt, val [, extras...]) matching the evolving
+    schema id/pt/val/e0/e1/..."""
+    cols = "id bigint, pt bigint, val bigint" + "".join(
         f", {c} bigint" for c in extra_cols
     )
     return spark.createDataFrame(rows, cols)
@@ -83,13 +93,16 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
     def fresh_rows(n):
         nonlocal next_id
         rows = [
-            tuple([next_id + i, (next_id + i) * 7] + [None] * len(extra_cols))
+            tuple(
+                [next_id + i, (next_id + i) % 2, (next_id + i) * 7]
+                + [None] * len(extra_cols)
+            )
             for i in range(n)
         ]
         next_id += n
         return rows
 
-    t.create(_df(spark, [], ()).schema)
+    t.create(_df(spark, [], ()).schema, partition_by=("pt",))
     # model: dict id -> full row tuple (padded to the current width);
     # smap: live snapshot id -> (model copy, schema width at commit)
     model: dict[int, tuple] = {}
@@ -108,6 +121,20 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             rows = fresh_rows(arg)
             sid = t.overwrite(_df(spark, rows, extra_cols))
             model = {r[0]: r for r in rows}
+        elif kind == "pow":
+            rows = fresh_rows(arg)
+            sid = t.overwrite_partitions(_df(spark, rows, extra_cols))
+            replaced = {r[1] for r in rows}
+            model = {k: v for k, v in model.items() if v[1] not in replaced}
+            model.update({r[0]: r for r in rows})
+        elif kind == "pdelete":
+            sid = t.delete_where(spark, f"id % {arg} = 0")
+            doomed_ids = {k for k in model if k % arg == 0}
+            if sid is None:
+                assert not doomed_ids, "delete_where missed matching rows"
+                continue
+            assert doomed_ids, "delete_where committed with nothing to do"
+            model = {k: v for k, v in model.items() if k % arg != 0}
         elif kind == "evolve":
             new_col = f"e{len(extra_cols)}"
             rows = [
@@ -115,7 +142,7 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             ]
             sid = t.append(_df(spark, rows, extra_cols + [new_col]))
             extra_cols.append(new_col)
-            pad_all(2 + len(extra_cols))
+            pad_all(3 + len(extra_cols))
             model.update({r[0]: r for r in rows})
         elif kind == "compact":
             # data-identical layout rewrite: the model is unchanged
@@ -129,12 +156,12 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             for p in doomed:
                 assert not os.path.exists(p)
             if model or smap:
-                assert _state(spark, t, 2 + len(extra_cols)) == sorted(
+                assert _state(spark, t, 3 + len(extra_cols)) == sorted(
                     model.values()
                 ), f"state diverged after expire({arg})"
             continue
-        smap[sid] = ({k: v for k, v in model.items()}, 2 + len(extra_cols))
-        assert _state(spark, t, 2 + len(extra_cols)) == sorted(
+        smap[sid] = ({k: v for k, v in model.items()}, 3 + len(extra_cols))
+        assert _state(spark, t, 3 + len(extra_cols)) == sorted(
             model.values()
         ), f"state diverged after {kind}({arg})"
 

@@ -208,9 +208,15 @@ def snapshot_files(
     meta["_resolved-snapshot"] = snap
     _, manifests, _ = read_avro(snap["manifest-list"])
     files: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         _, entries, _ = read_avro(m["manifest_path"])
-        files += [e["data_file"] for e in entries if e["status"] != 2]
+        live = [e["data_file"] for e in entries if e["status"] != 2]
+        if m.get("content", 0) == 1:
+            deletes += live  # v2 position-delete files
+        else:
+            files += live
+    meta["_delete-files"] = deletes
     return files, meta
 
 
@@ -247,9 +253,23 @@ def read_table(
         "boolean": pa.bool_(),
         "date": pa.date32(),
     }
+    # v2 position deletes: (file_path URI, pos) tombstones, applied by
+    # filtering each data file's row ordinals before concatenation
+    tombstones: dict[str, set[int]] = {}
+    for d in meta.get("_delete-files", []):
+        dt = pq.read_table(_resolve_path(table_path, d["file_path"]))
+        for fp, pos in zip(
+            dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
+        ):
+            tombstones.setdefault(fp, set()).add(pos)
+
     pieces = []
     for d in files:
         t = pq.read_table(_resolve_path(table_path, d["file_path"]))
+        dead = tombstones.get(d["file_path"])
+        if dead:
+            keep = [i for i in range(len(t)) if i not in dead]
+            t = t.take(pa.array(keep, type=pa.int64()))
         for pf in spec["fields"]:
             if pf["transform"] != "identity":
                 raise NotImplementedError(f"transform {pf['transform']!r}")
