@@ -815,6 +815,21 @@ def _user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.user_stats_snapshot(spark, sf_dir)
 
 
+def _user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflow import streaming
+
+    return streaming.user_stats_batch(spark, sf_dir)
+
+
+def _user_stats_batch_sql() -> str:
+    from lakeflow import streaming
+
+    return streaming.USER_STATS_BATCH_SQL
+
+
+_USER_STATS_BATCH_SQL = _user_stats_batch_sql()
+
+
 def _dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D11 — evaluate the reference DQ suite against derived silver
     claims, emitted as a sorted (check_id, expectation_type,
@@ -928,6 +943,11 @@ MISC_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_fk_integrity": (quality.fk_integrity, quality.FK_INTEGRITY_SQL),
     "q_bronze_metadata": (_bronze_metadata, BRONZE_METADATA_SQL),
     "q_user_stats_stateful": (_user_stats_stateful, None),
+    # batch twin of the stateful operator's final state (VERDICT r9 #6):
+    # the order-sensitive EWMA certifies as an explicit left fold run
+    # identically in both engines (Spark aggregate() vs DuckDB
+    # list_reduce over the (ts, event_id)-sorted values)
+    "q_user_stats_batch": (_user_stats_batch, _USER_STATS_BATCH_SQL),
 }
 
 

@@ -285,6 +285,95 @@ def user_stats_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(last).select("user_id", "s.*")
 
 
+def user_stats_batch(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Certifiable BATCH twin of the stateful stream's per-user final
+    state (VERDICT r9 #6 — q_user_stats_stateful was the one registered
+    query never driver-certified in nine rounds): per user over the
+    whole events table, the event count, exact total (decimal-summed —
+    order-free), the ORDER-SENSITIVE EWMA, the capped distinct-type
+    count, and the last event time.
+
+    The EWMA is the part session_window cannot express and float sums
+    cannot certify: it is computed as an explicit LEFT FOLD over the
+    (ts, event_id)-sorted value array — Spark ``aggregate()`` and
+    DuckDB ``list_reduce`` run the IDENTICAL per-step IEEE expression
+    ``alpha*x + (1-alpha)*acc`` in the identical order, so the result is
+    bit-equal across engines and cluster layouts (then micro-unit
+    quantized, the certified pattern). NULL values are excluded up
+    front in both engines.
+
+    Scale: one groupBy(user_id) shuffle; per-user state is the sorted
+    value array — bounded by a user's own event count, the same O(user
+    history) working set the streaming operator holds before timeout.
+    Agreement with the drained applyInPandasWithState stream is
+    asserted in tests/test_streaming.py."""
+    from lakeflow import io
+
+    ev = io.read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    ewma = F.expr(
+        "aggregate("
+        "  slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        "  element_at(vals, 1),"
+        f"  (acc, x) -> {a}D * x + {b}D * acc"
+        ")"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+                " s -> cast(s.value AS double))"
+            ).alias("vals"),
+            F.least(F.lit(32), F.countDistinct("event_type"))
+            .cast("int")
+            .alias("n_event_types"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.floor(ewma * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("ewma_micro"),
+            "n_event_types",
+            "last_ts",
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_STATS_BATCH_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type, ts, value
+    FROM events WHERE value IS NOT NULL
+), agg AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+           CAST(LEAST(32, count(DISTINCT event_type)) AS INTEGER) AS n_event_types,
+           max(ts) AS last_ts
+    FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events, total_value,
+       CAST(FLOOR(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) * 1e6 + 0.5)
+            AS BIGINT) AS ewma_micro,
+       n_event_types, last_ts
+FROM agg
+ORDER BY user_id
+"""
+
+
 def attribution_stream(
     events: DataFrame, window_minutes: int = 60, watermark: str = "2 hours"
 ) -> DataFrame:

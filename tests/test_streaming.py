@@ -116,6 +116,31 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, tmp_path):
     assert g == w
 
 
+def test_user_stats_batch_twin_matches_stream(spark, sf_dir, tmp_path):
+    """The ORACLE-CERTIFIED batch twin (q_user_stats_batch) agrees with
+    the drained stateful stream on every deterministic column, and its
+    fold-EWMA agrees with the stream's sequential EWMA up to timestamp
+    ties (the stream sorts micro-batches by ts alone; the twin pins the
+    total (ts, event_id) order) — on the fixture corpus timestamps are
+    distinct within a user's micro-batch, so the match is exact at the
+    micro-unit quantum."""
+    got = streaming.user_stats_snapshot(spark, sf_dir)
+    twin = streaming.user_stats_batch(spark, sf_dir)
+    g = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.n_event_types, r.last_ts)
+        for r in got.collect()
+    }
+    t_rows = twin.collect()
+    t = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.n_event_types, r.last_ts)
+        for r in t_rows
+    }
+    assert g == t
+    ew_stream = {r.user_id: r.ewma_value for r in got.collect()}
+    for r in t_rows:
+        assert abs(ew_stream[r.user_id] - r.ewma_micro / 1e6) <= 1e-6, r.user_id
+
+
 def test_stateful_state_survives_restart(spark, tmp_path):
     """A REAL restart: both drains pin the same checkpoint (name=), so
     the second drain resumes state and the file source's exactly-once
