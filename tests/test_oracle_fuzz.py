@@ -220,6 +220,12 @@ EVENT_FUZZ_QUERIES = (
     "q_attribution",
     "q_scd2_history",
     "q_gap_fill",
+    # r10: MAD's interpolated medians and the z-score micro-quantization
+    # are exactly the derived-float classes the fuzzer exists to police
+    "q_mad",
+    # r10 batch twin: the fold-EWMA must stay bit-equal across engines
+    # on arbitrary value sequences, ts ties, and null users
+    "q_user_stats_batch",
 )
 
 

@@ -174,6 +174,14 @@ HEAVY = [
     # per-source KL (r7): ln-term micro-unit sums over 10× the
     # vocabulary instances — float-portability risk scales with corpus
     "q_source_kl",
+    # image dedup (r10): exact-hash collision structure is
+    # corpus-size-sensitive (the collapse exists because of it); the
+    # collapsed twin's group multiplicities grow with the decade
+    "q_image_dedup",
+    "q_image_dedup_collapsed",
+    # fold-EWMA batch twin (r10): per-user sequences are 10× longer —
+    # the left fold's float path and the decimal total both scale
+    "q_user_stats_batch",
 ]
 
 _missing = [n for n in HEAVY if n not in registry.ALL_QUERIES]
