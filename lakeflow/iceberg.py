@@ -1416,8 +1416,14 @@ class IcebergTable:
         files = self.scan_files(where=where, meta=meta)
         if not files:
             return None
+        # key by the RESOLVED absolute path (legacy tables store
+        # table-relative file_paths — _metadata.file_path is always
+        # absolute, so an unresolved key would silently never match),
+        # but tombstone VALUES keep the manifest's exact spelling (the
+        # spec requires delete rows to match data_file.file_path)
         by_norm = {
-            _norm_uri(d["file_path"]): d["file_path"] for d in files
+            _norm_uri(self.local_path(d["file_path"])): d["file_path"]
+            for d in files
         }
         paths = [self.local_path(d["file_path"]) for d in files]
         matched = (
@@ -1595,10 +1601,18 @@ class IcebergTable:
             from pyspark.sql import functions as F
             from pyspark.sql.functions import broadcast
 
+            # tombstone paths carry the manifest's exact spelling; fold
+            # every spelling (file URI / absolute / legacy
+            # table-relative) to one canonical absolute form before the
+            # join — a relative tombstone must still kill its row
+            canon = F.regexp_replace("file_path", "^file:/+", "/")
+            canon = F.when(
+                canon.startswith("/"), canon
+            ).otherwise(F.concat(F.lit(self.path + "/"), canon))
             ddf = spark.read.parquet(
                 *[self.local_path(d["file_path"]) for d in deletes]
             ).select(
-                F.regexp_replace("file_path", "^file:/+", "/").alias("_del_fp"),
+                canon.alias("_del_fp"),
                 F.col("pos").alias("_del_pos"),
             )
             df = (

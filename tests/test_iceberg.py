@@ -646,3 +646,36 @@ def test_expire_preserves_exactly_once_markers(spark, table):
     assert table.txn_version("appA") == 7
     assert table.append_idempotent(_mk(spark, [1]), "appA", 7) is None
     assert table.read(spark).count() == 3
+
+
+def test_position_deletes_on_legacy_relative_paths(spark, table):
+    """Back-compat: tables written before r10 store table-RELATIVE
+    file_paths. delete_where must key positions by the resolved
+    absolute path and read() must canonicalize tombstone spellings, or
+    deletes on such tables silently never match (found in the r10
+    self-review)."""
+    from lakeflow import avrolite
+
+    table.append(_mk(spark, range(4)))
+    # rewrite every manifest entry to the legacy relative spelling
+    meta = table.load_metadata()
+    snap = table._resolve_snapshot(None, None, meta)
+    _, manifests, _ = avrolite.read_container(snap["manifest-list"])
+    for m in manifests:
+        schema, entries, md = avrolite.read_container(m["manifest_path"])
+        for e in entries:
+            d = e["data_file"]
+            d["file_path"] = os.path.relpath(
+                table.local_path(d["file_path"]), table.path
+            )
+        meta_str = {k: v.decode() for k, v in md.items()}
+        os.unlink(m["manifest_path"])
+        avrolite.write_container(m["manifest_path"], schema, entries, meta_str)
+    assert all(
+        not d["file_path"].startswith("file:") for d in table.scan_files()
+    )
+    sid = table.delete_where(spark, "id >= 2")
+    assert sid is not None
+    assert sorted(r.id for r in table.read(spark).collect()) == [0, 1]
+    ext = iceberg_reader.read_table(table.path)
+    assert sorted(r["id"] for r in ext.to_pylist()) == [0, 1]
