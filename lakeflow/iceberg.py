@@ -52,7 +52,13 @@ entries, survivors carry forward as EXISTING entries with their
 original sequence numbers — and ``delete_where`` writes v2 POSITION
 DELETE files (sorted (file_path, pos) parquet, spec field ids
 2147483546/2147483545) in a content=1 delete manifest, applied on read
-as a broadcast anti-join (merge-on-read; compaction folds them away).
+as a broadcast anti-join (merge-on-read; compaction folds them away);
+``upsert_by_key`` composes both into MERGE — matched keys tombstoned
+and updates appended in ONE atomic snapshot, closing the mutation
+idiom that was previously Delta-dialect-only (txlog.upsert_by_key's
+copy-on-write twin). Candidate probes for deletes/merges run over LIVE
+rows only (existing tombstones anti-joined first), so re-deleting a
+dead row is impossible by construction.
 
 Deliberate scope cuts, documented rather than faked: identity
 partition transforms only (all the reference uses —
@@ -1378,6 +1384,51 @@ class IcebergTable:
             out += [e["data_file"] for e in entries if e["status"] != 2]
         return out
 
+    def _tombstone_frame(self, spark: SparkSession, deletes: list[dict]):
+        """(_del_fp, _del_pos) frame over position-delete files, file
+        paths folded to one canonical absolute spelling (tombstones
+        carry the manifest's exact spelling — URI, absolute, or legacy
+        table-relative)."""
+        from pyspark.sql import functions as F
+
+        canon = F.regexp_replace("file_path", "^file:/+", "/")
+        canon = F.when(canon.startswith("/"), canon).otherwise(
+            F.concat(F.lit(self.path + "/"), canon)
+        )
+        return spark.read.parquet(
+            *[self.local_path(d["file_path"]) for d in deletes]
+        ).select(canon.alias("_del_fp"), F.col("pos").alias("_del_pos"))
+
+    def _live_positions(
+        self, spark: SparkSession, files: list[dict], meta: dict, schema
+    ):
+        """Rows of ``files`` with (fp, pos) metadata columns, EXISTING
+        position tombstones already applied — the probe surface for
+        delete_where / upsert_by_key (matching a dead row twice would
+        commit redundant tombstones and overstate matched counts)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
+        src = (
+            spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*[self.local_path(d["file_path"]) for d in files])
+            .withColumn(
+                "fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .withColumn("pos", F.col("_metadata.row_index"))
+        )
+        deletes = self.scan_delete_files(meta=meta)
+        if deletes:
+            src = src.join(
+                broadcast(self._tombstone_frame(spark, deletes)),
+                (F.col("fp") == F.col("_del_fp"))
+                & (F.col("pos") == F.col("_del_pos")),
+                "left_anti",
+            )
+        return src
+
     def delete_where(self, spark: SparkSession, where: str) -> int | None:
         """Row-level delete via v2 POSITION-DELETE files (merge-on-read,
         VERDICT r9 #5): rows matching ``where`` are tombstoned as
@@ -1394,10 +1445,6 @@ class IcebergTable:
         driver (bounded by the delete's selectivity; a broad predicate
         should use overwrite(partition_filter=) instead). Returns the
         snapshot id, or None when nothing matched."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql import functions as F
-
         version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
@@ -1425,23 +1472,65 @@ class IcebergTable:
             _norm_uri(self.local_path(d["file_path"])): d["file_path"]
             for d in files
         }
-        paths = [self.local_path(d["file_path"]) for d in files]
         matched = (
-            spark.read.option("basePath", self.data_dir)
-            .schema(schema)
-            .parquet(*paths)
+            self._live_positions(spark, files, meta, schema)
             .filter(where)
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("fp"),
-                F.col("_metadata.row_index").alias("pos"),
-            )
+            .select("fp", "pos")
             .collect()
         )
         if not matched:
             return None
         pairs = sorted((by_norm[r.fp], r.pos) for r in matched)
+        part_fields = self._part_fields(meta)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = _snapshot_id()
+        dfile = self._write_position_delete_file(pairs)
+        dfile["partition"] = {pf["name"]: None for pf in part_fields}
+        dpath = self.local_path(dfile["file_path"])
+        del_manifest = self._write_manifest_raw(
+            snap_id,
+            seq,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": dfile,
+                }
+            ],
+            part_fields,
+            meta,
+            content=1,
+        )
+        try:
+            return self._publish_row_delta(
+                version,
+                meta,
+                snap_id,
+                seq,
+                extra_manifests=[del_manifest],
+                operation="delete",
+                extra_summary={
+                    "added-delete-files": "1",
+                    "added-position-deletes": str(len(pairs)),
+                },
+            )
+        except ConcurrentModification:
+            os.unlink(del_manifest["manifest_path"])
+            os.unlink(dpath)
+            raise
+
+    def _write_position_delete_file(
+        self, pairs: list[tuple[str, int]]
+    ) -> dict:
+        """Write sorted (file_path, pos) tombstones as one parquet under
+        data/ (spec field ids 2147483546/2147483545); returns the spec
+        data_file struct (content=1) minus the partition tuple, which
+        the caller stamps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         dpath = os.path.join(self.data_dir, f"delete-{uuid.uuid4().hex}.parquet")
         os.makedirs(self.data_dir, exist_ok=True)
         pq.write_table(
@@ -1469,38 +1558,34 @@ class IcebergTable:
             ),
             dpath,
         )
-        part_fields = self._part_fields(meta)
-        seq = meta["last-sequence-number"] + 1
-        snap_id = _snapshot_id()
-        dfile = {
+        return {
             "content": 1,  # position deletes
             "file_path": "file://" + dpath,
             "file_format": "PARQUET",
-            "partition": {pf["name"]: None for pf in part_fields},
             "record_count": len(pairs),
             "file_size_in_bytes": os.path.getsize(dpath),
             "lower_bounds": None,
             "upper_bounds": None,
         }
-        del_manifest = self._write_manifest_raw(
-            snap_id,
-            seq,
-            [
-                {
-                    "status": 1,
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "file_sequence_number": seq,
-                    "data_file": dfile,
-                }
-            ],
-            part_fields,
-            meta,
-            content=1,
-        )
+
+    def _publish_row_delta(
+        self,
+        version: int,
+        meta: dict,
+        snap_id: int,
+        seq: int,
+        extra_manifests: list[dict],
+        operation: str,
+        extra_summary: dict[str, str],
+    ) -> int:
+        """Publish a snapshot whose manifest list = the parent's
+        manifests + ``extra_manifests`` (the v2 row-delta shape shared
+        by delete_where and upsert_by_key). Raises
+        ConcurrentModification on a lost CAS after unlinking the
+        manifest list (callers unlink their own manifests/files)."""
         parent = self._resolve_snapshot(None, None, meta)
         _, prev, _ = avrolite.read_container(parent["manifest-list"])
-        manifests = prev + [del_manifest]
+        manifests = prev + extra_manifests
         now_ms = int(time.time() * 1000)
         mlist_path = os.path.join(
             self.metadata_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
@@ -1523,11 +1608,7 @@ class IcebergTable:
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "schema-id": meta["current-schema-id"],
-            "summary": {
-                "operation": "delete",
-                "added-delete-files": "1",
-                "added-position-deletes": str(len(pairs)),
-            },
+            "summary": {"operation": operation, **extra_summary},
         }
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = seq
@@ -1548,10 +1629,114 @@ class IcebergTable:
             self._publish(version + 1, new_meta)
         except ConcurrentModification:
             os.unlink(mlist_path)
-            os.unlink(del_manifest["manifest_path"])
-            os.unlink(dpath)
             raise
         return snap_id
+
+    def upsert_by_key(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: tuple[str, ...],
+    ) -> dict[str, int]:
+        """MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT) on the
+        Iceberg dialect — closes the one mutation idiom VERDICT r9
+        listed as Delta-only (txlog.upsert_by_key). Unlike the txlog's
+        copy-on-write merge this one is MERGE-ON-READ: rows whose key
+        matches an update are position-tombstoned and the update rows
+        are appended, both manifests publishing in ONE atomic snapshot —
+        readers see the whole merge or none of it, and the write cost is
+        O(update keys' positions + update rows), never a partition
+        rewrite. Compaction later folds the tombstones away.
+
+        The matched positions pass through the driver (bounded by the
+        merge's selectivity, same contract as delete_where); the key
+        probe itself is a broadcast semi-join, one distributed pass over
+        bounds-surviving files. A commit racing between the position
+        read and the publish raises ConcurrentModification (CAS on the
+        version loaded at entry). Returns {"matched": rows tombstoned,
+        "inserted": rows appended}."""
+        from pyspark.sql.functions import broadcast
+
+        version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        meta = self.load_metadata(version)
+        part_fields = self._part_fields(meta)
+        inserted = updates.count()
+        if meta["current-snapshot-id"] in (-1, None):
+            self.append(updates)
+            return {"matched": 0, "inserted": inserted}
+        schema = schema_to_spark(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )
+        )
+        files = self.scan_files(meta=meta)
+        by_norm = {
+            _norm_uri(self.local_path(d["file_path"])): d["file_path"]
+            for d in files
+        }
+        keys = updates.select(*key_cols).distinct()
+        matched = (
+            self._live_positions(spark, files, meta, schema)
+            .join(broadcast(keys), list(key_cols), "left_semi")
+            .select("fp", "pos")
+            .collect()
+        )
+        staged = self._stage_data_files(
+            updates.select(*[f.name for f in schema.fields]), part_fields, meta
+        )
+        seq = meta["last-sequence-number"] + 1
+        snap_id = _snapshot_id()
+        data_manifest = self._write_manifest(
+            snap_id, seq, staged, part_fields, meta
+        )
+        extra_manifests = [data_manifest]
+        summary = {
+            "merge-matched": str(len(matched)),
+            "merge-inserted": str(inserted),
+            "added-data-files": str(len(staged)),
+            "added-records": str(sum(d["record_count"] for d in staged)),
+        }
+        dfile = None
+        del_manifest = None
+        if matched:
+            pairs = sorted((by_norm[r.fp], r.pos) for r in matched)
+            dfile = self._write_position_delete_file(pairs)
+            dfile["partition"] = {pf["name"]: None for pf in part_fields}
+            del_manifest = self._write_manifest_raw(
+                snap_id,
+                seq,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": dfile,
+                    }
+                ],
+                part_fields,
+                meta,
+                content=1,
+            )
+            extra_manifests.append(del_manifest)
+            summary["added-delete-files"] = "1"
+            summary["added-position-deletes"] = str(len(pairs))
+        try:
+            self._publish_row_delta(
+                version, meta, snap_id, seq, extra_manifests, "overwrite", summary
+            )
+        except ConcurrentModification:
+            os.unlink(data_manifest["manifest_path"])
+            self._cleanup_staged(staged)
+            if del_manifest is not None:
+                os.unlink(del_manifest["manifest_path"])
+                os.unlink(self.local_path(dfile["file_path"]))
+            raise
+        return {"matched": len(matched), "inserted": inserted}
 
     def read(
         self,
@@ -1596,25 +1781,11 @@ class IcebergTable:
         deletes = self.scan_delete_files(snapshot_id, asof_ms, meta=meta)
         if deletes:
             # v2 merge-on-read: anti-join the position tombstones on
-            # (normalized file path, row position). The delete set is
+            # (canonical file path, row position). The delete set is
             # broadcast — it is sized by deleted rows, not by the table.
             from pyspark.sql import functions as F
             from pyspark.sql.functions import broadcast
 
-            # tombstone paths carry the manifest's exact spelling; fold
-            # every spelling (file URI / absolute / legacy
-            # table-relative) to one canonical absolute form before the
-            # join — a relative tombstone must still kill its row
-            canon = F.regexp_replace("file_path", "^file:/+", "/")
-            canon = F.when(
-                canon.startswith("/"), canon
-            ).otherwise(F.concat(F.lit(self.path + "/"), canon))
-            ddf = spark.read.parquet(
-                *[self.local_path(d["file_path"]) for d in deletes]
-            ).select(
-                canon.alias("_del_fp"),
-                F.col("pos").alias("_del_pos"),
-            )
             df = (
                 df.withColumn(
                     "_fp",
@@ -1622,7 +1793,7 @@ class IcebergTable:
                 )
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .join(
-                    broadcast(ddf),
+                    broadcast(self._tombstone_frame(spark, deletes)),
                     (F.col("_fp") == F.col("_del_fp"))
                     & (F.col("_pos") == F.col("_del_pos")),
                     "left_anti",

@@ -679,3 +679,42 @@ def test_position_deletes_on_legacy_relative_paths(spark, table):
     assert sorted(r.id for r in table.read(spark).collect()) == [0, 1]
     ext = iceberg_reader.read_table(table.path)
     assert sorted(r["id"] for r in ext.to_pylist()) == [0, 1]
+
+
+def test_upsert_by_key_merge_on_read(spark, table):
+    """MERGE on the Iceberg dialect (merge-on-read): matched keys are
+    position-tombstoned and updates appended in ONE atomic snapshot —
+    no data-file rewrite; compaction folds the tombstones away; time
+    travel sees the pre-merge state."""
+    table.append(_mk(spark, range(6)))
+    pre = table.history()[-1]["snapshot_id"]
+    files_before = {d["file_path"] for d in table.scan_files()}
+    upd = _mk(spark, [2, 3, 100]).withColumn("name", F.lit("merged"))
+    res = table.upsert_by_key(spark, upd, ("id",))
+    assert res == {"matched": 2, "inserted": 3}
+    # original data files untouched; updates arrive as NEW files
+    assert files_before < {d["file_path"] for d in table.scan_files()}
+    assert len(table.scan_delete_files()) == 1
+    got = {r.id: r.name for r in table.read(spark).collect()}
+    assert got == {
+        0: "n0", 1: "n1", 2: "merged", 3: "merged",
+        4: "n4", 5: "n5", 100: "merged",
+    }
+    # independent reader agrees; pre-merge snapshot unaffected
+    ext = {r["id"]: r["name"] for r in iceberg_reader.read_table(table.path).to_pylist()}
+    assert ext == got
+    assert table.read(spark, snapshot_id=pre).count() == 6
+    # merge with no matches = pure insert, no delete manifest added
+    res2 = table.upsert_by_key(spark, _mk(spark, [200]), ("id",))
+    assert res2 == {"matched": 0, "inserted": 1}
+    assert len(table.scan_delete_files()) == 1
+    # upserting the same key twice in sequence: second merge tombstones
+    # the FIRST merge's row (new files are probe targets too)
+    table.upsert_by_key(
+        spark, _mk(spark, [100]).withColumn("name", F.lit("again")), ("id",)
+    )
+    got3 = {r.id: r.name for r in table.read(spark).collect()}
+    assert got3[100] == "again" and len([k for k in got3 if k == 100]) == 1
+    table.compact(spark)
+    assert table.scan_delete_files() == []
+    assert {r.id: r.name for r in table.read(spark).collect()} == got3

@@ -43,6 +43,7 @@ _OPS = st.one_of(
     st.tuples(st.just("overwrite"), st.integers(1, 3)),  # n fresh rows
     st.tuples(st.just("pow"), st.integers(1, 3)),        # dyn part overwrite
     st.tuples(st.just("pdelete"), st.integers(2, 4)),    # delete id % arg == 0
+    st.tuples(st.just("upsert"), st.integers(1, 3)),     # update n + insert 1
     st.tuples(st.just("evolve"), st.integers(1, 2)),     # n rows + new col
     st.tuples(st.just("expire"), st.integers(1, 3)),     # retain_last
     st.tuples(st.just("compact"), st.integers(1, 2)),    # target partitions
@@ -127,6 +128,20 @@ def test_iceberg_matches_model_time_travel_and_spec(tmp_path_factory, ops):
             replaced = {r[1] for r in rows}
             model = {k: v for k, v in model.items() if v[1] not in replaced}
             model.update({r[0]: r for r in rows})
+        elif kind == "upsert":
+            # update the arg smallest existing ids (value bumped by 1 so
+            # the update is observable) + insert one fresh row — the
+            # merge-on-read MERGE: matched rows position-tombstoned,
+            # updates appended, one snapshot
+            upd_ids = sorted(model)[:arg]
+            rows = [
+                tuple([i, i % 2, i * 7 + 1] + [None] * len(extra_cols))
+                for i in upd_ids
+            ] + fresh_rows(1)
+            res = t.upsert_by_key(spark, _df(spark, rows, extra_cols), ("id",))
+            assert res["matched"] == len(upd_ids)
+            model.update({r[0]: r for r in rows})
+            sid = t.history()[-1]["snapshot_id"]
         elif kind == "pdelete":
             sid = t.delete_where(spark, f"id % {arg} = 0")
             doomed_ids = {k for k in model if k % arg == 0}
