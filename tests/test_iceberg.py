@@ -718,3 +718,111 @@ def test_upsert_by_key_merge_on_read(spark, table):
     table.compact(spark)
     assert table.scan_delete_files() == []
     assert {r.id: r.name for r in table.read(spark).collect()} == got3
+
+
+# ----------------------------- round 10: hidden partitioning (transforms)
+
+
+def test_bucket_hash_matches_spec_vectors():
+    """The clean-room murmur3 must reproduce the Iceberg spec's
+    published Appendix-B test vectors exactly — bucket routing is only
+    interoperable if the hash is bit-identical."""
+    from lakeflow.iceberg import _mm3_32
+
+    assert _mm3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert _mm3_32(b"iceberg") == 1210000089
+
+
+def _mk_tr(spark, ids):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"name{i}",
+                datetime.date(2024, 1 + (i % 12), 1 + (i % 28)),
+                i * 1.5,
+            )
+            for i in ids
+        ],
+        "id bigint, name string, d date, amt double",
+    )
+
+
+def test_hidden_partitioning_transforms(spark, tmp_path):
+    """bucket/month/truncate partitioning: spec-murmur routing, source
+    columns kept in the payload, metadata-side pruning on transformed
+    values shrinking Spark's actual file plan, mutation ops composing,
+    and the independent reader + spec validator agreeing."""
+    from lakeflow.iceberg import IcebergTable, _mm3_32
+    from test_iceberg_protocol import validate_iceberg_table
+
+    t = IcebergTable(str(tmp_path / "tr"))
+    df = _mk_tr(spark, range(20))
+    t.create(
+        df.schema,
+        partition_by=("bucket(4, id)", "month(d)", "truncate(3, name)"),
+    )
+    t.append(df)
+    assert _rows(t.read(spark)) == _rows(df)
+    files = t.scan_files()
+    assert sorted(files[0]["partition"].keys()) == [
+        "d_month", "id_bucket", "name_truncate",
+    ]
+    # every row landed in the bucket the spec's murmur assigns
+    import pyarrow.parquet as pq
+
+    for d in files:
+        pb = d["partition"]["id_bucket"]
+        got_ids = pq.read_table(t.local_path(d["file_path"])).column("id")
+        for v in got_ids.to_pylist():
+            h = _mm3_32(int(v).to_bytes(8, "little", signed=True))
+            assert (h & 0x7FFFFFFF) % 4 == pb
+        # month = months since epoch-1970; 2024 -> 648..659
+        assert 648 <= d["partition"]["d_month"] <= 659
+        assert d["partition"]["name_truncate"] == "nam"
+    # metadata pruning on the TRANSFORMED value reaches Spark's plan
+    pruned = t.read(spark, partition_filter=lambda p: p["id_bucket"] == 0)
+    assert set(pruned.inputFiles()) < set(t.read(spark).inputFiles())
+    assert all(
+        (_mm3_32(int(r.id).to_bytes(8, "little", signed=True)) & 0x7FFFFFFF) % 4
+        == 0
+        for r in pruned.collect()
+    )
+    # row-level + partition-level mutations compose with transforms
+    t.delete_where(spark, "id >= 15")
+    assert t.read(spark).count() == 15
+    res = t.upsert_by_key(
+        spark, _mk_tr(spark, [1]).withColumn("name", F.lit("nameX")), ("id",)
+    )
+    assert res == {"matched": 1, "inserted": 1}
+    assert {r.name for r in t.read(spark).filter("id = 1").collect()} == {"nameX"}
+    # independent reader end-state agreement + structural spec pass
+    ext = sorted(
+        tuple(r.values()) for r in iceberg_reader.read_table(t.path).to_pylist()
+    )
+    assert ext == _rows(t.read(spark))
+    validate_iceberg_table(t.path)
+
+
+def test_truncate_negative_and_year_transforms(spark, tmp_path):
+    """truncate[W] uses FLOOR semantics on negatives (the spec's rule:
+    -7 truncates to -10 at W=5, not -5) and year() counts from 1970."""
+    import datetime
+
+    from lakeflow.iceberg import IcebergTable
+
+    t = IcebergTable(str(tmp_path / "tr2"))
+    df = spark.createDataFrame(
+        [(-7, datetime.date(1969, 6, 1)), (7, datetime.date(2024, 6, 1))],
+        "v bigint, d date",
+    )
+    t.create(df.schema, partition_by=("truncate(5, v)", "year(d)"))
+    t.append(df)
+    parts = {
+        (d["partition"]["v_truncate"], d["partition"]["d_year"])
+        for d in t.scan_files()
+    }
+    assert parts == {(-10, -1), (5, 54)}
+    assert _rows(t.read(spark)) == _rows(df)

@@ -271,9 +271,19 @@ def read_table(
             keep = [i for i in range(len(t)) if i not in dead]
             t = t.take(pa.array(keep, type=pa.int64()))
         for pf in spec["fields"]:
-            if pf["transform"] != "identity":
-                raise NotImplementedError(f"transform {pf['transform']!r}")
             src = by_id[pf["source-id"]]
+            if pf["transform"] != "identity":
+                # hidden partitioning: a transformed directory value
+                # (bucket/truncate/year/...) cannot reconstruct the
+                # source column, so the writer must have kept it in the
+                # data file — required by the spec for non-identity
+                if src["name"] not in t.column_names:
+                    raise ValueError(
+                        f"non-identity transform {pf['transform']!r} but "
+                        f"source column {src['name']!r} missing from "
+                        f"{d['file_path']}"
+                    )
+                continue
             if src["name"] in t.column_names:
                 continue  # value present in the data file — spec-legal too
             v = d["partition"][pf["name"]]
