@@ -162,6 +162,8 @@ EXTENDED_QUERIES = (
     "q_kcore",
     "q_pmi_bigrams",
     "q_tokenizer_coverage",
+    "q_image_dedup_collapsed",
+    "q_user_stats_batch",
 )
 
 
