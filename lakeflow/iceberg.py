@@ -516,6 +516,8 @@ def _parse_partition_entry(entry: str) -> tuple[str, str, str]:
         raise ValueError(f"unparseable partition entry {entry!r}")
     if m.group(1):  # bucket/truncate
         fn, arg, col = m.group(1), int(m.group(2)), m.group(3)
+        if arg < 1:
+            raise ValueError(f"{fn} width/count must be >= 1: {entry!r}")
         return f"{col}_{fn}", f"{fn}[{arg}]", col
     if m.group(4):  # year/month/day
         fn, col = m.group(4), m.group(5)
