@@ -826,3 +826,49 @@ def test_truncate_negative_and_year_transforms(spark, tmp_path):
     }
     assert parts == {(-10, -1), (5, 54)}
     assert _rows(t.read(spark)) == _rows(df)
+
+
+def test_row_delta_cas_loss_cleans_up(spark, table):
+    """upsert_by_key and delete_where are read-modify-write: losing the
+    version CAS to a racing commit must raise ConcurrentModification,
+    leave the winner's state intact, and unlink every file the loser
+    staged (data files, tombstone parquet, manifests) — no orphans for
+    the grace sweep."""
+    table.append(_mk(spark, [1, 2]))
+
+    def race(fn):
+        orig = table._publish
+        fired = {}
+
+        def racy(version, metadata):
+            if not fired:
+                fired["x"] = True
+                IcebergTable(table.path).append(_mk(spark, [50]))
+            return orig(version, metadata)
+
+        table._publish = racy
+        try:
+            with pytest.raises(ConcurrentModification):
+                fn()
+        finally:
+            table._publish = orig
+
+    def files_on_disk():
+        out = set()
+        for root, _d, names in os.walk(table.data_dir):
+            out |= {os.path.join(root, n) for n in names if n.endswith(".parquet")}
+        return out
+
+    race(lambda: table.upsert_by_key(spark, _mk(spark, [1, 60]), ("id",)))
+    live = {table.local_path(d["file_path"]) for d in table.scan_files()} | {
+        table.local_path(d["file_path"]) for d in table.scan_delete_files()
+    }
+    assert files_on_disk() == live, "upsert CAS loss left orphans"
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 50]
+
+    race(lambda: table.delete_where(spark, "id = 2"))
+    live = {table.local_path(d["file_path"]) for d in table.scan_files()} | {
+        table.local_path(d["file_path"]) for d in table.scan_delete_files()
+    }
+    assert files_on_disk() == live, "delete CAS loss left orphans"
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 50, 50]
