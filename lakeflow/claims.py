@@ -50,7 +50,20 @@ NOW_SPARK = "timestamp_ntz'2026-01-01 00:00:00'"
 
 
 def claims_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dirty bronze-shaped claims derived from lineitem (Spark side)."""
+    """Dirty bronze-shaped claims derived from lineitem (Spark side).
+
+    The built plan handle is memoized per (session, sf_dir) — the CASE
+    ladders below cost ~0.5 s of py4j round trips to construct
+    (measured, r11), and the result is a pure function of its inputs.
+    """
+    from lakeflow.plancache import tier
+
+    return tier(
+        spark, ("claims_raw", sf_dir), lambda: _claims_raw_build(spark, sf_dir)
+    )
+
+
+def _claims_raw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.read_table(spark, sf_dir, "lineitem")
     cents0 = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     key0 = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1_000_000_000 + (
@@ -116,7 +129,21 @@ def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Column order matches the reference DDL
     (/root/reference/jobs/silver/claims_to_iceberg.py:93-108).
+
+    Plan-memoized per (session, sf_dir): constructing this chain costs
+    ~3,100 py4j round trips (~0.9 s driver wall, measured r11 — see
+    lakeflow.plancache). The memo returns the identical persisted
+    DataFrame every gold view previously re-built; the data-level
+    dedupe (CacheManager via persist) is unchanged.
     """
+    from lakeflow.plancache import tier
+
+    return tier(
+        spark, ("silver_claims", sf_dir), lambda: _silver_claims_build(spark, sf_dir)
+    )
+
+
+def _silver_claims_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transform.clean_claims(claims_raw(spark, sf_dir))
     df = df.select(
         "claim_id",

@@ -89,10 +89,21 @@ def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.35 s and q_bm25 8.6 s → 1.0 s. At 100 TB this tier is exactly the
     normalize-once medallion layer a curation pipeline would persist
     between its bronze text and every downstream filter/dedup stage."""
-    from pyspark import StorageLevel
+    from lakeflow.plancache import tier
 
-    docs = io.read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return docs.withColumn("norm", _norm_text()).persist(StorageLevel.MEMORY_AND_DISK)
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        docs = io.read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        return docs.withColumn("norm", _norm_text()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    # plan-memoized per (session, sf_dir) — same rationale and identical
+    # semantics as the silver-claims memo (lakeflow.plancache)
+    return tier(spark, ("normalized_docs", sf_dir), build)
 
 
 def tokenized(docs: DataFrame, *keep: str) -> DataFrame:
@@ -251,13 +262,22 @@ def near_dup_pairs(
     self-join on (band, band_signature) → dedupe candidate pairs →
     verify with exact Jaccard on shingle sets → threshold.
     """
+    from lakeflow.plancache import tier
+
     docs = normalized_docs(spark, sf_dir)
     # The signature stage (shingle + K hashes per shingle) is the
     # expensive map work — materialize it once so the three consumers
     # below (band keys, and both sides of the verify join) don't each
     # recompute it. Same medallion rationale as the silver persist:
     # at 100 TB this stage would be written out as its own table.
-    sig = minhash_signatures(docs, num_hashes, portable=portable).persist()
+    # Plan-memoized per (session, sf_dir, params): constructing the K
+    # hash-family expression tree costs ~0.5 s of py4j traffic per call
+    # (measured r11, lakeflow.plancache).
+    sig = tier(
+        spark,
+        ("minhash_sig", sf_dir, num_hashes, portable),
+        lambda: minhash_signatures(docs, num_hashes, portable=portable).persist(),
+    )
 
     cand = _band_candidates(sig, num_hashes, bands, portable=portable)
 
