@@ -1032,8 +1032,45 @@ PLAN_VARIANTS: dict[str, QueryFn] = {
 }
 
 
+#: Queries whose construction is fully lazy (zero Spark jobs launched by
+#: fn(spark, sf_dir) — audited by tools/audit_lazy_build.py). Only these
+#: get the prepared-plan memo: for them, memoizing the built handle
+#: skips pure py4j plan-construction overhead and nothing else. Builders
+#: that run Spark jobs at construction time (iterative localCheckpoint
+#: loops, bounded driver-side collects) rebuild per call so every
+#: invocation honestly re-does that work.
+with open(os.path.join(os.path.dirname(__file__), "lazy_build.json")) as _f:
+    LAZY_BUILD: frozenset[str] = frozenset(json.load(_f))
+
+
+def _prepared(name: str, fn: QueryFn) -> QueryFn:
+    """Prepared-plan wrapper for the registered query surface (r11).
+
+    Registered queries take no free parameters beyond (spark, sf_dir),
+    so their built DataFrame is a pure function of those two — the
+    classic prepared-statement property. Construction is py4j-bound
+    (0.1–1.3 s per query, measured with cProfile; see
+    lakeflow.plancache), so the registry memoizes the built HANDLE per
+    (session, sf_dir) and re-serves the identical lazy plan. Every
+    action on it still executes the full query against the parquet
+    inputs; results, physical plans, and the oracle hashes are
+    unchanged. The underlying builder functions stay un-memoized for
+    callers that pass non-default parameters (tests, sweeps).
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lakeflow.plancache import tier
+
+        return tier(spark, ("query", name, sf_dir), lambda: fn(spark, sf_dir))
+
+    return run
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
+    return {
+        name: _prepared(name, fn) if name in LAZY_BUILD else fn
+        for name, (fn, _) in ALL_QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
