@@ -783,6 +783,21 @@ class IcebergTable:
             name, transform, col = _parse_partition_entry(entry)
             if col not in by_name:
                 raise ValueError(f"partition column {col!r} not in schema")
+            # A derived hidden-partition field name (ts_day, id_bucket,
+            # ...) colliding with a payload column would let
+            # _stage_data_files' withColumn clobber that column and
+            # partitionBy strip it from the data files — silent
+            # corruption on read. Reject at create time (ADVICE r10).
+            if transform != "identity" and name in by_name:
+                raise ValueError(
+                    f"derived partition field name {name!r} collides with a "
+                    f"schema column; rename the column or pass an explicit "
+                    f"alias-free transform on a non-colliding source"
+                )
+            if any(sf["name"] == name for sf in spec_fields):
+                raise ValueError(
+                    f"duplicate partition field name {name!r} in spec"
+                )
             _validate_transform_source(transform, by_name[col]["type"])
             # the RESULT type must be representable in the partition
             # record (int/long/string/date)
@@ -1673,13 +1688,11 @@ class IcebergTable:
         )
         if not matched:
             return None
-        pairs = sorted((by_norm[r.fp], r.pos) for r in matched)
         part_fields = self._part_fields(meta)
         seq = meta["last-sequence-number"] + 1
         snap_id = _snapshot_id()
-        dfile = self._write_position_delete_file(pairs)
-        dfile["partition"] = {pf["name"]: None for pf in part_fields}
-        dpath = self.local_path(dfile["file_path"])
+        dfiles = self._write_partitioned_position_deletes(matched, files, by_norm)
+        n_pairs = sum(d["record_count"] for d in dfiles)
         del_manifest = self._write_manifest_raw(
             snap_id,
             seq,
@@ -1691,6 +1704,7 @@ class IcebergTable:
                     "file_sequence_number": seq,
                     "data_file": dfile,
                 }
+                for dfile in dfiles
             ],
             part_fields,
             meta,
@@ -1705,14 +1719,43 @@ class IcebergTable:
                 extra_manifests=[del_manifest],
                 operation="delete",
                 extra_summary={
-                    "added-delete-files": "1",
-                    "added-position-deletes": str(len(pairs)),
+                    "added-delete-files": str(len(dfiles)),
+                    "added-position-deletes": str(n_pairs),
                 },
             )
         except ConcurrentModification:
             os.unlink(del_manifest["manifest_path"])
-            os.unlink(dpath)
+            for dfile in dfiles:
+                os.unlink(self.local_path(dfile["file_path"]))
             raise
+
+    def _write_partitioned_position_deletes(
+        self, matched: list, files: list[dict], by_norm: dict[str, str]
+    ) -> list[dict]:
+        """Group matched (fp, pos) rows by the TARGET DATA FILE'S
+        partition tuple and write one position-delete file per
+        partition, stamped with that tuple (ADVICE r10: the v2 spec
+        applies a partitioned delete file only to data files with an
+        EQUAL partition tuple, so the previous all-null stamping was
+        invisible to spec-compliant external readers on partitioned
+        tables — deleted rows would silently resurrect). Unpartitioned
+        tables degenerate to the old single-file shape ({} == {})."""
+        part_of = {
+            _norm_uri(self.local_path(d["file_path"])): d["partition"]
+            for d in files
+        }
+        by_part: dict[tuple, list[tuple[str, int]]] = {}
+        for r in matched:
+            key = tuple(sorted(part_of[r.fp].items()))
+            by_part.setdefault(key, []).append((by_norm[r.fp], r.pos))
+        dfiles = []
+        # key=repr: partition values can mix None/int/str across tuples,
+        # which plain tuple ordering cannot compare
+        for key in sorted(by_part, key=repr):
+            dfile = self._write_position_delete_file(sorted(by_part[key]))
+            dfile["partition"] = dict(key)
+            dfiles.append(dfile)
+        return dfiles
 
     def _write_position_delete_file(
         self, pairs: list[tuple[str, int]]
@@ -1867,6 +1910,13 @@ class IcebergTable:
             )
         )
         files = self.scan_files(meta=meta)
+        if not files:
+            # a snapshot can exist with zero live data files (e.g. after
+            # overwrite with an empty DataFrame); _live_positions would
+            # call spark.read.parquet with no paths — fall back to the
+            # pure-insert path, mirroring delete_where's guard
+            self.append(updates)
+            return {"matched": 0, "inserted": inserted}
         by_norm = {
             _norm_uri(self.local_path(d["file_path"])): d["file_path"]
             for d in files
@@ -1893,12 +1943,12 @@ class IcebergTable:
             "added-data-files": str(len(staged)),
             "added-records": str(sum(d["record_count"] for d in staged)),
         }
-        dfile = None
+        dfiles: list[dict] = []
         del_manifest = None
         if matched:
-            pairs = sorted((by_norm[r.fp], r.pos) for r in matched)
-            dfile = self._write_position_delete_file(pairs)
-            dfile["partition"] = {pf["name"]: None for pf in part_fields}
+            dfiles = self._write_partitioned_position_deletes(
+                matched, files, by_norm
+            )
             del_manifest = self._write_manifest_raw(
                 snap_id,
                 seq,
@@ -1910,14 +1960,17 @@ class IcebergTable:
                         "file_sequence_number": seq,
                         "data_file": dfile,
                     }
+                    for dfile in dfiles
                 ],
                 part_fields,
                 meta,
                 content=1,
             )
             extra_manifests.append(del_manifest)
-            summary["added-delete-files"] = "1"
-            summary["added-position-deletes"] = str(len(pairs))
+            summary["added-delete-files"] = str(len(dfiles))
+            summary["added-position-deletes"] = str(
+                sum(d["record_count"] for d in dfiles)
+            )
         try:
             self._publish_row_delta(
                 version, meta, snap_id, seq, extra_manifests, "overwrite", summary
@@ -1927,7 +1980,8 @@ class IcebergTable:
             self._cleanup_staged(staged)
             if del_manifest is not None:
                 os.unlink(del_manifest["manifest_path"])
-                os.unlink(self.local_path(dfile["file_path"]))
+                for dfile in dfiles:
+                    os.unlink(self.local_path(dfile["file_path"]))
             raise
         return {"matched": len(matched), "inserted": inserted}
 

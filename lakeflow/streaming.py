@@ -352,7 +352,14 @@ def user_stats_batch(
     )
 
 
-USER_STATS_BATCH_SQL = """
+def user_stats_batch_sql(alpha: float = 0.3) -> str:
+    """DuckDB twin generated from the SAME alpha as the Spark side
+    (ADVICE r10: the previous constant 0.3/0.7 literals would have
+    certified a non-default alpha against a mismatched oracle). Both
+    engines interpolate repr(float(...)) so the fold steps stay
+    bit-identical."""
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    return f"""
 WITH ev AS (
     SELECT user_id, event_id, event_type, ts, value
     FROM events WHERE value IS NOT NULL
@@ -366,12 +373,15 @@ WITH ev AS (
     FROM ev GROUP BY user_id
 )
 SELECT user_id, n_events, total_value,
-       CAST(FLOOR(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) * 1e6 + 0.5)
+       CAST(FLOOR(list_reduce(vals, (acc, x) -> {a} * x + {b} * acc) * 1e6 + 0.5)
             AS BIGINT) AS ewma_micro,
        n_event_types, last_ts
 FROM agg
 ORDER BY user_id
 """
+
+
+USER_STATS_BATCH_SQL = user_stats_batch_sql()
 
 
 def attribution_stream(

@@ -570,7 +570,17 @@ def test_delete_where_position_deletes(spark, table):
     sid = table.delete_where(spark, "id % 2 = 0 AND id >= 2")
     assert sid is not None
     assert {d["file_path"] for d in table.scan_files()} == files_before
-    assert len(table.scan_delete_files()) == 1
+    # one delete file PER TOUCHED PARTITION, stamped with that partition
+    # tuple (ADVICE r10: spec-compliant readers only apply a delete file
+    # to data files with an EQUAL partition tuple) — deleted ids 2/4/6
+    # live in (yr, mo) partitions (2024,3)/(2024,2)/(2024,1)
+    dels = table.scan_delete_files()
+    assert {(d["partition"]["yr"], d["partition"]["mo"]) for d in dels} == {
+        (2024, 1),
+        (2024, 2),
+        (2024, 3),
+    }
+    assert sum(d["record_count"] for d in dels) == 3
     expect = sorted([0, 1, 3, 5, 7])
     assert sorted(r.id for r in table.read(spark).collect()) == expect
     ext = iceberg_reader.read_table(table.path)
@@ -694,7 +704,14 @@ def test_upsert_by_key_merge_on_read(spark, table):
     assert res == {"matched": 2, "inserted": 3}
     # original data files untouched; updates arrive as NEW files
     assert files_before < {d["file_path"] for d in table.scan_files()}
-    assert len(table.scan_delete_files()) == 1
+    # matched ids 2/(2024,3) and 3/(2025,1): one partition-stamped
+    # delete file each (ADVICE r10 — spec partition-tuple equality)
+    dels = table.scan_delete_files()
+    assert {(d["partition"]["yr"], d["partition"]["mo"]) for d in dels} == {
+        (2024, 3),
+        (2025, 1),
+    }
+    assert sum(d["record_count"] for d in dels) == 2
     got = {r.id: r.name for r in table.read(spark).collect()}
     assert got == {
         0: "n0", 1: "n1", 2: "merged", 3: "merged",
@@ -707,7 +724,7 @@ def test_upsert_by_key_merge_on_read(spark, table):
     # merge with no matches = pure insert, no delete manifest added
     res2 = table.upsert_by_key(spark, _mk(spark, [200]), ("id",))
     assert res2 == {"matched": 0, "inserted": 1}
-    assert len(table.scan_delete_files()) == 1
+    assert len(table.scan_delete_files()) == 2
     # upserting the same key twice in sequence: second merge tombstones
     # the FIRST merge's row (new files are probe targets too)
     table.upsert_by_key(
@@ -872,3 +889,32 @@ def test_row_delta_cas_loss_cleans_up(spark, table):
     }
     assert files_on_disk() == live, "delete CAS loss left orphans"
     assert sorted(r.id for r in table.read(spark).collect()) == [1, 2, 50, 50]
+
+
+def test_upsert_on_snapshot_with_zero_live_files(spark, table):
+    """ADVICE r10 (low): a snapshot can exist with zero live data files
+    (overwrite with an empty DataFrame); upsert_by_key must fall back
+    to the pure-insert path instead of crashing in _live_positions."""
+    table.append(_mk(spark, [1, 2]))
+    table.overwrite(_mk(spark, [1]).limit(0))  # live file set is now empty
+    assert table.scan_files() == []
+    res = table.upsert_by_key(spark, _mk(spark, [7]), ("id",))
+    assert res == {"matched": 0, "inserted": 1}
+    assert sorted(r.id for r in table.read(spark).collect()) == [7]
+
+
+def test_create_rejects_derived_partition_name_collision(spark, tmp_path):
+    """ADVICE r10 (medium): a derived hidden-partition field name that
+    collides with a payload column would silently clobber that column
+    at stage time — create() must reject it."""
+    import pytest as _pytest
+
+    schema = _mk(spark, [0]).withColumnRenamed("mo", "id_bucket").schema
+    t = IcebergTable(str(tmp_path / "coll"))
+    with _pytest.raises(ValueError, match="collides"):
+        t.create(schema, partition_by=("bucket(4, id)",))
+    t2 = IcebergTable(str(tmp_path / "dup"))
+    with _pytest.raises(ValueError, match="duplicate"):
+        t2.create(
+            _mk(spark, [0]).schema, partition_by=("bucket(4, id)", "bucket(8, id)")
+        )

@@ -437,3 +437,19 @@ def test_streaming_ingest_demo_end_to_end(spark, sf_dir, tmp_path):
     assert s2["bronze_rows"] == s["bronze_rows"]
     assert s2["gold_windows"] == 0
     assert s2["stream_matches_batch"] is None
+
+
+def test_user_stats_batch_nondefault_alpha_certifies(spark, sf_dir):
+    """ADVICE r10 (low): the SQL twin is generated from the SAME alpha
+    as the Spark side, so a non-default alpha certifies against a
+    matching oracle instead of the old hardcoded 0.3/0.7 literals."""
+    from tests.oracle_harness import compare, duck_connection
+
+    assert "0.45 * x + 0.55 * acc" in streaming.user_stats_batch_sql(0.45)
+    con = duck_connection(sf_dir)
+    compare(
+        streaming.user_stats_batch(spark, sf_dir, alpha=0.45),
+        con,
+        streaming.user_stats_batch_sql(0.45),
+        "user_stats_batch_alpha45",
+    )
