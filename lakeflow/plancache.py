@@ -58,3 +58,15 @@ def tier(
     if df is None:
         df = store[key] = build()
     return df
+
+
+def clear(spark: "SparkSession") -> None:
+    """Drop the session's memoized plans. Pair with
+    ``spark.catalog.clearCache()`` when a test/tool wants a truly cold
+    trajectory: clearCache alone un-materializes the persisted tiers,
+    but memoized builders would then skip the ``persist()`` call on
+    rebuild and the plans would lose their InMemoryRelation
+    substitution — clearing both makes the next access re-run the
+    builder (including its idempotent persist), exactly like a fresh
+    session."""
+    _STORES.pop(id(spark), None)

@@ -36,7 +36,15 @@ EXCHANGE_MARKERS = (
 
 
 def _count_exchanges(df) -> int:
-    p = df._jdf.queryExecution().executedPlan().toString()
+    # Probe through a fresh Dataset wrapper: the prepared-plan memo
+    # (r11, lakeflow.plancache) can hand back a DataFrame whose own
+    # QueryExecution was already executed by an earlier test module, and
+    # an EXECUTED AQE plan prints finalized per-stage subtrees whose
+    # marker count differs from the initial plan the budgets were
+    # recorded from. alias() builds a new, unexecuted QueryExecution
+    # over the same analyzed plan — the exact pre-memo counting shape,
+    # independent of session history.
+    p = df.alias("__plan_probe__")._jdf.queryExecution().executedPlan().toString()
     return sum(p.count(m) for m in EXCHANGE_MARKERS)
 
 
@@ -49,6 +57,12 @@ def _cold_cache(spark):
     modules re-persist the tiers on first access — the tier builders
     call persist() idempotently."""
     spark.catalog.clearCache()
+    # clearCache un-materializes the tiers but the r11 plan memo would
+    # skip the builders' re-persist on rebuild — drop the memo too so
+    # the next access re-runs each builder cold (see plancache.clear)
+    from lakeflow import plancache
+
+    plancache.clear(spark)
     yield
 
 

@@ -31,7 +31,9 @@ EXCHANGE_MARKERS = (
 
 
 def count_exchanges(df) -> int:
-    p = df._jdf.queryExecution().executedPlan().toString()
+    # alias() probe = fresh unexecuted QueryExecution; see the twin
+    # comment in tests/test_plan_budget.py (_count_exchanges)
+    p = df.alias("__plan_probe__")._jdf.queryExecution().executedPlan().toString()
     return sum(p.count(m) for m in EXCHANGE_MARKERS)
 
 
