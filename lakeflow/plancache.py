@@ -17,11 +17,14 @@ time, every action still executes the full query against the parquet
 inputs (modulo the persisted medallion tiers that were already part of
 the design — silver claims, normalized docs, minhash signatures).
 
-Keys are (builder name, *args) per session; the store lives in a
-WeakValueDictionary-free plain dict keyed by the session's id with a
-weakref callback — a stopped/garbage-collected session drops its
-entries, and a fresh session (e.g. the verification driver's vanilla
-SparkSession) starts empty.
+Keys are (builder name, *args) per session. Lifetime (ADVICE r11): the
+memoized DataFrames strongly reference their SparkSession, so a
+garbage-collection hook can never fire while a store exists — instead
+each access sweeps stores whose session has been STOPPED
+(``sparkContext._jsc is None``), so a dead context's plans are never
+served and a recycled ``id()`` can never alias a dead session's store.
+A fresh session (e.g. the verification driver's vanilla SparkSession)
+starts empty.
 
 Scale note: on a real deployment this is the "prepared statement /
 registered view" layer every warehouse front-end keeps — the analyzed
@@ -30,16 +33,32 @@ plan for a shared tier is built once per session, not once per query.
 
 from __future__ import annotations
 
-import weakref
 from collections.abc import Callable, Hashable
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Any
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
-#: session id -> {key: DataFrame}. Entries are dropped when the session
-#: object is garbage collected (weakref finalizer below).
-_STORES: dict[int, dict[Hashable, "DataFrame"]] = {}
+#: session id -> (session, {key: DataFrame}). The session object is held
+#: so the per-access sweep can test liveness; this adds no pinning the
+#: memoized DataFrames (which reference their session) don't already do.
+_STORES: dict[int, tuple[Any, dict[Hashable, "DataFrame"]]] = {}
+
+
+def _stopped(spark: Any) -> bool:
+    """True if the session's SparkContext has been stopped (PySpark
+    nulls the JVM handle in ``SparkContext.stop``)."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _sweep() -> None:
+    """Drop stores owned by stopped sessions so their dead-context
+    plans stop being servable and the store memory is reclaimed."""
+    for sid in [sid for sid, (s, _) in _STORES.items() if _stopped(s)]:
+        _STORES.pop(sid, None)
 
 
 def tier(
@@ -47,13 +66,12 @@ def tier(
 ) -> "DataFrame":
     """Return the session's memoized DataFrame for ``key``, building it
     with ``build()`` on first use."""
+    _sweep()
     sid = id(spark)
-    store = _STORES.get(sid)
-    if store is None:
-        store = _STORES[sid] = {}
-        # Drop the store when the session object dies so a recycled id
-        # can never serve plans bound to a dead SparkContext.
-        weakref.finalize(spark, _STORES.pop, sid, None)
+    entry = _STORES.get(sid)
+    if entry is None:
+        entry = _STORES[sid] = (spark, {})
+    store = entry[1]
     df = store.get(key)
     if df is None:
         df = store[key] = build()

@@ -279,10 +279,14 @@ def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # same partition => every (nation, customer) group co-located), and
     # it is exactly the distribution the row_number window needs — so
     # the plan keeps one Exchange(n_name) instead of
-    # Exchange(n_name, c_custkey) + Exchange(n_name). Partial (map-side)
-    # aggregation still runs before the shuffle, so the exchanged rows
-    # are the per-customer partials either way; the window stage already
-    # capped parallelism at |nations|, so the tail shape is unchanged.
+    # Exchange(n_name, c_custkey) + Exchange(n_name). Shuffle-volume
+    # tradeoff (ADVICE r11): the explicit repartition exchange carries
+    # the RAW joined order rows — partial aggregation happens AFTER this
+    # shuffle, not before it — so exchanged bytes grow with |orders|
+    # rather than |nation x customer| partials. Accepted for removing a
+    # whole Exchange: the per-order row is narrow (n_name, c_custkey,
+    # o_totalprice), and the window stage already capped downstream
+    # parallelism at |nations|, so the tail shape is unchanged.
     # Measured sf0.1: 0.80 -> 0.62 s warm median, rows identical.
     per_cust = (
         orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)

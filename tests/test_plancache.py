@@ -47,6 +47,32 @@ def test_eager_query_not_memoized(spark, sf_dir):
     assert a is not b
 
 
+def test_stopped_session_store_swept():
+    """ADVICE r11: a stopped session's store must be dropped on the next
+    memo access (the weakref path could never fire — the memoized
+    DataFrames strongly pin their session), so dead-context plans are
+    never servable."""
+
+    class _Ctx:
+        _jsc = object()
+
+    class _FakeSession:
+        def __init__(self):
+            self.sparkContext = _Ctx()
+
+    from lakeflow import plancache
+
+    fake = _FakeSession()
+    sentinel = object()
+    assert plancache.tier(fake, ("x",), lambda: sentinel) is sentinel
+    assert id(fake) in plancache._STORES
+    fake.sparkContext._jsc = None  # simulate SparkContext.stop()
+    other = _FakeSession()
+    plancache.tier(other, ("y",), lambda: object())  # any access sweeps
+    assert id(fake) not in plancache._STORES
+    plancache.clear(other)
+
+
 def test_every_registered_query_has_an_audit_verdict():
     """lazy_build.json must stay in sync with the registry: every name
     it lists is registered (regenerate with tools/audit_lazy_build.py

@@ -104,7 +104,7 @@ def main() -> None:
     names = sys.argv[2:]
     from bench import calibration
 
-    from lakeflow import registry
+    from lakeflow import plancache, registry
     from lakeflow.session import get_session
 
     spark = get_session("lakeflow-scale-probe")
@@ -148,7 +148,14 @@ def main() -> None:
         except Exception as e:  # record, keep probing
             rec = {"q": name, "err": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(rec), flush=True)
-        spark.catalog.clearCache()  # tiers must not leak across queries
+        # Tiers must not leak across queries. clearCache alone is not
+        # enough since the r11 plan memo: the memoized tier handles would
+        # keep being served without re-running their builders' persist(),
+        # so every tier-consuming query after the first would recompute
+        # its tier per consumer branch (ADVICE r11). plancache.clear's
+        # docstring mandates this pairing.
+        spark.catalog.clearCache()
+        plancache.clear(spark)
     spark.stop()
 
 
