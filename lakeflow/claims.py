@@ -64,6 +64,64 @@ def claims_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _claims_raw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-constructed CASE ladders (r12, guide §7.3).
+
+    Semantics identical to :func:`_claims_raw_build_columns` (the
+    Column-API spec below, pinned row-for-row by
+    tests/test_plancache.py::test_fast_builders_match_column_spec): the
+    same expression text, but parsed JVM-side from TWO selectExpr
+    batches instead of built by hundreds of py4j Column calls — the
+    cold-path construction cost drops ~10× (the warm path was already
+    memoized in r11).
+    """
+    li = io.read_table(spark, sf_dir, "lineitem")
+    clm = "concat('CLM', lpad(CAST(key AS STRING), 20, '0'))"
+    member = "concat('MBR', CAST(l_partkey % 1000 AS STRING))"
+    base = "concat('Clinic ', CAST(l_suppkey AS STRING))"
+    proc = f"{NOW_SPARK} - make_interval(0, 0, 0, cast(key % 45 as int), 0, 0, 0)"
+    return li.selectExpr(
+        "(l_orderkey * 8 + l_linenumber) * 1000000000"
+        " + (l_partkey * 1009 + l_suppkey * 9176"
+        "    + CAST(round(l_extendedprice * 100) AS BIGINT)) % 1000000000 AS key",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate + INTERVAL 28 YEARS AS sd",
+    ).selectExpr(
+        f"CASE WHEN key % 101 = 0 THEN CAST(NULL AS STRING)"
+        f" WHEN key % 97 = 0 THEN concat('  ', {clm}, ' ')"
+        f" ELSE {clm} END AS claim_id",
+        f"CASE WHEN key % 37 = 0 THEN CAST(NULL AS STRING)"
+        f" WHEN key % 41 = 0 THEN concat(' ', {member}, ' ')"
+        f" ELSE {member} END AS member_id",
+        f"CASE WHEN key % 43 = 0 THEN CAST(NULL AS STRING)"
+        f" WHEN key % 47 = 0 THEN '   '"
+        f" WHEN key % 3 = 0 THEN lower({base})"
+        f" WHEN key % 3 = 1 THEN upper({base})"
+        f" ELSE {base} END AS provider_name",
+        "CASE WHEN key % 29 = 0 THEN CAST(NULL AS DOUBLE)"
+        " WHEN key % 31 = 0 THEN -CAST(cents % 5000 + 1 AS DOUBLE)"
+        " WHEN key % 5 = 0 THEN 0.0D"
+        " WHEN key % 5 = 1 THEN CAST(cents % 100 + 1 AS DOUBLE)"
+        " WHEN key % 5 = 2 THEN CAST(cents % 900 + 101 AS DOUBLE)"
+        " WHEN key % 5 = 3 THEN CAST(cents % 9000 + 1001 AS DOUBLE)"
+        " ELSE CAST(cents % 90000 + 10001 AS DOUBLE) END AS claim_amount",
+        "CASE WHEN key % 53 = 0 THEN 'INVALID-DATE'"
+        " WHEN key % 3 = 0 THEN date_format(sd, 'yyyy-MM-dd')"
+        " WHEN key % 3 = 1 THEN date_format(sd, 'MM/dd/yyyy')"
+        " ELSE date_format(sd, 'dd/MM/yyyy') END AS service_date",
+        f"{proc} AS processing_timestamp",
+        f"{NOW_SPARK} - make_interval(0, 0, 0, cast(key % 45 as int), 1, 0, 0)"
+        " AS ingestion_timestamp",
+        "'csv' AS source_file",
+        f"date_format({proc}, 'yyyyMMdd_HHmmss') AS batch_id",
+    )
+
+
+def _claims_raw_build_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-API spec of the raw-claims derivation — the readable form
+    the docstring at the top of this module describes, kept as the
+    equivalence-test reference for the batched builder above."""
     li = io.read_table(spark, sf_dir, "lineitem")
     cents0 = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     key0 = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1_000_000_000 + (
@@ -143,8 +201,96 @@ def silver_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _date_parse_branch(col: str, regex: str, ypos: int, mpos: int, dpos: int) -> str:
+    """SQL text of one compiled date-parse branch — the exact expression
+    :func:`lakeflow.transform._fast_date_parse` builds via the Column
+    API (regex gate → field-range guard → day-vs-month-length guard →
+    make_date), emitted as a string so the silver chain can be parsed in
+    one JVM batch."""
+    y = f"CAST(substring({col}, {ypos}, 4) AS INT)"
+    m = f"CAST(substring({col}, {mpos}, 2) AS INT)"
+    d = f"CAST(substring({col}, {dpos}, 2) AS INT)"
+    dim = f"dayofmonth(last_day(make_date({y}, {m}, 1)))"
+    return (
+        f"CASE WHEN {col} RLIKE '{regex}' THEN"
+        f" (CASE WHEN ({m} BETWEEN 1 AND 12) AND ({d} BETWEEN 1 AND 31) THEN"
+        f" (CASE WHEN {d} <= {dim} THEN make_date({y}, {m}, {d}) END)"
+        f" END) END"
+    )
+
+
 def _silver_claims_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = transform.clean_claims(claims_raw(spark, sf_dir))
+    """Batch-constructed silver transform (r12, guide §7.3): the same
+    clean/parse/enrich/score chain as
+    :func:`transform.clean_claims`(:func:`claims_raw`) — pinned
+    row-for-row by tests/test_plancache.py — but parsed JVM-side from
+    two selectExpr batches instead of ~3,100 py4j round trips."""
+    parse = "coalesce({}, {}, {})".format(
+        _date_parse_branch("service_date", r"^\\d{4}-\\d{2}-\\d{2}$", 1, 6, 9),
+        _date_parse_branch("service_date", r"^\\d{2}/\\d{2}/\\d{4}$", 7, 1, 4),
+        _date_parse_branch("service_date", r"^\\d{2}/\\d{2}/\\d{4}$", 7, 4, 1),
+    )
+    df = (
+        claims_raw(spark, sf_dir)
+        .where("claim_id IS NOT NULL")
+        .selectExpr(
+            "trim(claim_id) AS claim_id",
+            "trim(member_id) AS member_id",
+            "CASE WHEN provider_name IS NULL OR trim(provider_name) = ''"
+            " THEN 'UNKNOWN' ELSE upper(trim(provider_name)) END AS provider_name",
+            "CASE WHEN claim_amount IS NULL OR claim_amount < 0"
+            " THEN 0.0D ELSE claim_amount END AS claim_amount",
+            f"{parse} AS service_date",
+            "processing_timestamp",
+            "ingestion_timestamp",
+            "source_file",
+            "batch_id",
+        )
+        .selectExpr(
+            "claim_id",
+            "member_id",
+            "provider_name",
+            "claim_amount",
+            "service_date",
+            "year(service_date) AS service_year",
+            "month(service_date) AS service_month",
+            "dayofmonth(service_date) AS service_day",
+            "CASE WHEN claim_amount = 0 THEN 'ZERO'"
+            " WHEN claim_amount <= 100.0D THEN 'LOW'"
+            " WHEN claim_amount <= 1000.0D THEN 'MEDIUM'"
+            " WHEN claim_amount <= 10000.0D THEN 'HIGH'"
+            " ELSE 'VERY_HIGH' END AS claim_amount_category",
+            "processing_timestamp",
+            "CASE WHEN claim_id IS NULL THEN 0.0D"
+            " WHEN member_id IS NULL THEN 0.3D"
+            " WHEN service_date IS NULL THEN 0.5D"
+            " WHEN claim_amount IS NULL OR claim_amount <= 0 THEN 0.7D"
+            " ELSE 1.0D END AS data_quality_score",
+            "ingestion_timestamp",
+            "source_file",
+            "batch_id",
+        )
+        # same gate as transform.clean_claims: filter the raw column, not
+        # the score CASE (see that function's pushdown note)
+        .where("member_id IS NOT NULL")
+    )
+    # Silver is a MATERIALIZED tier in the medallion model — the
+    # reference stores it in Iceberg and every gold view reads the
+    # stored table (/root/reference/jobs/silver/claims_to_iceberg.py:131,
+    # sql/gold/create_views.sql:23). persist() is the in-session
+    # equivalent: the clean/parse chain runs once, all gold queries
+    # share it (CacheManager dedupes identical plans across calls).
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _silver_claims_build_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-composition spec of the silver tier (the r1–r11 shipped
+    form), kept as the equivalence-test reference for the batched
+    builder above. NOTE: un-persisted and un-memoized — build through
+    :func:`silver_claims` for real use."""
+    df = transform.clean_claims(_claims_raw_build_columns(spark, sf_dir))
     df = df.select(
         "claim_id",
         "member_id",
@@ -161,15 +307,7 @@ def _silver_claims_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_file",
         "batch_id",
     )
-    # Silver is a MATERIALIZED tier in the medallion model — the
-    # reference stores it in Iceberg and every gold view reads the
-    # stored table (/root/reference/jobs/silver/claims_to_iceberg.py:131,
-    # sql/gold/create_views.sql:23). persist() is the in-session
-    # equivalent: the clean/parse chain runs once, all gold queries
-    # share it (CacheManager dedupes identical plans across calls).
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
 
 
 # ---------------------------------------------------------------------------
