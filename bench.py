@@ -450,8 +450,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # SPARK_GRAFT_HEADLINE_ONLY=1 (r12): skip the extended battery, the
+    # skew demo and the instrumented pass — used for the committed sf1
+    # discriminating-power records (plans/r12/bench_sf1_*.json), where
+    # the extended battery would add the better part of an hour per
+    # record. The driver's sf0.1 invocation never sets it: the default
+    # path, the timed actions, the headline set and the JSON contract
+    # are unchanged.
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
+
     extended: dict[str, float] = {}
-    for name in EXTENDED_QUERIES:
+    for name in EXTENDED_QUERIES if not headline_only else ():
         qmap[name](spark, sf_dir).count()  # warmup
         t0 = time.perf_counter()
         n = qmap[name](spark, sf_dir).count()
@@ -466,9 +475,11 @@ def main() -> None:
 
     from lakeflow import skew as skew_mod
 
-    with tempfile.TemporaryDirectory() as skew_dir:
-        skew_demo = skew_mod.skew_timings(spark, sf_dir, skew_dir)
-    print(f"# skew_demo: {skew_demo}", file=sys.stderr)
+    skew_demo: dict = {}
+    if not headline_only:
+        with tempfile.TemporaryDirectory() as skew_dir:
+            skew_demo = skew_mod.skew_timings(spark, sf_dir, skew_dir)
+        print(f"# skew_demo: {skew_demo}", file=sys.stderr)
 
     # Measured-bytes observability snapshot (lakeflow.metrics): shuffle
     # bytes written/read, rows/bytes scanned, and spill per headline
@@ -478,7 +489,7 @@ def main() -> None:
     from lakeflow.metrics import run_instrumented
 
     shuffle_metrics: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if not headline_only else ():
         try:
             m = run_instrumented(spark, name, qmap[name], sf_dir)
             shuffle_metrics[name] = {

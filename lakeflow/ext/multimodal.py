@@ -577,16 +577,55 @@ FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL decode: synthesize actual PNG/BMP payloads →
-    mapInPandas decode (header parse, zlib inflate, unfilter, pixel
-    stats) → projection. width/height come from the parsed file
-    headers and pixel_sum from the decoded pixel grid; generation is
-    closed-form in doc_id, so the whole decode path is oracle-checked
-    value-by-value."""
-    return (
-        decode_images(synthesize_image_docs(spark, sf_dir))
-        .select("doc_id", "mime", "width", "height", "pixel_sum")
-        .orderBy("doc_id")
+    decode (header parse, zlib inflate, unfilter, pixel stats) →
+    projection. width/height come from the parsed file headers and
+    pixel_sum from the decoded pixel grid; generation is closed-form in
+    doc_id, so the whole decode path is oracle-checked value-by-value.
+
+    r12 (guide §4): encode and decode run FUSED in one mapInPandas
+    stage — the former two-stage chain shipped every payload
+    JVM→Python→JVM→Python→JVM (two Python boundaries per byte, 2×32
+    Python task round trips at this corpus). The same real codecs run
+    (encode_png/encode_bmp then decode_image); only the Spark plumbing
+    changes, so values are bit-identical and the standalone
+    synthesize/decode operators keep their own certified shapes.
+    Measured sf0.1: two ArrowEvalPython-family stages → one,
+    0.72 → 0.40 s warm median."""
+    docs = (
+        io.read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
     )
+    schema = "doc_id long, mime string, width int, height int, pixel_sum long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mimes, widths, heights, sums = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 4 + (d * 7) % 11
+                color = bytes((d % 256, (d * 3) % 256, (d * 5) % 256))
+                rgb = color * (w * h)
+                if d % 3 == 0:
+                    payload, mime = encode_bmp(w, h, rgb), "image/bmp"
+                else:
+                    payload, mime = encode_png(w, h, rgb), "image/png"
+                feat = decode_image(payload, mime)
+                mimes.append(mime)
+                widths.append(feat["width"])
+                heights.append(feat["height"])
+                sums.append(feat["pixel_sum"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": mimes,
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=schema).orderBy("doc_id")
 
 
 MULTIMODAL_META_SQL = """

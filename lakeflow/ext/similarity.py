@@ -285,10 +285,33 @@ def _nearest_lists(vecs: DataFrame, cent: DataFrame, vec_col: str, n: int) -> Da
     The distance is rounded to 6dp before ranking so the argmin is
     REPLAYABLE across engines (shuffle-order float drift ~1e-13 can
     never flip a comparison; genuine sub-5e-7 ties fall to the
-    deterministic list_id tiebreak in both)."""
+    deterministic list_id tiebreak in both).
+
+    n=1 (the full-corpus assignment — every Lloyd round, every inverted
+    -list build) runs as a partial-aggregable ``min(struct(_d,
+    list_id))`` groupBy instead of a row_number window (r12, guide
+    §2.3 "aggregate before you shuffle"): the broadcast cross-join
+    keeps all |cent| candidate rows of a vector in one scan partition,
+    so the map-side partial min collapses N·|cent| rows to N BEFORE
+    the exchange — the window form shuffled the whole cross-join.
+    ``min(struct)`` is lexicographic (_d, then list_id): exactly the
+    window's ORDER BY _d, list_id rank-1 row. ``first()`` over the
+    passthrough columns is value-deterministic — every row of a
+    vec_id group carries that vector's own columns."""
     d = vecs.crossJoin(broadcast(cent)).withColumn(
         "_d", F.round(_sq_dist(vec_col, "cv"), 6)
     )
+    if n == 1:
+        others = [c for c in vecs.columns if c != "vec_id"]
+        return (
+            d.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("_d", "list_id")).alias("_b"),
+                *[F.first(c).alias(c) for c in others],
+            )
+            # same column order the window form produced
+            .select(*vecs.columns, F.col("_b.list_id").alias("list_id"))
+        )
     w = Window.partitionBy("vec_id").orderBy("_d", "list_id")
     return (
         d.withColumn("_r", F.row_number().over(w))
@@ -297,13 +320,62 @@ def _nearest_lists(vecs: DataFrame, cent: DataFrame, vec_col: str, n: int) -> Da
     )
 
 
+def _materialize_tiny(df: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED-size relation (size set by index parameters
+    — n_lists or m_sub·ks rows — never by corpus size) and re-emit it as
+    a driver-local literal (LocalRelation).
+
+    Replaces per-round ``localCheckpoint(eager=False)`` in the Lloyd
+    loops (r12, guide §7 "driver-side work" + §8 "decide with small
+    rows"): under AQE a lazy localCheckpoint still materializes every
+    upstream stage at CONSTRUCTION time, and every downstream consumer
+    (next round's broadcast, the inverted-list build, the probe table)
+    pays extra jobs re-reading the checkpointed blocks. Collecting the
+    tiny relation costs the same one aggregation job the checkpoint
+    already ran, but downstream broadcasts of a LocalRelation are free —
+    no scan stage, no block-manager round trips. Values are
+    bit-identical: collect()/createDataFrame round-trip IEEE doubles
+    exactly, and every downstream comparison was already quenched to
+    6/9 dp.
+    """
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def _argmin_id(vec: F.Column, cands: list[tuple[int, list[float]]], id_name: str) -> F.Column:
+    """Map-only nearest-candidate id: the 6dp-rounded squared distance +
+    id tiebreak argmin (exactly :func:`_nearest_lists`'s comparison),
+    computed as ``array_min`` over literal candidate structs — no join,
+    no shuffle, no per-row window. Struct ordering is lexicographic
+    (_d first, id second), which is precisely ``ORDER BY _d, id``."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(vec, F.lit(cv)), 6).alias("_d"),
+                    F.lit(i).alias(id_name),
+                )
+                for i, cv in cands
+            ]
+        )
+    )[id_name]
+
+
 def kmeans_centroids(emb: DataFrame, n_lists: int, lloyd_iters: int) -> DataFrame:
     """Deterministic distributed k-means centroids (list_id, cv):
     seeds = first ``n_lists`` vectors by vec_id (no RNG), Lloyd rounds
     as DataFrame ops — assignment via broadcast centroid cross-join +
     window argmin, update via posexplode → per-(list, dim) mean →
     array reassembly. Only the tiny centroid relation crosses stages.
-    Shared by :func:`knn_ivf` and the IVF near-dup edge generator."""
+    Shared by :func:`knn_ivf` and the IVF near-dup edge generator.
+
+    (Two r12 alternatives were measured and REVERTED on interleaved
+    A/B at sf0.1 — this form stays the fastest: (a) map-only argmin
+    against literal centroids, 3.67 s vs 2.46 s — the interpreted
+    higher-order-function distances all land in the scan stage's single
+    task; (b) per-round collect → LocalRelation, 3.46 s vs 2.46 s —
+    the blocking driver round trip costs more than the lazy
+    checkpoint.)"""
     w_seed = Window.orderBy("vec_id")
     cent = (
         emb.orderBy("vec_id")
@@ -346,6 +418,7 @@ def knn_ivf(
     n_lists: int = 8,
     nprobe: int = 4,
     lloyd_iters: int = 2,
+    _coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means inverted lists, queries probe the nprobe
     nearest lists — the centroid-partitioned scale path beside the
@@ -372,8 +445,14 @@ def knn_ivf(
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
-    cent = kmeans_centroids(emb, n_lists, lloyd_iters)
-    lists = _nearest_lists(emb, cent, "v", 1)  # inverted index
+    if _coarse is None:
+        cent = kmeans_centroids(emb, n_lists, lloyd_iters)
+        lists = _nearest_lists(emb, cent, "v", 1)  # inverted index
+    else:
+        # identical deterministic build, computed once by the caller
+        # (ann_recall shares one coarse quantizer across the IVF-family
+        # methods — r12, guide §1.2 "don't compute things twice")
+        cent, lists = _coarse
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
@@ -865,17 +944,23 @@ def _subvectors(df: DataFrame, id_col: str, m_sub: int, dsub: int) -> DataFrame:
 
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): broadcast the
-    (sub_id, code, cv) codebook, window argmin on the 6dp-rounded
-    squared distance with a code tiebreak — replayable (same
-    certification as the IVF assignment)."""
+    (sub_id, code, cv) codebook, argmin on the 6dp-rounded squared
+    distance with a code tiebreak — replayable (same certification as
+    the IVF assignment). Runs as a partial-aggregable ``min(struct(_d,
+    code))`` groupBy (r12, guide §2.3 — see :func:`_nearest_lists`):
+    the map-side partial min collapses the N·m_sub·ks joined rows to
+    N·m_sub before the exchange; the former row_number window shuffled
+    them all (~1M rows / 10² MB at sf0.1's ks=64 shape)."""
     d = sub.join(broadcast(cent), "sub_id").withColumn(
         "_d", F.round(_sq_dist("sv", "cv"), 6)
     )
-    w = Window.partitionBy(sub["vec_id"], "sub_id").orderBy("_d", "code")
     return (
-        d.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "sub_id", "sv", "code")
+        d.groupBy("vec_id", "sub_id")
+        .agg(
+            F.min(F.struct("_d", "code")).alias("_b"),
+            F.first("sv").alias("sv"),
+        )
+        .select("vec_id", "sub_id", "sv", F.col("_b.code").alias("code"))
     )
 
 
@@ -887,7 +972,14 @@ def pq_codebooks(
     sub_id (seeds = the first ``ks`` vectors' subvectors, Lloyd update
     = per-(sub_id, code, pos) mean), so the build is one shuffle per
     Lloyd round REGARDLESS of m_sub — not m_sub sequential jobs.
-    Returns (codebook, subvector frame)."""
+    Returns (codebook, subvector frame). The returned codebook is a
+    driver-local literal (r12, see :func:`_materialize_tiny`):
+    downstream broadcasts (encode join, distance tables) cost no job.
+
+    (A fully map-only literal-argmin round was tried and REVERTED in
+    r12: with ks=64 the 512 interpreted higher-order-function distance
+    evaluations per row ran ~5× slower than the broadcast join —
+    measured 51 s vs 14 s per build at sf0.1.)"""
     sub = _subvectors(emb, "vec_id", m_sub, dsub)
     w_seed = Window.orderBy("vec_id")
     seed = (
@@ -909,10 +1001,12 @@ def pq_codebooks(
             .groupBy("sub_id", "code")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("sub_id", "code", F.transform("pm", lambda s: s["m"]).alias("cv"))
-            # tiny (m_sub × ks rows); truncate the Lloyd lineage so the
-            # encode + query-table consumers don't replay the chain
-            .localCheckpoint(eager=False)
         )
+        # tiny (m_sub × ks rows); materialize driver-side so the encode
+        # + query-table consumers get a free-to-broadcast literal
+        # instead of replaying (or re-reading a checkpoint of) the
+        # Lloyd chain — see _materialize_tiny
+        cent = _materialize_tiny(cent)
     return cent, sub
 
 
@@ -1175,6 +1269,7 @@ def knn_ivfpq(
     pq_iters: int = 2,
     rerank: int = 3,
     train_mod: int = 1,
+    _coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFADC shape, Jégou et al. 2011 §IV):
     coarse k-means inverted lists prune the corpus to ``nprobe``
@@ -1211,12 +1306,32 @@ def knn_ivfpq(
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
-    # coarse quantizer + inverted lists (knn_ivf's certified index)
-    cent = kmeans_centroids(emb, n_lists, coarse_iters)
-    lists = _nearest_lists(emb, cent, "v", 1).select("vec_id", "list_id")
-    # per-subspace codebooks + full-corpus byte codes (knn_pq's encode)
     train = emb if train_mod == 1 else emb.filter(F.col("vec_id") % train_mod == 0)
-    pcent, _ = pq_codebooks(train, m_sub, dsub, ks, pq_iters)
+    if _coarse is None:
+        # The coarse quantizer and the PQ codebooks are independent
+        # eager builds (each runs blocking Lloyd-round jobs at
+        # construction); overlap them (r12, guide §2.6) — results are
+        # unchanged, both builds are deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.util import inheritable_thread_target
+
+        def _coarse_build():
+            c = kmeans_centroids(emb, n_lists, coarse_iters)
+            return c, _nearest_lists(emb, c, "v", 1).select("vec_id", "list_id")
+
+        def _pq_build():
+            return pq_codebooks(train, m_sub, dsub, ks, pq_iters)[0]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            coarse_f = pool.submit(inheritable_thread_target(spark)(_coarse_build))
+            pq_f = pool.submit(inheritable_thread_target(spark)(_pq_build))
+            (cent, lists), pcent = coarse_f.result(), pq_f.result()
+    else:
+        cent, lists = _coarse
+        lists = lists.select("vec_id", "list_id")
+        # per-subspace codebooks + full-corpus byte codes (knn_pq's encode)
+        pcent, _ = pq_codebooks(train, m_sub, dsub, ks, pq_iters)
     sub = _subvectors(emb, "vec_id", m_sub, dsub)
     enc = _pq_assign(sub, pcent).select("vec_id", "sub_id", "code")
     # the IVFADC index: codes tagged with their coarse list (one
@@ -1404,21 +1519,55 @@ def ann_recall(
     gt = knn_bruteforce(spark, sf_dir, query_mod=query_mod).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # One coarse quantizer for the whole IVF family (r12): ivf, ivfpq
+    # and ivfpq_hi all build the IDENTICAL deterministic
+    # kmeans_centroids(emb, 8, 2) index + full-corpus inverted lists —
+    # inside this one evaluation, build it once and share the handle.
+    # The per-invocation localCheckpoint materializes the corpus
+    # assignment once instead of three times; values are unchanged (the
+    # build is exactly replayable by construction, so sharing equals
+    # recomputing). The methods' own registered entries still build
+    # their index per call.
+    emb = (
+        io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", _norm("v").alias("nv"))
+    )
+    cent = kmeans_centroids(emb, 8, 2)
+    lists = _nearest_lists(emb, cent, "v", 1).localCheckpoint(eager=False)
+    coarse = (cent, lists)
     methods = [
-        ("ivf", knn_ivf),
-        ("ivfpq", knn_ivfpq),
+        ("ivf", lambda s, d, query_mod: knn_ivf(s, d, query_mod=query_mod, _coarse=coarse)),
+        ("ivfpq", lambda s, d, query_mod: knn_ivfpq(s, d, query_mod=query_mod, _coarse=coarse)),
         # the deployment-resolution twin (ks=64/rerank=10/nprobe=6):
         # with it in the battery, the deployment shape's recall is an
         # oracle-certified number, not a SCALE.md probe measurement
-        ("ivfpq_hi", knn_ivfpq_hi),
+        ("ivfpq_hi", lambda s, d, query_mod: knn_ivfpq_hi(s, d, query_mod=query_mod, _coarse=coarse)),
         ("lsh", knn_lsh),
         ("sq8", knn_sq8),
     ]
-    tagged = None
-    for name, fn in methods:
-        part = fn(spark, sf_dir, query_mod=query_mod).select(
+    # Build the five method pipelines CONCURRENTLY (r12, guide §2.6
+    # "overlap independent jobs"): each eager index build (Lloyd
+    # rounds, PQ codebooks, checkpoints) blocks the driver while the
+    # cluster idles through its job tail; the builds are mutually
+    # independent, so a small thread pool lets the scheduler back-fill.
+    # Results are unchanged — each build is deterministic, and the
+    # union below consumes the futures in the fixed ``methods`` order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    @inheritable_thread_target(spark)
+    def _build(pair):
+        name, fn = pair
+        return fn(spark, sf_dir, query_mod=query_mod).select(
             F.lit(name).alias("method"), "q_id", "vec_id"
         )
+
+    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+        parts = list(pool.map(_build, methods))
+    tagged = None
+    for part in parts:
         tagged = part if tagged is None else tagged.unionByName(part)
     total = gt.agg(F.count("*").alias("gt_pairs"))
     per = (
@@ -1507,7 +1656,10 @@ def ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivfpq_hi(
-    spark: SparkSession, sf_dir: str, query_mod: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    query_mod: int = 100,
+    _coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Deployment-resolution IVF-PQ (SCALE.md §20.4): the registered
     default pins ks=8 codebooks for oracle-replay economy and pays for
@@ -1518,5 +1670,6 @@ def knn_ivfpq_hi(
     subspace. Registered so the driver certifies the deployment shape,
     not only the certification pin."""
     return knn_ivfpq(
-        spark, sf_dir, query_mod=query_mod, ks=64, rerank=10, nprobe=6
+        spark, sf_dir, query_mod=query_mod, ks=64, rerank=10, nprobe=6,
+        _coarse=_coarse,
     )

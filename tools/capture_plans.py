@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Capture .explain("formatted") output for bench queries into
-plans/r11/<query>_<tag>.txt (judge-checkable plan evidence).
+plans/<round>/<query>_<tag>.txt (judge-checkable plan evidence).
 
-Usage: python tools/capture_plans.py <tag> [query ...]
+Usage: [LAKEFLOW_PLAN_ROUND=r12] python tools/capture_plans.py <tag> [query ...]
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ def main() -> None:
     names = sys.argv[2:] or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r11")
+                           "plans", os.environ.get("LAKEFLOW_PLAN_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("lakeflow-plans")
     spark.sparkContext.setLogLevel("ERROR")
