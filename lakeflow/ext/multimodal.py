@@ -589,8 +589,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (encode_png/encode_bmp then decode_image); only the Spark plumbing
     changes, so values are bit-identical and the standalone
     synthesize/decode operators keep their own certified shapes.
-    Measured sf0.1: two ArrowEvalPython-family stages → one,
-    0.72 → 0.40 s warm median."""
+    Measured sf0.1 (interleaved solo medians): two mapInPandas stages
+    → one, 0.73 → 0.56 s warm."""
     docs = (
         io.read_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
