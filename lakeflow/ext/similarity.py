@@ -325,40 +325,18 @@ def _materialize_tiny(df: DataFrame) -> DataFrame:
     — n_lists or m_sub·ks rows — never by corpus size) and re-emit it as
     a driver-local literal (LocalRelation).
 
-    Replaces per-round ``localCheckpoint(eager=False)`` in the Lloyd
-    loops (r12, guide §7 "driver-side work" + §8 "decide with small
-    rows"): under AQE a lazy localCheckpoint still materializes every
-    upstream stage at CONSTRUCTION time, and every downstream consumer
-    (next round's broadcast, the inverted-list build, the probe table)
-    pays extra jobs re-reading the checkpointed blocks. Collecting the
-    tiny relation costs the same one aggregation job the checkpoint
-    already ran, but downstream broadcasts of a LocalRelation are free —
-    no scan stage, no block-manager round trips. Values are
+    Used at the end of each PQ Lloyd round (r12): the codebook's
+    downstream consumers (next round's assignment join, the full-corpus
+    encode, the query distance tables) broadcast a LocalRelation for
+    free — no scan stage, no checkpoint-block round trips. Values are
     bit-identical: collect()/createDataFrame round-trip IEEE doubles
     exactly, and every downstream comparison was already quenched to
-    6/9 dp.
+    6/9 dp. (In :func:`kmeans_centroids` the same swap measured SLOWER
+    than the lazy localCheckpoint — see that docstring — so it is
+    applied only where the extra consumers repay the blocking collect.)
     """
     spark = df.sparkSession
     return spark.createDataFrame(df.collect(), df.schema)
-
-
-def _argmin_id(vec: F.Column, cands: list[tuple[int, list[float]]], id_name: str) -> F.Column:
-    """Map-only nearest-candidate id: the 6dp-rounded squared distance +
-    id tiebreak argmin (exactly :func:`_nearest_lists`'s comparison),
-    computed as ``array_min`` over literal candidate structs — no join,
-    no shuffle, no per-row window. Struct ordering is lexicographic
-    (_d first, id second), which is precisely ``ORDER BY _d, id``."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(_sq_dist(vec, F.lit(cv)), 6).alias("_d"),
-                    F.lit(i).alias(id_name),
-                )
-                for i, cv in cands
-            ]
-        )
-    )[id_name]
 
 
 def kmeans_centroids(emb: DataFrame, n_lists: int, lloyd_iters: int) -> DataFrame:
