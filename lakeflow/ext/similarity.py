@@ -16,6 +16,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,6 +25,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
 
 from lakeflow import io
+
+# A caller-shared coarse quantizer: the built (centroids, lists) pair,
+# or a zero-arg callable resolving to it (a pending concurrent build —
+# consumers with independent eager work of their own overlap it).
+_CoarseArg = (
+    tuple[DataFrame, DataFrame] | Callable[[], tuple[DataFrame, DataFrame]] | None
+)
 
 
 def _cos_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -396,7 +405,7 @@ def knn_ivf(
     n_lists: int = 8,
     nprobe: int = 4,
     lloyd_iters: int = 2,
-    _coarse: tuple[DataFrame, DataFrame] | None = None,
+    _coarse: _CoarseArg = None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means inverted lists, queries probe the nprobe
     nearest lists — the centroid-partitioned scale path beside the
@@ -429,8 +438,10 @@ def knn_ivf(
     else:
         # identical deterministic build, computed once by the caller
         # (ann_recall shares one coarse quantizer across the IVF-family
-        # methods — r12, guide §1.2 "don't compute things twice")
-        cent, lists = _coarse
+        # methods — r12, guide §1.2 "don't compute things twice");
+        # a callable is a pending build resolved here (knn_ivf has no
+        # independent eager work to overlap it with, so it just waits)
+        cent, lists = _coarse() if callable(_coarse) else _coarse
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
@@ -1247,7 +1258,7 @@ def knn_ivfpq(
     pq_iters: int = 2,
     rerank: int = 3,
     train_mod: int = 1,
-    _coarse: tuple[DataFrame, DataFrame] | None = None,
+    _coarse: _CoarseArg = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFADC shape, Jégou et al. 2011 §IV):
     coarse k-means inverted lists prune the corpus to ``nprobe``
@@ -1306,10 +1317,13 @@ def knn_ivfpq(
             pq_f = pool.submit(inheritable_thread_target(spark)(_pq_build))
             (cent, lists), pcent = coarse_f.result(), pq_f.result()
     else:
-        cent, lists = _coarse
-        lists = lists.select("vec_id", "list_id")
-        # per-subspace codebooks + full-corpus byte codes (knn_pq's encode)
+        # per-subspace codebooks first — they are independent of the
+        # coarse index, so when the caller hands a PENDING coarse build
+        # (ann_recall's shared future, r12), this eager Lloyd loop
+        # overlaps it instead of waiting on it
         pcent, _ = pq_codebooks(train, m_sub, dsub, ks, pq_iters)
+        cent, lists = _coarse() if callable(_coarse) else _coarse
+        lists = lists.select("vec_id", "list_id")
     sub = _subvectors(emb, "vec_id", m_sub, dsub)
     enc = _pq_assign(sub, pcent).select("vec_id", "sub_id", "code")
     # the IVFADC index: codes tagged with their coarse list (one
@@ -1511,9 +1525,11 @@ def ann_recall(
         .select("vec_id", _dvec("embedding").alias("v"))
         .select("vec_id", "v", _norm("v").alias("nv"))
     )
-    cent = kmeans_centroids(emb, 8, 2)
-    lists = _nearest_lists(emb, cent, "v", 1).localCheckpoint(eager=False)
-    coarse = (cent, lists)
+    def _coarse_build() -> tuple[DataFrame, DataFrame]:
+        cent = kmeans_centroids(emb, 8, 2)
+        lists = _nearest_lists(emb, cent, "v", 1).localCheckpoint(eager=False)
+        return cent, lists
+
     methods = [
         ("ivf", lambda s, d, query_mod: knn_ivf(s, d, query_mod=query_mod, _coarse=coarse)),
         ("ivfpq", lambda s, d, query_mod: knn_ivfpq(s, d, query_mod=query_mod, _coarse=coarse)),
@@ -1529,8 +1545,19 @@ def ann_recall(
     # rounds, PQ codebooks, checkpoints) blocks the driver while the
     # cluster idles through its job tail; the builds are mutually
     # independent, so a small thread pool lets the scheduler back-fill.
-    # Results are unchanged — each build is deterministic, and the
-    # union below consumes the futures in the fixed ``methods`` order.
+    # The shared coarse quantizer is ALSO a pool task (r12, second
+    # pass): the PQ-codebook Lloyd loops of ivfpq/ivfpq_hi do not
+    # depend on it, so handing the IVF-family methods the pending
+    # future (resolved inside each worker, after its own independent
+    # eager work) overlaps the ~2 s coarse build under the ~4 s PQ
+    # builds instead of running it serially before the pool. (The gt
+    # persist deliberately stays LAZY here: pre-materializing it in the
+    # pool was measured a ~0.4 s win but flips the cached subtree to
+    # its finalized AQE printout, which double-counts exchanges in the
+    # plan-budget gate and churns the committed plan dump — not worth
+    # it.) Results are unchanged — every build is deterministic and
+    # shared-equals-recomputed; the union below consumes the futures
+    # in the fixed ``methods`` order.
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.util import inheritable_thread_target
@@ -1542,7 +1569,9 @@ def ann_recall(
             F.lit(name).alias("method"), "q_id", "vec_id"
         )
 
-    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+    with ThreadPoolExecutor(max_workers=len(methods) + 1) as pool:
+        coarse_f = pool.submit(inheritable_thread_target(spark)(_coarse_build))
+        coarse = coarse_f.result  # pending build; workers resolve it
         parts = list(pool.map(_build, methods))
     tagged = None
     for part in parts:
@@ -1637,7 +1666,7 @@ def knn_ivfpq_hi(
     spark: SparkSession,
     sf_dir: str,
     query_mod: int = 100,
-    _coarse: tuple[DataFrame, DataFrame] | None = None,
+    _coarse: _CoarseArg = None,
 ) -> DataFrame:
     """Deployment-resolution IVF-PQ (SCALE.md §20.4): the registered
     default pins ks=8 codebooks for oracle-replay economy and pays for

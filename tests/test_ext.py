@@ -1482,6 +1482,29 @@ def test_ann_recall_invariants(spark, sf_dir):
     assert by["ivfpq_hi"].recall_at_k >= by["ivfpq"].recall_at_k
 
 
+def test_coarse_callable_matches_tuple(spark, sf_dir):
+    """A pending coarse build handed to the IVF family as a zero-arg
+    callable (ann_recall's concurrent-build form, r12) must yield
+    row-identical results to the prebuilt tuple form — the overlap is
+    a scheduling change only."""
+    from lakeflow.ext import similarity as sim
+
+    emb = (
+        sim.io.read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", sim._dvec("embedding").alias("v"))
+        .select("vec_id", "v", sim._norm("v").alias("nv"))
+    )
+    cent = sim.kmeans_centroids(emb, 8, 2)
+    lists = sim._nearest_lists(emb, cent, "v", 1)
+    coarse = (cent, lists)
+    for fn in (sim.knn_ivf, sim.knn_ivfpq):
+        via_tuple = sorted(map(tuple, fn(spark, sf_dir, _coarse=coarse).collect()))
+        via_call = sorted(
+            map(tuple, fn(spark, sf_dir, _coarse=lambda: coarse).collect())
+        )
+        assert via_call == via_tuple, fn.__name__
+
+
 def test_source_kl_invariants(spark, sf_dir):
     """Gibbs' inequality: KL(source ‖ corpus) ≥ 0 for every source
     (up to the 1e-6 quantization floor), with equality only for a
