@@ -76,7 +76,14 @@ def degree_distribution(
     passes through to the LSH edge generator; certification paths
     leave it None so the oracle banding replay is untouched."""
     e = _edges(spark, sf_dir, threshold, edge_source, bits, bands, bucket_cap)
-    und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # Degrees only need the ENDPOINT multiset, not oriented rows: one
+    # explode pass emits both endpoints per edge, where the former
+    # self-union-with-swap executed the whole edge-generator subtree
+    # twice (no ReusedExchange across the branches, and — unlike
+    # pagerank/kcore, whose loops retain the oriented frame — nothing
+    # here justifies a persist). Row-identical: each edge contributes
+    # exactly one row per endpoint in both forms (r12, guide §2.4).
+    und = e.select(F.explode(F.array("s", "d")).alias("s"))
     deg = und.groupBy("s").agg(F.count("*").cast("int").alias("degree"))
     return (
         deg.groupBy("degree").agg(F.count("*").alias("nodes")).orderBy("degree")
